@@ -1,0 +1,163 @@
+"""Deterministic synthetic PDF writer (from scratch, stdlib zlib only).
+
+Emits small, well-formed PDF 1.4 files: classic xref table, Flate-compressed
+content streams, a single WinAnsi ``Helvetica``-named font with an explicit
+``/Widths`` array (so parser and writer agree on metrics without AFM tables).
+No timestamps, no IDs — byte-deterministic for a given spec.
+
+Page spec model (all coordinates TOP-LEFT origin, PDF points — the writer
+converts to PDF's bottom-up space):
+
+    {"width": 612, "height": 792,
+     "texts":  [{"x": 72, "top": 72, "size": 12, "text": "Hello"}, ...],
+     "rects":  [{"x0":..,"top":..,"x1":..,"bottom":..}, ...],
+     "lines":  [{"x0":..,"top":..,"x1":..,"bottom":..}, ...],
+     "curves": [{"pts": [(x, top), ...]}, ...]}
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Dict, List
+
+# Deterministic per-glyph widths (1/1000 text units) for ASCII 32..126.
+# Roughly Helvetica-shaped but defined HERE (both writer and parser use this
+# table only through the embedded /Widths array).
+_BASE_WIDTHS = {
+    " ": 278, "!": 278, '"': 355, "#": 556, "$": 556, "%": 889, "&": 667,
+    "'": 191, "(": 333, ")": 333, "*": 389, "+": 584, ",": 278, "-": 333,
+    ".": 278, "/": 278, "0": 556, "1": 556, "2": 556, "3": 556, "4": 556,
+    "5": 556, "6": 556, "7": 556, "8": 556, "9": 556, ":": 278, ";": 278,
+    "<": 584, "=": 584, ">": 584, "?": 556, "@": 1015, "A": 667, "B": 667,
+    "C": 722, "D": 722, "E": 667, "F": 611, "G": 778, "H": 722, "I": 278,
+    "J": 500, "K": 667, "L": 556, "M": 833, "N": 722, "O": 778, "P": 667,
+    "Q": 778, "R": 722, "S": 667, "T": 611, "U": 722, "V": 667, "W": 944,
+    "X": 667, "Y": 667, "Z": 611, "[": 278, "\\": 278, "]": 278, "^": 469,
+    "_": 556, "`": 333, "a": 556, "b": 556, "c": 500, "d": 556, "e": 556,
+    "f": 278, "g": 556, "h": 556, "i": 222, "j": 222, "k": 500, "l": 222,
+    "m": 833, "n": 556, "o": 556, "p": 556, "q": 556, "r": 333, "s": 500,
+    "t": 278, "u": 556, "v": 500, "w": 722, "x": 500, "y": 500, "z": 500,
+    "{": 334, "|": 260, "}": 334, "~": 584,
+}
+
+WIDTHS = [ _BASE_WIDTHS.get(chr(c), 556) for c in range(32, 127) ]
+FONT_DESCENT = -212  # 1/1000 units, part of the deterministic font contract
+FONT_ASCENT = 718
+
+
+def glyph_width(ch: str) -> int:
+    o = ord(ch)
+    if 32 <= o <= 126:
+        return WIDTHS[o - 32]
+    return 556
+
+
+def _esc(s: str) -> bytes:
+    out = []
+    for ch in s:
+        o = ord(ch)
+        if ch in "()\\":
+            out.append("\\" + ch)
+        elif 32 <= o <= 126:
+            out.append(ch)
+        else:
+            out.append("\\%03o" % (o & 0xFF))
+    return "".join(out).encode("latin-1")
+
+
+def _content_stream(page: Dict) -> bytes:
+    h = page["height"]
+    parts: List[str] = []
+    for t in page.get("texts", []):
+        size = t.get("size", 12)
+        # writer contract: "top" is the glyph-box top; baseline sits at
+        # top + ascent*size/1000 below the page top (y up in PDF space)
+        baseline_y = h - t["top"] - size * FONT_ASCENT / 1000.0
+        chunk = t["text"]
+        parts.append("BT /F1 %g Tf 1 0 0 1 %g %g Tm (%s) Tj ET" % (
+            size, t["x"], baseline_y, _esc(chunk).decode("latin-1"),
+        ))
+    for r in page.get("rects", []):
+        y = h - r["bottom"]
+        parts.append(
+            "%g %g %g %g re S" % (r["x0"], y, r["x1"] - r["x0"], r["bottom"] - r["top"])
+        )
+    for ln in page.get("lines", []):
+        parts.append(
+            "%g %g m %g %g l S"
+            % (ln["x0"], h - ln["top"], ln["x1"], h - ln["bottom"])
+        )
+    for cv in page.get("curves", []):
+        pts = cv["pts"]
+        seg = ["%g %g m" % (pts[0][0], h - pts[0][1])]
+        for (x, top) in pts[1:]:
+            seg.append("%g %g l" % (x, h - top))
+        parts.append(" ".join(seg) + " S")
+    return "\n".join(parts).encode("latin-1")
+
+
+def make_pdf(pages: List[Dict]) -> bytes:
+    """Serialize page specs to deterministic PDF bytes."""
+    objects: List[bytes] = []  # 1-indexed
+
+    def add(obj: bytes) -> int:
+        objects.append(obj)
+        return len(objects)
+
+    font_num = add(
+        b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica/Encoding/WinAnsiEncoding"
+        b"/FirstChar 32/LastChar 126/Widths[" +
+        b" ".join(str(w).encode() for w in WIDTHS) +
+        b"]/FontDescriptor <</Type/FontDescriptor/FontName/Helvetica/Flags 32"
+        b"/Ascent 718/Descent -212/CapHeight 718/ItalicAngle 0/StemV 88"
+        b"/FontBBox[-166 -225 1000 931]>> >>"
+    )
+
+    page_nums = []
+    content_nums = []
+    for p in pages:
+        raw = _content_stream(p)
+        comp = zlib.compress(raw, 9)
+        cn = add(
+            b"<</Length " + str(len(comp)).encode() + b"/Filter/FlateDecode>>\nstream\n"
+            + comp + b"\nendstream"
+        )
+        content_nums.append(cn)
+        page_nums.append(None)  # placeholder
+
+    pages_tree_num = len(objects) + len(pages) + 1
+    for i, p in enumerate(pages):
+        pn = add(
+            (
+                "<</Type/Page/Parent %d 0 R/MediaBox[0 0 %g %g]"
+                "/Resources<</Font<</F1 %d 0 R>>>>/Contents %d 0 R>>"
+                % (pages_tree_num, p["width"], p["height"], font_num, content_nums[i])
+            ).encode()
+        )
+        page_nums[i] = pn
+
+    kids = b"[" + b" ".join(b"%d 0 R" % n for n in page_nums) + b"]"
+    ptn = add(
+        b"<</Type/Pages/Kids" + kids + b"/Count " + str(len(pages)).encode() + b">>"
+    )
+    assert ptn == pages_tree_num
+    root = add(b"<</Type/Catalog/Pages %d 0 R>>" % pages_tree_num)
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, obj in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i
+        out += obj
+        out += b"\nendobj\n"
+    xref_pos = len(out)
+    n = len(objects) + 1
+    out += b"xref\n0 %d\n" % n
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<</Size %d/Root %d 0 R>>\nstartxref\n%d\n%%%%EOF\n"
+        % (n, root, xref_pos)
+    )
+    return bytes(out)

@@ -1,0 +1,1139 @@
+"""From-scratch minimal PDF parser -> char/line/rect/curve object rows.
+
+Public-knowledge implementation of the PDF 1.x object model and content
+stream interpreter (ISO 32000 subset), with pdfminer-equivalent char
+geometry so the emitted rows carry the same attribute semantics the
+reference consumes (``/root/reference/pdfplumber/page.py:335-400``):
+top-left-origin coordinates (y flip at the page boundary), ``doctop``,
+``adv``/``size``/``upright`` per char, edges derivable from rect/line/curve.
+
+Supported: classic xref tables (+ /Prev chains), xref streams (PDF 1.5,
+W-array + PNG Up/Sub predictors), object streams (ObjStm), FlateDecode,
+dict/array/name/number/(hex)string/ref syntax, page-tree inheritance,
+simple fonts with /Widths + /FirstChar (fallback width table), WinAnsi/
+builtin encodings, and the text + path subset of the content stream
+operator set. Not supported (emit nothing rather than fail): embedded
+CMaps beyond bfchar/bfrange, shading, inline images, encryption.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from .pdfgen import FONT_ASCENT, FONT_DESCENT, WIDTHS
+
+MATRIX_ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def mat_mult(m1, m0):
+    """Apply m1 then m0 (pdfminer convention: mult_matrix(m1, m0))."""
+    a1, b1, c1, d1, e1, f1 = m1
+    a0, b0, c0, d0, e0, f0 = m0
+    return (
+        a1 * a0 + b1 * c0,
+        a1 * b0 + b1 * d0,
+        c1 * a0 + d1 * c0,
+        c1 * b0 + d1 * d0,
+        e1 * a0 + f1 * c0 + e0,
+        e1 * b0 + f1 * d0 + f0,
+    )
+
+
+def mat_translate(m, x, y):
+    a, b, c, d, e, f = m
+    return (a, b, c, d, x * a + y * c + e, x * b + y * d + f)
+
+
+def mat_apply(m, x, y):
+    a, b, c, d, e, f = m
+    return (a * x + c * y + e, b * x + d * y + f)
+
+
+class Name(str):
+    """PDF name object (distinct from strings)."""
+
+
+class Ref:
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num, gen):
+        self.num = num
+        self.gen = gen
+
+    def __repr__(self):
+        return f"Ref({self.num},{self.gen})"
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class Lexer:
+    """Tokenizer for PDF object syntax."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self):
+        d = self.data
+        n = len(d)
+        while self.pos < n:
+            c = d[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # '%' comment
+                while self.pos < n and d[self.pos] not in (10, 13):
+                    self.pos += 1
+            else:
+                return
+
+    def next_token(self):
+        self._skip_ws()
+        d = self.data
+        n = len(d)
+        if self.pos >= n:
+            return None
+        c = d[self.pos]
+        start = self.pos
+        if c == 0x2F:  # /Name
+            self.pos += 1
+            while self.pos < n and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
+                self.pos += 1
+            raw = d[start + 1 : self.pos]
+            # #xx escapes
+            name = re.sub(
+                rb"#([0-9A-Fa-f]{2})", lambda m: bytes([int(m.group(1), 16)]), raw
+            )
+            return Name(name.decode("latin-1"))
+        if c == 0x28:  # ( string
+            self.pos += 1
+            depth = 1
+            out = bytearray()
+            while self.pos < n and depth:
+                ch = d[self.pos]
+                if ch == 0x5C:  # backslash
+                    self.pos += 1
+                    if self.pos >= n:
+                        break
+                    e = d[self.pos]
+                    if e in b"nrtbf":
+                        out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[e])
+                        self.pos += 1
+                    elif e in b"()\\":
+                        out.append(e)
+                        self.pos += 1
+                    elif 0x30 <= e <= 0x37:
+                        oct_digits = bytearray()
+                        while (
+                            self.pos < n
+                            and 0x30 <= d[self.pos] <= 0x37
+                            and len(oct_digits) < 3
+                        ):
+                            oct_digits.append(d[self.pos])
+                            self.pos += 1
+                        out.append(int(oct_digits.decode(), 8) & 0xFF)
+                    elif e in (10, 13):  # line continuation
+                        self.pos += 1
+                        if e == 13 and self.pos < n and d[self.pos] == 10:
+                            self.pos += 1
+                    else:
+                        out.append(e)
+                        self.pos += 1
+                elif ch == 0x28:
+                    depth += 1
+                    out.append(ch)
+                    self.pos += 1
+                elif ch == 0x29:
+                    depth -= 1
+                    if depth:
+                        out.append(ch)
+                    self.pos += 1
+                else:
+                    out.append(ch)
+                    self.pos += 1
+            return bytes(out)
+        if c == 0x3C:  # << or <hex>
+            if self.pos + 1 < n and d[self.pos + 1] == 0x3C:
+                self.pos += 2
+                return "<<"
+            self.pos += 1
+            end = d.find(b">", self.pos)
+            hexs = re.sub(rb"[^0-9A-Fa-f]", b"", d[self.pos : end])
+            if len(hexs) % 2:
+                hexs += b"0"
+            self.pos = end + 1
+            return bytes.fromhex(hexs.decode())
+        if c == 0x3E:  # >>
+            if self.pos + 1 < n and d[self.pos + 1] == 0x3E:
+                self.pos += 2
+                return ">>"
+            self.pos += 1
+            return ">"
+        if c == 0x5B:
+            self.pos += 1
+            return "["
+        if c == 0x5D:
+            self.pos += 1
+            return "]"
+        if c == 0x7B:
+            self.pos += 1
+            return "{"
+        if c == 0x7D:
+            self.pos += 1
+            return "}"
+        if (0x30 <= c <= 0x39) or c in (0x2B, 0x2D, 0x2E):
+            self.pos += 1
+            while self.pos < n and (
+                0x30 <= d[self.pos] <= 0x39 or d[self.pos] in (0x2E, 0x2D, 0x2B, 0x45, 0x65)
+            ):
+                self.pos += 1
+            tok = d[start : self.pos]
+            try:
+                if b"." in tok or b"e" in tok or b"E" in tok:
+                    return float(tok)
+                return int(tok)
+            except ValueError:
+                return 0
+        # keyword
+        self.pos += 1
+        while self.pos < n and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
+            self.pos += 1
+        kw = d[start : self.pos].decode("latin-1")
+        return ("kw", kw)
+
+
+def parse_object(lex: Lexer):
+    """Parse one object; resolves R-references into Ref markers."""
+    tok = lex.next_token()
+    return _parse_from(lex, tok)
+
+
+def _parse_from(lex: Lexer, tok):
+    if tok == "<<":
+        d: Dict[str, object] = {}
+        while True:
+            k = lex.next_token()
+            if k == ">>" or k is None:
+                break
+            v = parse_object(lex)
+            if isinstance(k, Name):
+                d[str(k)] = v
+        return d
+    if tok == "[":
+        arr = []
+        while True:
+            save = lex.pos
+            t = lex.next_token()
+            if t == "]" or t is None:
+                break
+            lex.pos = save
+            arr.append(parse_object(lex))
+        return arr
+    if isinstance(tok, int):
+        # possible "num gen R" reference
+        save = lex.pos
+        t2 = lex.next_token()
+        if isinstance(t2, int):
+            t3 = lex.next_token()
+            if t3 == ("kw", "R"):
+                return Ref(tok, t2)
+        lex.pos = save
+        return tok
+    if isinstance(tok, tuple) and tok[0] == "kw":
+        kw = tok[1]
+        if kw == "true":
+            return True
+        if kw == "false":
+            return False
+        if kw == "null":
+            return None
+        return tok
+    return tok
+
+
+# WinAnsiEncoding differences from latin-1 in 0x80-0x9f (ISO 32000 annex D)
+_WINANSI = {
+    0x80: "€", 0x82: "‚", 0x83: "ƒ", 0x84: "„",
+    0x85: "…", 0x86: "†", 0x87: "‡", 0x88: "ˆ",
+    0x89: "‰", 0x8A: "Š", 0x8B: "‹", 0x8C: "Œ",
+    0x8E: "Ž", 0x91: "‘", 0x92: "’", 0x93: "“",
+    0x94: "”", 0x95: "•", 0x96: "–", 0x97: "—",
+    0x98: "˜", 0x99: "™", 0x9A: "š", 0x9B: "›",
+    0x9C: "œ", 0x9E: "ž", 0x9F: "Ÿ",
+}
+
+
+class Font:
+    """Simple (1-byte) font: widths, encoding, ToUnicode."""
+
+    def __init__(self, doc: "PDFDocument", spec: dict, name: str):
+        self.name = name
+        self.basefont = str(spec.get("BaseFont", name))
+        self.first_char = doc.resolve(spec.get("FirstChar", 0)) or 0
+        widths = doc.resolve(spec.get("Widths"))
+        self.widths: Dict[int, float] = {}
+        if widths:
+            for i, w in enumerate(doc.resolve(widths)):
+                self.widths[self.first_char + i] = float(doc.resolve(w) or 0)
+        desc = doc.resolve(spec.get("FontDescriptor")) or {}
+        self.descent = float(doc.resolve(desc.get("Descent", FONT_DESCENT)) or FONT_DESCENT)
+        self.ascent = float(doc.resolve(desc.get("Ascent", FONT_ASCENT)) or FONT_ASCENT)
+        self.default_width = float(doc.resolve(desc.get("MissingWidth", 556)) or 556)
+        if not self.widths:
+            # fallback: deterministic base table (ASCII)
+            self.widths = {32 + i: float(w) for i, w in enumerate(WIDTHS)}
+        self.to_unicode = self._parse_tounicode(doc, spec.get("ToUnicode"))
+        self.multibyte = str(doc.resolve(spec.get("Subtype", ""))) == "Type0"
+        self.cid_widths: Dict[int, float] = {}
+        self.cid_default = 1000.0
+        if self.multibyte:
+            self._load_cid(doc, spec)
+
+    def _load_cid(self, doc, spec):
+        dfonts = doc.resolve(spec.get("DescendantFonts")) or []
+        if dfonts:
+            df = doc.resolve(dfonts[0]) or {}
+            self.cid_default = float(doc.resolve(df.get("DW", 1000)) or 1000)
+            warr = doc.resolve(df.get("W")) or []
+            i = 0
+            warr = [doc.resolve(x) for x in warr]
+            while i < len(warr):
+                if i + 1 < len(warr) and isinstance(warr[i + 1], list):
+                    start = int(warr[i])
+                    for j, w in enumerate(warr[i + 1]):
+                        self.cid_widths[start + j] = float(w)
+                    i += 2
+                elif i + 2 < len(warr):
+                    a, b, w = int(warr[i]), int(warr[i + 1]), float(warr[i + 2])
+                    for cid in range(a, b + 1):
+                        self.cid_widths[cid] = w
+                    i += 3
+                else:
+                    break
+            desc = doc.resolve(df.get("FontDescriptor")) or {}
+            self.descent = float(doc.resolve(desc.get("Descent", self.descent)) or self.descent)
+
+    @staticmethod
+    def _parse_tounicode(doc, ref) -> Dict[int, str]:
+        stream = doc.resolve(ref)
+        out: Dict[int, str] = {}
+        if not isinstance(stream, StreamObj):
+            return out
+        data = stream.get_data(doc)
+        try:
+            txt = data.decode("latin-1")
+        except Exception:
+            return out
+        for m in re.finditer(r"beginbfchar(.*?)endbfchar", txt, re.S):
+            for cm in re.finditer(r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)):
+                src = int(cm.group(1), 16)
+                dst_hex = cm.group(2)
+                chars = "".join(
+                    chr(int(dst_hex[i : i + 4], 16)) for i in range(0, len(dst_hex), 4)
+                )
+                out[src] = chars
+        for m in re.finditer(r"beginbfrange(.*?)endbfrange", txt, re.S):
+            body = m.group(1)
+            for cm in re.finditer(
+                r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", body
+            ):
+                lo, hi, dst = (int(cm.group(i), 16) for i in (1, 2, 3))
+                for k in range(lo, hi + 1):
+                    out[k] = chr(dst + (k - lo))
+            for cm in re.finditer(
+                r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[(.*?)\]", body, re.S
+            ):
+                lo = int(cm.group(1), 16)
+                dsts = re.findall(r"<([0-9A-Fa-f]+)>", cm.group(3))
+                for j, dh in enumerate(dsts):
+                    chars = "".join(
+                        chr(int(dh[i : i + 4], 16)) for i in range(0, len(dh), 4)
+                    )
+                    out[lo + j] = chars
+        return out
+
+    def decode(self, raw: bytes) -> List[int]:
+        if self.multibyte:
+            return [
+                (raw[i] << 8) | raw[i + 1] if i + 1 < len(raw) else raw[i]
+                for i in range(0, len(raw), 2)
+            ]
+        return list(raw)
+
+    def char_width(self, cid: int) -> float:
+        if self.multibyte:
+            return self.cid_widths.get(cid, self.cid_default) * 0.001
+        return self.widths.get(cid, self.default_width) * 0.001
+
+    def to_unichr(self, cid: int) -> str:
+        if cid in self.to_unicode:
+            return self.to_unicode[cid]
+        if self.multibyte:
+            return "�"
+        if cid in _WINANSI:
+            return _WINANSI[cid]
+        try:
+            return bytes([cid]).decode("latin-1")
+        except Exception:
+            return "�"
+
+    def get_descent(self) -> float:
+        return self.descent * 0.001
+
+
+class StreamObj:
+    __slots__ = ("attrs", "raw")
+
+    def __init__(self, attrs: dict, raw: bytes):
+        self.attrs = attrs
+        self.raw = raw
+
+    def get_data(self, doc: "PDFDocument") -> bytes:
+        data = self.raw
+        filt = doc.resolve(self.attrs.get("Filter"))
+        filters = [filt] if isinstance(filt, (Name, str)) else (filt or [])
+        parms = doc.resolve(self.attrs.get("DecodeParms"))
+        parms_list = [parms] if isinstance(parms, dict) else (parms or [])
+        for i, f in enumerate(filters):
+            fname = str(doc.resolve(f))
+            if fname in ("FlateDecode", "Fl"):
+                data = zlib.decompress(data)
+                p = doc.resolve(parms_list[i]) if i < len(parms_list) else None
+                if isinstance(p, dict) and doc.resolve(p.get("Predictor", 1)) and int(
+                    doc.resolve(p.get("Predictor", 1))
+                ) >= 10:
+                    data = _png_predictor(
+                        data,
+                        int(doc.resolve(p.get("Columns", 1))),
+                        int(doc.resolve(p.get("Colors", 1))),
+                        int(doc.resolve(p.get("BitsPerComponent", 8))),
+                    )
+            elif fname == "ASCIIHexDecode":
+                hx = re.sub(rb"[^0-9A-Fa-f]", b"", data.split(b">")[0])
+                if len(hx) % 2:
+                    hx += b"0"
+                data = bytes.fromhex(hx.decode())
+            # unknown filters: pass through
+        return data
+
+
+def _png_predictor(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
+    bpp = max(1, (colors * bpc) // 8)
+    row_len = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytearray(row_len)
+    i = 0
+    n = len(data)
+    while i + 1 <= n:
+        ft = data[i]
+        i += 1
+        row = bytearray(data[i : i + row_len])
+        i += row_len
+        if ft == 0:
+            pass
+        elif ft == 1:
+            for j in range(bpp, len(row)):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:
+            for j in range(len(row)):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:
+            for j in range(len(row)):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif ft == 4:
+            for j in range(len(row)):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[j] = (row[j] + pr) & 0xFF
+        out += row
+        prev = row
+        if i >= n:
+            break
+    return bytes(out)
+
+
+class PDFDocument:
+    """Random-access PDF object store: xref (classic + stream), ObjStm."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.xref: Dict[int, Tuple[str, int, int]] = {}  # num -> (kind, a, b)
+        self.trailer: dict = {}
+        self._cache: Dict[int, object] = {}
+        self._objstm_cache: Dict[int, Dict[int, object]] = {}
+        self._load_xref()
+
+    # -- xref loading --------------------------------------------------------
+
+    def _load_xref(self):
+        data = self.data
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", data[-2048:]):
+            pass
+        if m:
+            start = int(m.group(1))
+            seen = set()
+            self._load_xref_at(start, seen)
+        if not self.xref:
+            self._scan_all_objects()
+
+    def _load_xref_at(self, pos: int, seen: set):
+        if pos in seen or pos <= 0 or pos >= len(self.data):
+            return
+        seen.add(pos)
+        data = self.data
+        lex = Lexer(data, pos)
+        lex._skip_ws()
+        if data[lex.pos : lex.pos + 4] == b"xref":
+            trailer = self._load_classic_xref(lex.pos + 4)
+        else:
+            trailer = self._load_xref_stream(pos)
+        if trailer:
+            if not self.trailer:
+                self.trailer = trailer
+            prev = trailer.get("Prev")
+            if prev is not None:
+                self._load_xref_at(int(self.resolve(prev)), seen)
+            xs = trailer.get("XRefStm")
+            if xs is not None:
+                self._load_xref_at(int(self.resolve(xs)), seen)
+
+    def _load_classic_xref(self, pos: int) -> Optional[dict]:
+        data = self.data
+        lex = Lexer(data, pos)
+        entry_re = re.compile(rb"(\d{10})\s+(\d{5})\s+([nf])")
+        while True:
+            lex._skip_ws()
+            if data[lex.pos : lex.pos + 7] == b"trailer":
+                lex.pos += 7
+                t = parse_object(lex)
+                return t if isinstance(t, dict) else None
+            t1 = lex.next_token()
+            t2 = lex.next_token()
+            if not (isinstance(t1, int) and isinstance(t2, int)):
+                return None
+            start, count = t1, t2
+            for i in range(count):
+                m = entry_re.match(data, lex.pos) or entry_re.search(
+                    data, lex.pos, lex.pos + 40
+                )
+                if not m:
+                    return None
+                num = start + i
+                if m.group(3) == b"n" and num not in self.xref:
+                    self.xref[num] = ("raw", int(m.group(1)), 0)
+                lex.pos = m.end()
+
+    def _load_xref_stream(self, pos: int) -> Optional[dict]:
+        lex = Lexer(self.data, pos)
+        t1 = lex.next_token()  # num
+        lex.next_token()  # gen
+        t3 = lex.next_token()  # obj
+        if not (isinstance(t1, int) and t3 == ("kw", "obj")):
+            return None
+        obj = self._parse_indirect_body(lex)
+        if not isinstance(obj, StreamObj):
+            return None
+        attrs = obj.attrs
+        data = obj.get_data(self)
+        w = [int(self.resolve(x)) for x in self.resolve(attrs.get("W", [1, 1, 1]))]
+        size = int(self.resolve(attrs.get("Size", 0)))
+        index = self.resolve(attrs.get("Index")) or [0, size]
+        index = [int(self.resolve(x)) for x in index]
+        rowlen = sum(w)
+        rows = [data[i : i + rowlen] for i in range(0, len(data) - rowlen + 1, rowlen)]
+        ri = 0
+
+        def field(row, k):
+            s = sum(w[:k])
+            chunk = row[s : s + w[k]]
+            if not chunk:
+                return 1 if k == 0 else 0
+            return int.from_bytes(chunk, "big")
+
+        for ii in range(0, len(index), 2):
+            start, count = index[ii], index[ii + 1]
+            for num in range(start, start + count):
+                if ri >= len(rows):
+                    break
+                row = rows[ri]
+                ri += 1
+                typ = field(row, 0) if w[0] else 1
+                f2 = field(row, 1)
+                f3 = field(row, 2)
+                if num in self.xref:
+                    continue
+                if typ == 1:
+                    self.xref[num] = ("raw", f2, f3)
+                elif typ == 2:
+                    self.xref[num] = ("instm", f2, f3)
+        return attrs
+
+    def _scan_all_objects(self):
+        """Fallback: brute scan for 'N 0 obj' markers."""
+        for m in re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", self.data):
+            num = int(m.group(1))
+            self.xref.setdefault(num, ("raw", m.start(), 0))
+        tm = re.search(rb"trailer", self.data)
+        if tm:
+            lex = Lexer(self.data, tm.end())
+            t = parse_object(lex)
+            if isinstance(t, dict):
+                self.trailer = t
+        else:
+            # xref-stream file: find the /Root in any stream dict
+            for m in re.finditer(rb"/Root\s+(\d+)\s+(\d+)\s+R", self.data):
+                self.trailer = {"Root": Ref(int(m.group(1)), int(m.group(2)))}
+                break
+
+    # -- object access -------------------------------------------------------
+
+    def _parse_indirect_body(self, lex: Lexer):
+        obj = parse_object(lex)
+        save = lex.pos
+        t = lex.next_token()
+        if t == ("kw", "stream") and isinstance(obj, dict):
+            p = lex.pos
+            if self.data[p : p + 2] == b"\r\n":
+                p += 2
+            elif self.data[p : p + 1] in (b"\n", b"\r"):
+                p += 1
+            length = self.resolve(obj.get("Length", 0))
+            try:
+                length = int(length)
+            except (TypeError, ValueError):
+                length = 0
+            raw = self.data[p : p + length]
+            endpos = self.data.find(b"endstream", p + length)
+            if length == 0 or endpos == -1 or endpos > p + length + 4:
+                # Length unreliable: search
+                endpos = self.data.find(b"endstream", p)
+                raw = self.data[p:endpos].rstrip(b"\r\n")
+            return StreamObj(obj, raw)
+        lex.pos = save
+        return obj
+
+    def get_object(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        ent = self.xref.get(num)
+        if ent is None:
+            return None
+        kind, a, b = ent
+        if kind == "raw":
+            lex = Lexer(self.data, a)
+            t1 = lex.next_token()
+            t2 = lex.next_token()
+            t3 = lex.next_token()
+            if not (isinstance(t1, int) and t3 == ("kw", "obj")):
+                return None
+            obj = self._parse_indirect_body(lex)
+        else:  # in object stream
+            obj = self._get_from_objstm(a, b)
+        self._cache[num] = obj
+        return obj
+
+    def _get_from_objstm(self, stm_num: int, idx: int):
+        table = self._objstm_cache.get(stm_num)
+        if table is None:
+            stm = self.get_object(stm_num)
+            table = {}
+            if isinstance(stm, StreamObj):
+                data = stm.get_data(self)
+                n = int(self.resolve(stm.attrs.get("N", 0)))
+                first = int(self.resolve(stm.attrs.get("First", 0)))
+                lex = Lexer(data, 0)
+                pairs = []
+                for _ in range(n):
+                    onum = lex.next_token()
+                    ooff = lex.next_token()
+                    if not isinstance(onum, int) or not isinstance(ooff, int):
+                        break
+                    pairs.append((onum, ooff))
+                for i, (onum, ooff) in enumerate(pairs):
+                    olex = Lexer(data, first + ooff)
+                    table[i] = (onum, parse_object(olex))
+            self._objstm_cache[stm_num] = table
+        ent = table.get(idx)
+        return ent[1] if ent else None
+
+    def resolve(self, obj, depth: int = 0):
+        while isinstance(obj, Ref) and depth < 32:
+            obj = self.get_object(obj.num)
+            depth += 1
+        return obj
+
+    # -- page tree -----------------------------------------------------------
+
+    def pages(self) -> List[dict]:
+        root = self.resolve(self.trailer.get("Root")) or {}
+        pages_node = self.resolve(root.get("Pages"))
+        out: List[dict] = []
+        if pages_node is None:
+            return out
+        stack = [(pages_node, {})]
+        inheritable = ("Resources", "MediaBox", "CropBox", "Rotate")
+        while stack:
+            node, inh = stack.pop(0)
+            node = self.resolve(node)
+            if not isinstance(node, dict):
+                continue
+            new_inh = dict(inh)
+            for k in inheritable:
+                if k in node:
+                    new_inh[k] = node[k]
+            t = str(self.resolve(node.get("Type", "")))
+            if t == "Pages" or (t != "Page" and "Kids" in node):
+                kids = self.resolve(node.get("Kids")) or []
+                for i, kid in enumerate(kids):
+                    stack.insert(i, (kid, new_inh))
+            else:
+                spec = dict(node)
+                for k in inheritable:
+                    spec.setdefault(k, new_inh.get(k))
+                out.append(spec)
+        return out
+
+
+# --- content stream interpretation -----------------------------------------
+
+CHAR_COLUMNS = [
+    "text", "fontname", "size", "adv", "upright",
+    "x0", "x1", "y0", "y1", "top", "bottom", "doctop", "width", "height",
+    "matrix", "stroking_color", "non_stroking_color", "mcid", "tag",
+]
+LINE_COLUMNS = [
+    "x0", "x1", "y0", "y1", "top", "bottom", "doctop", "width", "height",
+    "linewidth", "stroke", "fill", "stroking_color", "non_stroking_color",
+    "pts",
+]
+
+
+class PageInterpreter:
+    """Executes one page's content stream, emitting object rows."""
+
+    def __init__(self, doc: PDFDocument, page_spec: dict, page_number: int,
+                 initial_doctop: float = 0.0):
+        self.doc = doc
+        self.page_number = page_number
+        self.initial_doctop = initial_doctop
+        mb = [float(doc.resolve(v)) for v in doc.resolve(page_spec.get("MediaBox") or [0, 0, 612, 792])]
+        x0, y0, x1, y1 = mb
+        if x0 > x1:
+            x0, x1 = x1, x0
+        if y0 > y1:
+            y0, y1 = y1, y0
+        self.mb = (x0, y0, x1, y1)
+        self.width = x1 - x0
+        self.height = y1 - y0
+        self.rotation = int(doc.resolve(page_spec.get("Rotate", 0)) or 0) % 360
+        res = doc.resolve(page_spec.get("Resources")) or {}
+        self.fonts: Dict[str, Font] = {}
+        fdict = doc.resolve(res.get("Font")) or {}
+        for fname, fref in fdict.items():
+            spec = doc.resolve(fref)
+            if isinstance(spec, dict):
+                self.fonts[str(fname)] = Font(doc, spec, str(fname))
+        self.contents = self._load_content(page_spec)
+        # output accumulators
+        self.chars: List[tuple] = []
+        self.lines: List[tuple] = []
+        self.rects: List[tuple] = []
+        self.curves: List[tuple] = []
+
+    def _load_content(self, page_spec) -> bytes:
+        c = self.doc.resolve(page_spec.get("Contents"))
+        if isinstance(c, StreamObj):
+            return c.get_data(self.doc)
+        if isinstance(c, list):
+            return b"\n".join(
+                s.get_data(self.doc)
+                for s in (self.doc.resolve(x) for x in c)
+                if isinstance(s, StreamObj)
+            )
+        return b""
+
+    # device-space (bottom-up) -> page top-left space
+    def _flip(self, y: float) -> float:
+        return self.mb[3] - y
+
+    def run(self):
+        # base CTM: translate mediabox origin to 0 + rotation
+        x0, y0, x1, y1 = self.mb
+        if self.rotation == 90:
+            ctm = (0.0, 1.0, -1.0, 0.0, y1, -x0)
+        elif self.rotation == 180:
+            ctm = (-1.0, 0.0, 0.0, -1.0, x1, y1)
+        elif self.rotation == 270:
+            ctm = (0.0, -1.0, 1.0, 0.0, -y0, x1)
+        else:
+            ctm = (1.0, 0.0, 0.0, 1.0, -x0, -y0)
+        if self.rotation in (90, 270):
+            self.width, self.height = self.height, self.width
+        self._exec(self.contents, ctm)
+        return self
+
+    def _exec(self, content: bytes, base_ctm):
+        doc = self.doc
+        lex = Lexer(content, 0)
+        stack: List[object] = []
+        gs_stack: List[tuple] = []
+        ctm = base_ctm
+        # graphics state
+        linewidth = 1.0
+        stroke_color: Tuple = (0.0,)
+        fill_color: Tuple = (0.0,)
+        # text state
+        font: Optional[Font] = None
+        fontsize = 0.0
+        charspace = 0.0
+        wordspace = 0.0
+        scaling = 100.0
+        leading = 0.0
+        rise = 0.0
+        tm = MATRIX_ID
+        lm = (0.0, 0.0)
+        path: List[List[Tuple[str, float, float]]] = []
+        cur: List[Tuple[str, float, float]] = []
+
+        def show(raw: bytes):
+            nonlocal lm
+            if font is None or not isinstance(raw, (bytes, bytearray)):
+                return
+            lm = self._render_string(
+                [raw], tm, ctm, lm, font, fontsize, scaling, charspace,
+                wordspace, rise, stroke_color, fill_color,
+            )
+
+        def show_seq(seq):
+            nonlocal lm
+            if font is None:
+                return
+            lm = self._render_string(
+                seq, tm, ctm, lm, font, fontsize, scaling, charspace,
+                wordspace, rise, stroke_color, fill_color,
+            )
+
+        def paint(stroke: bool, fill: bool, evenodd: bool = False):
+            nonlocal path, cur
+            if cur:
+                path.append(cur)
+                cur = []
+            for sub in path:
+                self._emit_path(sub, ctm, linewidth, stroke, fill, evenodd,
+                                stroke_color, fill_color)
+            path = []
+
+        while True:
+            tok = lex.next_token()
+            if tok is None:
+                break
+            if not (isinstance(tok, tuple) and tok[0] == "kw"):
+                if tok == "<<":
+                    stack.append(_parse_from(lex, tok))
+                elif tok == "[":
+                    stack.append(_parse_from(lex, tok))
+                else:
+                    stack.append(tok)
+                continue
+            op = tok[1]
+            try:
+                if op == "q":
+                    gs_stack.append((ctm, linewidth, stroke_color, fill_color))
+                elif op == "Q":
+                    if gs_stack:
+                        ctm, linewidth, stroke_color, fill_color = gs_stack.pop()
+                elif op == "cm":
+                    f_, e_, d_, c_, b_, a_ = (float(stack.pop()) for _ in range(6))
+                    ctm = mat_mult((a_, b_, c_, d_, e_, f_), ctm)
+                elif op == "w":
+                    linewidth = float(stack.pop())
+                elif op == "BT":
+                    tm = MATRIX_ID
+                    lm = (0.0, 0.0)
+                elif op == "ET":
+                    pass
+                elif op == "Tf":
+                    fontsize = float(stack.pop())
+                    fname = stack.pop()
+                    font = self.fonts.get(str(fname))
+                elif op == "Td":
+                    ty = float(stack.pop()); tx = float(stack.pop())
+                    tm = mat_translate(tm, tx, ty)
+                    lm = (0.0, 0.0)
+                elif op == "TD":
+                    ty = float(stack.pop()); tx = float(stack.pop())
+                    leading = -ty
+                    tm = mat_translate(tm, tx, ty)
+                    lm = (0.0, 0.0)
+                elif op == "Tm":
+                    f_, e_, d_, c_, b_, a_ = (float(stack.pop()) for _ in range(6))
+                    tm = (a_, b_, c_, d_, e_, f_)
+                    lm = (0.0, 0.0)
+                elif op == "T*":
+                    tm = mat_translate(tm, 0, -leading)
+                    lm = (0.0, 0.0)
+                elif op == "TL":
+                    leading = float(stack.pop())
+                elif op == "Tc":
+                    charspace = float(stack.pop())
+                elif op == "Tw":
+                    wordspace = float(stack.pop())
+                elif op == "Tz":
+                    scaling = float(stack.pop())
+                elif op == "Ts":
+                    rise = float(stack.pop())
+                elif op == "Tj":
+                    show(stack.pop())
+                elif op == "'":
+                    tm = mat_translate(tm, 0, -leading)
+                    lm = (0.0, 0.0)
+                    show(stack.pop())
+                elif op == '"':
+                    s = stack.pop()
+                    charspace = float(stack.pop())
+                    wordspace = float(stack.pop())
+                    tm = mat_translate(tm, 0, -leading)
+                    lm = (0.0, 0.0)
+                    show(s)
+                elif op == "TJ":
+                    show_seq(stack.pop())
+                elif op == "m":
+                    y = float(stack.pop()); x = float(stack.pop())
+                    if cur:
+                        path.append(cur)
+                    cur = [("m", x, y)]
+                elif op == "l":
+                    y = float(stack.pop()); x = float(stack.pop())
+                    cur.append(("l", x, y))
+                elif op == "c":
+                    y3 = float(stack.pop()); x3 = float(stack.pop())
+                    y2 = float(stack.pop()); x2 = float(stack.pop())
+                    y1_ = float(stack.pop()); x1_ = float(stack.pop())
+                    cur.extend([("c1", x1_, y1_), ("c2", x2, y2), ("c", x3, y3)])
+                elif op == "v":
+                    y3 = float(stack.pop()); x3 = float(stack.pop())
+                    y2 = float(stack.pop()); x2 = float(stack.pop())
+                    cur.extend([("c2", x2, y2), ("c", x3, y3)])
+                elif op == "y":
+                    y3 = float(stack.pop()); x3 = float(stack.pop())
+                    y1_ = float(stack.pop()); x1_ = float(stack.pop())
+                    cur.extend([("c1", x1_, y1_), ("c", x3, y3)])
+                elif op == "h":
+                    if cur:
+                        cur.append(("h", cur[0][1], cur[0][2]))
+                elif op == "re":
+                    hh = float(stack.pop()); ww = float(stack.pop())
+                    y = float(stack.pop()); x = float(stack.pop())
+                    if cur:
+                        path.append(cur)
+                    cur = [
+                        ("m", x, y), ("l", x + ww, y), ("l", x + ww, y + hh),
+                        ("l", x, y + hh), ("h", x, y),
+                    ]
+                    path.append(cur)
+                    cur = []
+                elif op in ("S",):
+                    paint(True, False)
+                elif op == "s":
+                    if cur:
+                        cur.append(("h", cur[0][1], cur[0][2]))
+                    paint(True, False)
+                elif op in ("f", "F"):
+                    paint(False, True)
+                elif op == "f*":
+                    paint(False, True, True)
+                elif op == "B":
+                    paint(True, True)
+                elif op == "B*":
+                    paint(True, True, True)
+                elif op in ("b", "b*"):
+                    if cur:
+                        cur.append(("h", cur[0][1], cur[0][2]))
+                    paint(True, True, op == "b*")
+                elif op == "n":
+                    if cur:
+                        path.append(cur)
+                        cur = []
+                    path = []
+                elif op in ("g", "G"):
+                    v = float(stack.pop())
+                    if op == "g":
+                        fill_color = (v,)
+                    else:
+                        stroke_color = (v,)
+                elif op in ("rg", "RG"):
+                    b_ = float(stack.pop()); g_ = float(stack.pop()); r_ = float(stack.pop())
+                    if op == "rg":
+                        fill_color = (r_, g_, b_)
+                    else:
+                        stroke_color = (r_, g_, b_)
+                elif op in ("k", "K"):
+                    kk = float(stack.pop()); yy = float(stack.pop())
+                    mm = float(stack.pop()); cc = float(stack.pop())
+                    if op == "k":
+                        fill_color = (cc, mm, yy, kk)
+                    else:
+                        stroke_color = (cc, mm, yy, kk)
+                elif op in ("sc", "scn", "SC", "SCN"):
+                    vals = []
+                    while stack and isinstance(stack[-1], (int, float)):
+                        vals.append(float(stack.pop()))
+                    vals.reverse()
+                    if vals:
+                        if op in ("sc", "scn"):
+                            fill_color = tuple(vals)
+                        else:
+                            stroke_color = tuple(vals)
+                elif op == "Do":
+                    stack.pop() if stack else None
+                elif op in ("BI", "ID", "EI"):
+                    # inline image: skip to EI
+                    end = content.find(b"EI", lex.pos)
+                    lex.pos = len(content) if end == -1 else end + 2
+                    stack.clear()
+                else:
+                    # unknown operator: drop its operands
+                    stack.clear()
+            except (IndexError, ValueError, TypeError):
+                stack.clear()
+
+    def _render_string(self, seq, tm, ctm, lm, font, fontsize, scaling_pct,
+                       charspace_raw, wordspace_raw, rise, stroke_color,
+                       fill_color):
+        """pdfminer-equivalent horizontal text rendering."""
+        matrix = mat_mult(tm, ctm)
+        scaling = scaling_pct * 0.01
+        charspace = charspace_raw * scaling
+        wordspace = 0.0 if font.multibyte else wordspace_raw * scaling
+        dxscale = 0.001 * fontsize * scaling
+        x, y = lm
+        needcharspace = False
+        for item in seq:
+            if isinstance(item, (int, float)):
+                x -= item * dxscale
+                needcharspace = True
+                continue
+            if not isinstance(item, (bytes, bytearray)):
+                continue
+            for cid in font.decode(bytes(item)):
+                if needcharspace:
+                    x += charspace
+                x += self._emit_char(
+                    mat_translate(matrix, x, y), font, fontsize, scaling,
+                    rise, cid, stroke_color, fill_color,
+                )
+                if cid == 32 and wordspace:
+                    x += wordspace
+                needcharspace = True
+        return (x, y)
+
+    def _emit_char(self, matrix, font, fontsize, scaling, rise, cid,
+                   stroke_color, fill_color) -> float:
+        textwidth = font.char_width(cid)
+        adv = textwidth * fontsize * scaling
+        descent = font.get_descent() * fontsize
+        (p0x, p0y) = mat_apply(matrix, 0, descent + rise)
+        (p1x, p1y) = mat_apply(matrix, adv, descent + rise + fontsize)
+        x0d, x1d = (p0x, p1x) if p0x <= p1x else (p1x, p0x)
+        y0d, y1d = (p0y, p1y) if p0y <= p1y else (p1y, p0y)
+        a, b, c, d, e, f = matrix
+        upright = 1 if (0 < a * d * scaling and b * c <= 0) else 0
+        size = (y1d - y0d) if upright else (x1d - x0d)
+        text = font.to_unichr(cid)
+        top = self._flip(y1d)
+        bottom = self._flip(y0d)
+        self.chars.append(
+            (
+                text, font.basefont, size, adv, upright,
+                x0d, x1d, y0d, y1d, top, bottom,
+                self.initial_doctop + top, x1d - x0d, y1d - y0d,
+                list(matrix), list(stroke_color), list(fill_color), None, None,
+            )
+        )
+        return adv
+
+    def _emit_path(self, sub, ctm, linewidth, stroke, fill, evenodd,
+                   stroke_color, fill_color):
+        pts_dev = [mat_apply(ctm, px, py) for (_, px, py) in sub]
+        kinds = "".join(k[0] for (k, _, _) in sub)
+        if len(pts_dev) < 2:
+            return
+        xs = [p[0] for p in pts_dev]
+        ys = [p[1] for p in pts_dev]
+        x0, x1 = min(xs), max(xs)
+        y0, y1 = min(ys), max(ys)
+        top, bottom = self._flip(y1), self._flip(y0)
+        pts_top = [(px, self._flip(py)) for (px, py) in pts_dev]
+        row = (
+            x0, x1, y0, y1, top, bottom, self.initial_doctop + top,
+            x1 - x0, bottom - top, linewidth, stroke, fill,
+            list(stroke_color), list(fill_color), pts_top,
+        )
+        if len(sub) == 2 and kinds == "ml":
+            self.lines.append(row)
+        elif kinds in ("mlllh", "mllll") and len(set(pts_dev[:4])) == 4:
+            self.rects.append(row)
+        else:
+            self.curves.append(row)
+
+
+def parse_pdf(data: bytes) -> List[PageInterpreter]:
+    """Parse a PDF into per-page interpreters (already run)."""
+    doc = PDFDocument(data)
+    specs = doc.pages()
+    out = []
+    doctop = 0.0
+    for i, spec in enumerate(specs):
+        interp = PageInterpreter(doc, spec, i + 1, initial_doctop=doctop)
+        interp.run()
+        doctop += interp.height
+        out.append(interp)
+    return out
+
+
+def pdf_to_frames(data: bytes) -> Dict[str, pd.DataFrame]:
+    """Parse PDF bytes -> dict of object DataFrames (chars/lines/rects/
+    curves/pages) with page_number and ingestion-order index columns."""
+    pages = parse_pdf(data)
+    chars_rows, lines_rows, rects_rows, curves_rows, pages_rows = [], [], [], [], []
+    for p in pages:
+        for i, ch in enumerate(p.chars):
+            chars_rows.append((p.page_number, i) + ch)
+        for i, ln in enumerate(p.lines):
+            lines_rows.append((p.page_number, i) + ln)
+        for i, r in enumerate(p.rects):
+            rects_rows.append((p.page_number, i) + r)
+        for i, cv in enumerate(p.curves):
+            curves_rows.append((p.page_number, i) + cv)
+        pages_rows.append((p.page_number, p.width, p.height, p.rotation))
+    chars = pd.DataFrame(
+        chars_rows, columns=["page_number", "char_index"] + CHAR_COLUMNS
+    )
+    lines = pd.DataFrame(
+        lines_rows, columns=["page_number", "line_index"] + LINE_COLUMNS
+    )
+    rects = pd.DataFrame(
+        rects_rows, columns=["page_number", "rect_index"] + LINE_COLUMNS
+    )
+    curves = pd.DataFrame(
+        curves_rows, columns=["page_number", "curve_index"] + LINE_COLUMNS
+    )
+    pages_df = pd.DataFrame(
+        pages_rows, columns=["page_number", "width", "height", "rotation"]
+    )
+    return {
+        "chars": chars, "lines": lines, "rects": rects,
+        "curves": curves, "pages": pages_df,
+    }

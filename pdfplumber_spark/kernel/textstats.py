@@ -1,0 +1,191 @@
+"""Corpus text-analysis kernels: language ID, quality scoring, token
+counting, fingerprinting, shingling / MinHash / SimHash.
+
+All functions are vectorized over pandas Series / numpy arrays and are
+deterministic — the Spark operators in ``operators/`` call them Arrow-batched;
+DuckDB oracles re-express the SQL-expressible subset for the correctness gate.
+
+Public-knowledge algorithms only: MinHash (Broder 1997), SimHash (Charikar
+2002), banding LSH (Mining of Massive Datasets ch.3).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List
+
+import numpy as np
+import pandas as pd
+
+# --- tokenization -----------------------------------------------------------
+
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
+# (same shape as the GPT-2 pre-tokenizer regex family, simplified to stdlib re)
+TOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+
+
+def count_tokens(texts: pd.Series) -> np.ndarray:
+    """BPE-ish token counts per text (regex pre-tokenization)."""
+    return texts.fillna("").str.count(TOKEN_RE.pattern).to_numpy(np.int64)
+
+
+def count_ws_tokens(texts: pd.Series) -> np.ndarray:
+    """Whitespace token counts."""
+    return texts.fillna("").str.split().str.len().fillna(0).to_numpy(np.int64)
+
+
+# --- language ID ------------------------------------------------------------
+
+# tiny stopword profiles (top function words) — n-gram-free heuristic that is
+# fully SQL-expressible for the oracle
+LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "was"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"},
+    "fr": {"le", "la", "les", "et", "de", "des", "un", "une", "est", "que"},
+    "es": {"el", "la", "los", "las", "de", "que", "y", "en", "un", "es"},
+}
+
+_WORD_RE = re.compile(r"[a-zA-ZäöüßéèêàâçñáíóúÄÖÜ]+")
+
+
+def detect_language(texts: pd.Series) -> pd.Series:
+    """Best-scoring stopword profile per text; 'und' (unknown) if no hits."""
+    out = []
+    for t in texts.fillna(""):
+        words = [w.lower() for w in _WORD_RE.findall(t)]
+        if not words:
+            out.append("und")
+            continue
+        best_lang, best_hits = "und", 0
+        for lang, prof in LANG_PROFILES.items():
+            hits = sum(1 for w in words if w in prof)
+            if hits > best_hits:
+                best_lang, best_hits = lang, hits
+        out.append(best_lang)
+    return pd.Series(out, index=texts.index, dtype=object)
+
+
+# --- quality scoring --------------------------------------------------------
+
+def quality_features(texts: pd.Series) -> pd.DataFrame:
+    """Shallow quality features (Gopher/C4-style heuristics, public rules):
+    n_chars, n_words, mean_word_len, alpha_ratio, punct_ratio, stop_ratio,
+    and a composite [0,1] quality score."""
+    s = texts.fillna("")
+    n_chars = s.str.len().to_numpy(np.int64)
+    words = s.str.split()
+    n_words = words.str.len().fillna(0).to_numpy(np.int64)
+    total_word_chars = s.str.count(r"\S").to_numpy(np.int64)
+    mean_word_len = np.where(n_words > 0, total_word_chars / np.maximum(n_words, 1), 0.0)
+    alpha = s.str.count(r"[A-Za-z]").to_numpy(np.int64)
+    punct = s.str.count(r"[^\w\s]").to_numpy(np.int64)
+    alpha_ratio = np.where(n_chars > 0, alpha / np.maximum(n_chars, 1), 0.0)
+    punct_ratio = np.where(n_chars > 0, punct / np.maximum(n_chars, 1), 0.0)
+    stop_hits = (
+        s.str.lower().str.count(r"\b(?:the|and|of|to|in|is|that|it|for|was)\b")
+        .to_numpy(np.int64)
+    )
+    stop_ratio = np.where(n_words > 0, stop_hits / np.maximum(n_words, 1), 0.0)
+    score = (
+        0.25 * np.clip(n_words / 100.0, 0, 1)
+        + 0.25 * np.clip(alpha_ratio / 0.7, 0, 1)
+        + 0.25 * (1.0 - np.clip(punct_ratio / 0.3, 0, 1))
+        + 0.25 * np.clip((mean_word_len - 2.0) / 6.0, 0, 1)
+    )
+    return pd.DataFrame(
+        {
+            "n_chars": n_chars,
+            "n_words": n_words,
+            "mean_word_len": mean_word_len,
+            "alpha_ratio": alpha_ratio,
+            "punct_ratio": punct_ratio,
+            "stop_ratio": stop_ratio,
+            "quality_score": score,
+        },
+        index=texts.index,
+    )
+
+
+# --- hashing / fingerprints -------------------------------------------------
+
+_M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def fnv1a_64(data: bytes) -> int:
+    """FNV-1a 64-bit hash (public domain algorithm)."""
+    h = 0xCBF29CE484222325
+    for b in data:
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def fingerprint64(texts: pd.Series) -> np.ndarray:
+    """Per-text 64-bit content fingerprint (FNV-1a over utf-8 bytes),
+    returned as int64 (reinterpreted) for parquet friendliness."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts.fillna("")):
+        out[i] = fnv1a_64(t.encode("utf-8"))
+    return out.view(np.int64)
+
+
+def shingles(text: str, k: int = 5) -> List[str]:
+    """Word k-shingles (lowercased, whitespace tokens)."""
+    words = text.lower().split()
+    if len(words) < k:
+        return [" ".join(words)] if words else []
+    return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+
+
+def minhash_signature(text: str, num_perm: int = 64, k: int = 5) -> np.ndarray:
+    """MinHash signature via the universal-hash trick: h_i(x) = (a_i * x + b_i)
+    mod p, with a/b from a fixed seeded generator (deterministic)."""
+    sh = shingles(text, k)
+    if not sh:
+        return np.zeros(num_perm, dtype=np.int64)
+    base = np.array([fnv1a_64(s.encode("utf-8")) for s in sh], dtype=np.uint64)
+    rng = np.random.default_rng(1234567)
+    a = rng.integers(1, 1 << 61, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 61, size=num_perm, dtype=np.uint64)
+    # (a*x + b) with uint64 wraparound is a fine universal-ish family here
+    vals = (base[None, :] * a[:, None] + b[:, None]) & _M64
+    return vals.min(axis=1).view(np.int64)
+
+
+def simhash64(text: str) -> int:
+    """SimHash over word unigrams+bigrams (Charikar 2002)."""
+    words = text.lower().split()
+    feats = words + [" ".join(p) for p in zip(words, words[1:])]
+    if not feats:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for f in feats:
+        h = fnv1a_64(f.encode("utf-8"))
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out - (1 << 64) if out >= (1 << 63) else out  # int64 reinterpret
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def ngram_set(text: str, n: int = 3) -> set:
+    """Character n-grams of the lowercased text."""
+    t = text.lower()
+    if len(t) < n:
+        return {t} if t else set()
+    return {t[i : i + n] for i in range(len(t) - n + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    u = len(a | b)
+    return len(a & b) / u if u else 0.0
