@@ -1,0 +1,332 @@
+"""End-to-end extraction pipelines: pages table -> text / objects / words /
+tables DataFrames.
+
+Physical design (SURVEY.md §3.1, §4):
+
+- ONE shuffle total: ``repartition(xxhash64(url))`` right after the scan
+  spreads documents evenly; every downstream operator is partition-local
+  (all reference joins are page-local — SURVEY.md §2.3).
+- ``mapInPandas`` runs the Arrow-batched kernels; whole-document parse and
+  per-page text assembly happen inside one task — text extraction is a
+  single-pass, shuffle-free plan.
+- Binary payloads are sniffed (%PDF- magic) and routed to the PDF or HTML
+  kernel; malformed payloads yield ``status='error'`` rows with a reason
+  instead of failing the job (reference analogue: the repair path,
+  ``pdfplumber/repair.py``).
+- Skew: a mega-document is one input row, so row-level repartition is the
+  guaranteed spread; Arrow ``maxRecordsPerBatch`` caps batch memory. See
+  SCALE.md for the page-split salting design at 10^12-doc scale.
+"""
+
+from __future__ import annotations
+
+import traceback
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..kernel.htmlstrip import extract_main_text_bytes
+from ..kernel.layout import page_text
+from ..kernel.pdfparse import pdf_to_frames
+from ..kernel.words import WordSettings, extract_words_frame
+from ..schemas import EXTRACTED_SCHEMA, OBJECTS_SCHEMA, TABLES_SCHEMA, WORDS_SCHEMA
+
+PAGE_SEP = "\n\n"
+
+
+def read_pages(spark, path: str) -> DataFrame:
+    """Scan the pages table. On a real cluster this is
+    ``spark.read.format('iceberg').load(...)`` with snapshot/partition
+    pruning; offline it is parquet with identical semantics."""
+    return spark.read.parquet(path)
+
+
+def partition_by_url(df: DataFrame, num_partitions: Optional[int] = None) -> DataFrame:
+    """THE shuffle of the pipeline: spread documents by url hash."""
+    if num_partitions:
+        return df.repartition(num_partitions, F.xxhash64("url"))
+    return df.repartition(F.xxhash64("url"))
+
+
+# --- single-pass text extraction -------------------------------------------
+
+def _payload_to_text_rows(url: str, payload, layout: bool) -> list:
+    if payload is None:
+        return [(url, 0, None, None, None, "error", "null payload")]
+    data = bytes(payload)
+    try:
+        if data[:5] == b"%PDF-":
+            frames = pdf_to_frames(data)
+            pages_df = frames["pages"]
+            if len(pages_df) == 0:
+                return [(url, 0, None, None, None, "error", "unparseable pdf")]
+            chars = frames["chars"]
+            rows = []
+            for pn, w, h in pages_df[["page_number", "width", "height"]].itertuples(
+                index=False
+            ):
+                sub = chars[chars["page_number"] == pn]
+                kwargs = {}
+                if layout:
+                    kwargs = dict(
+                        layout=True,
+                        layout_bbox=(0.0, 0.0, float(w), float(h)),
+                        layout_width=float(w),
+                        layout_height=float(h),
+                    )
+                txt = page_text(sub, WordSettings(), **kwargs)
+                rows.append(
+                    (url, int(pn), txt, len(sub), txt.count(" ") + 1 if txt else 0,
+                     "ok", None)
+                )
+            return rows
+        # HTML route
+        txt = extract_main_text_bytes(data)
+        return [(url, 1, txt, len(txt), len(txt.split()), "ok", None)]
+    except Exception as e:  # noqa: BLE001 - error-row contract
+        return [
+            (url, 0, None, None, None, "error",
+             f"{type(e).__name__}: {e}"[:200] or traceback.format_exc()[:200])
+        ]
+
+
+def extract_text(
+    pages: DataFrame,
+    layout: bool = False,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """pages -> (url, page_number, text, n_chars, n_words, status, error).
+
+    Single mapInPandas pass; zero shuffles after the url-hash repartition.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for url, payload in zip(batch["url"], batch["html"]):
+                out.extend(_payload_to_text_rows(url, payload, layout))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "url", "page_number", "text", "n_chars", "n_words",
+                    "status", "error",
+                ],
+            )
+
+    src = partition_by_url(pages.select("url", "html"), num_partitions)
+    return src.mapInPandas(run, schema=EXTRACTED_SCHEMA)
+
+
+def document_text(extracted: DataFrame) -> DataFrame:
+    """Collapse page texts to one row per url (pages joined by PAGE_SEP) —
+    partition-local agg (input already partitioned by url)."""
+    return (
+        extracted.where(F.col("status") == "ok")
+        .groupBy("url")
+        .agg(
+            F.concat_ws(
+                PAGE_SEP,
+                F.array_sort(
+                    F.collect_list(F.struct("page_number", "text"))
+                ).getField("text"),
+            ).alias("text")
+        )
+    )
+
+
+# --- object extraction ------------------------------------------------------
+
+_OBJ_COLS = [f.name for f in OBJECTS_SCHEMA.fields]
+
+
+def _frames_to_objects(url: str, frames) -> pd.DataFrame:
+    parts = []
+    for kind, idx_col in (
+        ("chars", "char_index"), ("lines", "line_index"),
+        ("rects", "rect_index"), ("curves", "curve_index"),
+    ):
+        df = frames[kind]
+        if len(df) == 0:
+            continue
+        p = df.copy()
+        p["object_type"] = kind[:-1]
+        p["obj_index"] = p[idx_col]
+        p["url"] = url
+        if kind != "chars":
+            p["pts"] = p["pts"].map(
+                lambda pts: [{"x": float(x), "y": float(y)} for (x, y) in pts]
+            )
+        parts.append(p)
+    if not parts:
+        return pd.DataFrame(columns=_OBJ_COLS)
+    out = pd.concat(parts, ignore_index=True)
+    for c in _OBJ_COLS:
+        if c not in out.columns:
+            out[c] = None
+    return out[_OBJ_COLS]
+
+
+def extract_objects(
+    pages: DataFrame, num_partitions: Optional[int] = None
+) -> DataFrame:
+    """pages -> unified objects DataFrame (char/line/rect/curve rows)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            outs = []
+            for url, payload in zip(batch["url"], batch["html"]):
+                if payload is None:
+                    continue
+                data = bytes(payload)
+                if data[:5] != b"%PDF-":
+                    continue
+                try:
+                    frames = pdf_to_frames(data)
+                except Exception:  # noqa: BLE001
+                    continue
+                outs.append(_frames_to_objects(url, frames))
+            yield (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame(columns=_OBJ_COLS)
+            )
+
+    src = partition_by_url(pages.select("url", "html"), num_partitions)
+    return src.mapInPandas(run, schema=OBJECTS_SCHEMA)
+
+
+# --- words ------------------------------------------------------------------
+
+def extract_words(
+    pages: DataFrame,
+    settings: Optional[WordSettings] = None,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """pages -> words DataFrame (per merge_chars semantics, text.py:490-514)."""
+    s = settings or WordSettings()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WORDS_SCHEMA.fields]
+        for batch in batches:
+            outs = []
+            for url, payload in zip(batch["url"], batch["html"]):
+                if payload is None or bytes(payload)[:5] != b"%PDF-":
+                    continue
+                try:
+                    frames = pdf_to_frames(bytes(payload))
+                except Exception:  # noqa: BLE001
+                    continue
+                chars = frames["chars"]
+                for pn, sub in chars.groupby("page_number", sort=True):
+                    words, _, _ = extract_words_frame(sub, s)
+                    if len(words) == 0:
+                        continue
+                    w = words.copy()
+                    w["url"] = url
+                    w["page_number"] = int(pn)
+                    w["word_index"] = np.arange(len(w))
+                    outs.append(w[cols])
+            yield (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame(columns=cols)
+            )
+
+    src = partition_by_url(pages.select("url", "html"), num_partitions)
+    return src.mapInPandas(run, schema=WORDS_SCHEMA)
+
+
+# --- tables -----------------------------------------------------------------
+
+def extract_tables(
+    pages: DataFrame,
+    num_partitions: Optional[int] = None,
+    vertical_strategy: str = "lines",
+    horizontal_strategy: str = "lines",
+    **table_kwargs,
+) -> DataFrame:
+    """pages -> tables DataFrame
+    (url, page_number, table_index, row_index, col_index, text, bbox)."""
+    from ..kernel.geom import lines_to_edges, rects_to_edges
+    from ..kernel.tables import extract_table_text, find_tables_frame, table_rows
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in TABLES_SCHEMA.fields]
+        for batch in batches:
+            out_rows = []
+            for url, payload in zip(batch["url"], batch["html"]):
+                if payload is None or bytes(payload)[:5] != b"%PDF-":
+                    continue
+                try:
+                    frames = pdf_to_frames(bytes(payload))
+                except Exception:  # noqa: BLE001
+                    continue
+                for pmeta in frames["pages"].itertuples(index=False):
+                    pn = pmeta.page_number
+                    chars = frames["chars"]
+                    chars_p = chars[chars["page_number"] == pn]
+                    edge_parts = []
+                    ln = frames["lines"]
+                    ln_p = ln[ln["page_number"] == pn]
+                    if len(ln_p):
+                        edge_parts.append(lines_to_edges(ln_p))
+                    rc = frames["rects"]
+                    rc_p = rc[rc["page_number"] == pn]
+                    if len(rc_p):
+                        edge_parts.append(rects_to_edges(rc_p))
+                    edges = (
+                        pd.concat(edge_parts, ignore_index=True)
+                        if edge_parts
+                        else pd.DataFrame(
+                            columns=["x0", "x1", "top", "bottom", "width",
+                                     "height", "orientation", "object_type"]
+                        )
+                    )
+                    words = None
+                    if "text" in (vertical_strategy, horizontal_strategy):
+                        words, _, _ = extract_words_frame(chars_p, WordSettings())
+                    try:
+                        tables = find_tables_frame(
+                            edges,
+                            words=words,
+                            page_bbox=(0.0, 0.0, pmeta.width, pmeta.height),
+                            vertical_strategy=vertical_strategy,
+                            horizontal_strategy=horizontal_strategy,
+                            **table_kwargs,
+                        )
+                    except Exception:  # noqa: BLE001
+                        continue
+                    for ti, cells in enumerate(tables):
+                        grid = table_rows(cells)
+                        texts = extract_table_text(cells, chars_p)
+                        for ri, (row_cells, row_texts) in enumerate(
+                            zip(grid, texts)
+                        ):
+                            for ci, (cell, txt) in enumerate(
+                                zip(row_cells, row_texts)
+                            ):
+                                bbox = cell or (None, None, None, None)
+                                out_rows.append(
+                                    (url, int(pn), ti, ri, ci, txt,
+                                     bbox[0], bbox[1], bbox[2], bbox[3])
+                                )
+            yield pd.DataFrame(out_rows, columns=cols)
+
+    src = partition_by_url(pages.select("url", "html"), num_partitions)
+    return src.mapInPandas(run, schema=TABLES_SCHEMA)
+
+
+# --- oracle (single-process reference for byte-identity tests) --------------
+
+def oracle_extract_text(payloads, layout: bool = False) -> pd.DataFrame:
+    """Run the SAME kernels single-process over (url, payload) pairs —
+    the byte-identity oracle for the Spark path."""
+    rows = []
+    for url, payload in payloads:
+        rows.extend(_payload_to_text_rows(url, payload, layout))
+    return pd.DataFrame(
+        rows,
+        columns=["url", "page_number", "text", "n_chars", "n_words", "status", "error"],
+    )

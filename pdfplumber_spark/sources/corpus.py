@@ -1,0 +1,242 @@
+"""Deterministic synthetic pages corpus (input_hint schema, FIXTURES.md §1).
+
+Generates the Iceberg-style ``pages(url, warc_ts, html binary, text, lang)``
+table as parquet. Families stress specific reference behaviors:
+
+- ``pdf/basic``         single-column ltr text
+- ``pdf/layout``        numbered transcript layout (layout=True pins)
+- ``pdf/table-lattice`` ruled grid tables (lines strategies)
+- ``pdf/table-stream``  unruled aligned columns (text strategy)
+- ``pdf/dupchars``      double-painted chars (dedupe)
+- ``pdf/mega``          one many-page document (skew fixture)
+- ``html/news``         main content in nav/footer boilerplate
+- ``broken``            truncated payloads (error-row path)
+
+Everything is seeded — same args, byte-identical corpus.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+from typing import Iterator, List, Tuple
+
+from ..kernel.pdfgen import glyph_width, make_pdf
+
+LOREM = (
+    "the quick brown fox jumps over a lazy dog while bright vixens watch "
+    "jaded zebras vex my grand sphinx of black quartz and judge the vow "
+    "pack my box with five dozen liquor jugs as daft zebras quickly moved"
+).split()
+
+
+def _sentence(rng: random.Random, n: int) -> str:
+    ws = [rng.choice(LOREM) for _ in range(n)]
+    return " ".join(ws)
+
+
+def _wrap_text(rng: random.Random, n_lines: int, width_chars: int = 70) -> List[str]:
+    lines = []
+    for _ in range(n_lines):
+        line = _sentence(rng, rng.randint(6, 11))
+        lines.append(line[:width_chars])
+    return lines
+
+
+def _pdf_basic(rng: random.Random, n_pages: int) -> bytes:
+    pages = []
+    for _ in range(n_pages):
+        texts = []
+        top = 72.0
+        for line in _wrap_text(rng, rng.randint(10, 30)):
+            texts.append({"x": 72.0, "top": top, "size": 12, "text": line})
+            top += 14.5
+        pages.append({"width": 612, "height": 792, "texts": texts})
+    return make_pdf(pages)
+
+
+def _pdf_layout(rng: random.Random, n_pages: int) -> bytes:
+    """Transcript-like: line numbers in a left gutter + indented prose."""
+    pages = []
+    for _ in range(n_pages):
+        texts = []
+        top = 80.0
+        for i in range(1, rng.randint(15, 25)):
+            texts.append({"x": 90.0, "top": top, "size": 12, "text": str(i)})
+            texts.append(
+                {"x": 130.0 + (i % 3) * 18.0, "top": top, "size": 12,
+                 "text": _sentence(rng, rng.randint(4, 8))}
+            )
+            top += 24.0
+        pages.append({"width": 612, "height": 792, "texts": texts})
+    return make_pdf(pages)
+
+
+def _pdf_table_lattice(rng: random.Random, n_pages: int) -> bytes:
+    pages = []
+    for _ in range(n_pages):
+        nx, ny = rng.randint(3, 5), rng.randint(3, 7)
+        x0, top, cw, rh = 72.0, 100.0, 100.0, 26.0
+        lines = []
+        for i in range(nx + 1):
+            x = x0 + i * cw
+            lines.append({"x0": x, "top": top, "x1": x, "bottom": top + ny * rh})
+        for j in range(ny + 1):
+            y = top + j * rh
+            lines.append({"x0": x0, "top": y, "x1": x0 + nx * cw, "bottom": y})
+        texts = []
+        for i in range(nx):
+            for j in range(ny):
+                texts.append(
+                    {
+                        "x": x0 + i * cw + 4.0,
+                        "top": top + j * rh + 5.0,
+                        "size": 10,
+                        "text": f"c{j}{i} " + rng.choice(LOREM),
+                    }
+                )
+        # some prose below the table
+        ptop = top + ny * rh + 30.0
+        for line in _wrap_text(rng, 5):
+            texts.append({"x": 72.0, "top": ptop, "size": 12, "text": line})
+            ptop += 14.5
+        pages.append(
+            {"width": 612, "height": 792, "texts": texts, "lines": lines}
+        )
+    return make_pdf(pages)
+
+
+def _pdf_table_stream(rng: random.Random, n_pages: int) -> bytes:
+    """Unruled aligned columns -> text strategy."""
+    pages = []
+    for _ in range(n_pages):
+        texts = []
+        cols = [72.0, 220.0, 360.0, 480.0]
+        top = 110.0
+        for j in range(rng.randint(5, 10)):
+            for i, cx in enumerate(cols):
+                texts.append(
+                    {"x": cx, "top": top, "size": 10,
+                     "text": f"r{j}c{i}" if i else rng.choice(LOREM)}
+                )
+            top += 18.0
+        pages.append({"width": 612, "height": 792, "texts": texts})
+    return make_pdf(pages)
+
+
+def _pdf_dupchars(rng: random.Random, n_pages: int) -> bytes:
+    pages = []
+    for _ in range(n_pages):
+        texts = []
+        top = 72.0
+        for line in _wrap_text(rng, 8):
+            texts.append({"x": 72.0, "top": top, "size": 12, "text": line})
+            # double paint with sub-tolerance offset (bold simulation)
+            texts.append({"x": 72.4, "top": top, "size": 12, "text": line})
+            top += 16.0
+        pages.append({"width": 612, "height": 792, "texts": texts})
+    return make_pdf(pages)
+
+
+def _html_news(rng: random.Random) -> Tuple[bytes, str]:
+    title = _sentence(rng, 4).title()
+    paras = [_sentence(rng, rng.randint(20, 45)) + "." for _ in range(rng.randint(3, 8))]
+    nav = " ".join(f'<a href="/{w}">{w}</a>' for w in rng.sample(LOREM, 5))
+    aside = " ".join(f'<a href="#">{_sentence(rng, 2)}</a>' for _ in range(4))
+    body = "\n".join(f"<p>{p}</p>" for p in paras)
+    html = f"""<!DOCTYPE html><html><head><title>{title}</title>
+<script>window.x=1;</script><style>p{{margin:0}}</style></head>
+<body><header><nav>{nav}</nav></header>
+<div class="sidebar">{aside}</div>
+<article><h1>{title}</h1>
+{body}
+</article>
+<footer>copyright example corp {nav}</footer></body></html>"""
+    return html.encode("utf-8"), title
+
+
+def generate_rows(
+    n_docs: int,
+    seed: int = 42,
+    mega_pages: int = 0,
+) -> Iterator[dict]:
+    """Yield pages-table rows. Family mix is deterministic in doc index."""
+    base_ts = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    families = [
+        ("pdf/basic", 0.30),
+        ("pdf/layout", 0.15),
+        ("pdf/table-lattice", 0.15),
+        ("pdf/table-stream", 0.10),
+        ("pdf/dupchars", 0.05),
+        ("html/news", 0.20),
+        ("broken", 0.05),
+    ]
+    cum = []
+    acc = 0.0
+    for name, p in families:
+        acc += p
+        cum.append((name, acc))
+
+    for i in range(n_docs):
+        rng = random.Random(seed * 1_000_003 + i)
+        u = rng.random()
+        fam = next(name for name, c in cum if u <= c)
+        url = f"synth://{fam}/{i:07d}"
+        ts = base_ts + dt.timedelta(seconds=i * 7)
+        lang = "en"
+        if fam == "pdf/basic":
+            payload = _pdf_basic(rng, rng.randint(1, 3))
+        elif fam == "pdf/layout":
+            payload = _pdf_layout(rng, rng.randint(1, 2))
+        elif fam == "pdf/table-lattice":
+            payload = _pdf_table_lattice(rng, 1)
+        elif fam == "pdf/table-stream":
+            payload = _pdf_table_stream(rng, 1)
+        elif fam == "pdf/dupchars":
+            payload = _pdf_dupchars(rng, 1)
+        elif fam == "html/news":
+            payload, _ = _html_news(rng)
+        else:  # broken
+            good = _pdf_basic(rng, 1)
+            payload = good[: rng.randint(40, max(41, len(good) // 3))]
+        yield {
+            "url": url,
+            "warc_ts": ts,
+            "html": payload,
+            "text": None,  # crawl text column intentionally dirty/absent
+            "lang": lang,
+        }
+
+    if mega_pages:
+        rng = random.Random(seed * 31 + 7)
+        yield {
+            "url": "synth://pdf/mega/0000000",
+            "warc_ts": base_ts,
+            "html": _pdf_basic(rng, mega_pages),
+            "text": None,
+            "lang": "en",
+        }
+
+
+def write_corpus_parquet(
+    path: str, n_docs: int, seed: int = 42, mega_pages: int = 0
+) -> int:
+    """Write the corpus with pyarrow (no Spark needed); returns row count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = list(generate_rows(n_docs, seed=seed, mega_pages=mega_pages))
+    table = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("url", pa.string()),
+                ("warc_ts", pa.timestamp("us", tz="UTC")),
+                ("html", pa.binary()),
+                ("text", pa.string()),
+                ("lang", pa.string()),
+            ]
+        ),
+    )
+    pq.write_table(table, path)
+    return len(rows)
