@@ -1,0 +1,295 @@
+"""Corpus deduplication operators: exact, MinHash-LSH, SimHash, n-gram
+Jaccard — the training-data-pipeline layer over the extraction engine.
+
+Scale design notes (100 TB):
+
+- exact: one shuffle on the content hash; map-side partial agg first.
+- MinHash-LSH: signatures via Arrow kernel (no per-row Python), band
+  explode -> groupBy band bucket -> pair generation *within* buckets only
+  (never a corpus cross-join). Bucket skew (boilerplate-identical docs) is
+  capped with a per-bucket limit + AQE skew splitting.
+- SimHash: 4x16-bit band index -> candidate pairs -> exact hamming filter.
+- n-gram Jaccard: token explode -> inverted index join on token -> pair
+  co-count -> |A∩B| / (|A|+|B|-|A∩B|); document-frequency cap drops
+  stop-tokens before the join (the classic posting-list explosion guard).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id row per exact text duplicate group (md5 content key)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-dup group stats: (content_md5, n_docs, keeper_id)."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("content_md5")).agg(
+        F.count("*").alias("n_docs"),
+        F.min(id_col).alias("keeper_id"),
+    )
+
+
+# --- MinHash LSH -------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = 64, k: int = 5
+) -> DataFrame:
+    """(id, signature array<long>) via the Arrow-batched kernel."""
+    from ..kernel.textstats import minhash_signature
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("signature", T.ArrayType(T.LongType()), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            sigs = [
+                minhash_signature(t or "", num_perm=num_perm, k=k).tolist()
+                for t in b[text_col]
+            ]
+            yield pd.DataFrame({"doc_id": b[id_col], "signature": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    bands: int = 16,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Banding LSH: same-band-hash docs become candidate pairs.
+
+    Returns (doc_a, doc_b, est_jaccard). ``max_bucket`` caps pathological
+    buckets (every-doc-identical boilerplate) — dropped buckets are exact-dup
+    territory handled by ``exact_dedup`` anyway.
+    """
+    num_perm = None  # inferred below
+    rows_per_band = F.floor(F.size("signature") / bands).cast("int")
+    banded = sigs.select(
+        "doc_id",
+        "signature",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).select(
+        "doc_id",
+        "signature",
+        "band",
+        F.xxhash64(
+            F.slice(
+                "signature",
+                (F.col("band") * rows_per_band + 1).cast("int"),
+                rows_per_band,
+            ),
+            "band",
+        ).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket")
+    banded = banded.withColumn("_bn", F.count("*").over(w)).where(
+        F.col("_bn") <= max_bucket
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda m: m,
+        )
+    ) / F.size("sig_a")
+    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-dup removal: drop the higher id of every pair above threshold.
+
+    (Connected-component clustering is the full version; greedy pair-drop is
+    the standard first pass and is deterministic.)
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_perm=num_perm)
+    pairs = minhash_lsh_candidates(sigs, bands=bands)
+    losers = (
+        pairs.where(F.col("est_jaccard") >= threshold)
+        .select(F.col("doc_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+# --- SimHash -----------------------------------------------------------------
+
+def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    from ..kernel.textstats import simhash64
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("simhash", T.LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": b[id_col],
+                    "simhash": [simhash64(t or "") for t in b[text_col]],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+def simhash_near_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs within hamming distance via 4x16-bit band blocking
+    (any pair with distance <= 3 shares at least one of 4 bands)."""
+    bands = hashes.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --- n-gram Jaccard ----------------------------------------------------------
+
+def token_sets(df: DataFrame, id_col: str, text_col: str, n: int = 1) -> DataFrame:
+    """(doc_id, token) distinct pairs; word n-grams via sliding zip."""
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("ws"),
+    )
+    if n == 1:
+        tok = F.explode("ws").alias("token")
+        return words.select("doc_id", tok).where(F.col("token") != "").distinct()
+    # n-gram: join consecutive slices
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - n),
+        lambda i: F.concat_ws(" ", F.slice("ws", i + 1, n)),
+    )
+    return (
+        words.select("doc_id", F.explode(grams).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 1,
+    threshold: float = 0.5,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """All pairs with token-set Jaccard >= threshold.
+
+    Inverted-index join; ``max_doc_freq`` drops stop-tokens whose posting
+    lists would explode the join (at corpus scale this cap is essential).
+    """
+    toks = token_sets(df, id_col, text_col, n=n).cache()
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
+    filtered = toks.join(
+        dfreq.where(F.col("df") <= max_doc_freq).select("token"), "token"
+    )
+    a, b = filtered.alias("a"), filtered.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")
+    )
+    # sizes has one row per doc — NOT broadcastable at corpus scale; let AQE
+    # pick the strategy (it will broadcast at small SF automatically)
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out

@@ -1,0 +1,89 @@
+"""Text-analysis operators over document corpora: language ID, quality
+scoring, token counting, fingerprinting.
+
+Everything SQL-expressible stays as JVM column expressions (whole-stage
+codegen, DuckDB-oracle-checkable); only the hash kernels go through Arrow.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..kernel.textstats import LANG_PROFILES, TOKEN_RE
+
+# Java + RE2 compatible token pattern (same semantics both engines)
+TOKEN_PATTERN = TOKEN_RE.pattern
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token count + whitespace token count — pure column exprs."""
+    return df.withColumn(
+        "n_tokens", F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), F.lit(0)))
+    ).withColumn(
+        "n_ws_tokens",
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")),
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Shallow quality features (Gopher/C4-style), codegen-friendly."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = F.size(F.split(F.trim(t), r"\s+"))
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(t, r"[\w\s]", ""))
+    return (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_words", n_words)
+        .withColumn(
+            "alpha_ratio",
+            F.round(alpha / F.greatest(n_chars, F.lit(1)), 6),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.round(punct / F.greatest(n_chars, F.lit(1)), 6),
+        )
+    )
+
+
+def _stop_hits(text_col, words) -> "F.Column":
+    pat = r"\b(?:" + "|".join(sorted(words)) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text_col), F.lit(pat), F.lit(0)))
+
+
+def with_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile argmax language ID — pure column exprs so the
+    DuckDB oracle can mirror it exactly. Ties break by profile order."""
+    t = F.col(text_col)
+    hits = {lang: _stop_hits(t, prof) for lang, prof in LANG_PROFILES.items()}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # reverse order so earlier profiles win ties
+    for lang in reversed(list(LANG_PROFILES)):
+        expr = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(
+            expr
+        )
+    return df.withColumn("lang_detected", expr)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit FNV-1a content fingerprint via the Arrow kernel + md5 (SQL
+    parity column)."""
+    from ..kernel.textstats import fingerprint64
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField("fingerprint", T.LongType(), True)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            b = b.copy()
+            b["fingerprint"] = fingerprint64(b[text_col])
+            yield b
+
+    return df.mapInPandas(run, schema=schema).withColumn(
+        "content_md5", F.md5(F.col(text_col))
+    )

@@ -165,6 +165,14 @@ def _frames_to_objects(url: str, frames) -> pd.DataFrame:
     for c in _OBJ_COLS:
         if c not in out.columns:
             out[c] = None
+    # concat fills missing columns with float NaN — Arrow needs real None
+    # for array/string/bool columns (NaN is not iterable)
+    for c in ("text", "fontname", "matrix", "stroking_color",
+              "non_stroking_color", "pts", "tag", "stroke", "fill"):
+        col = out[c]
+        if col.dtype != object:
+            col = col.astype(object)
+        out[c] = col.where(col.notna(), None)
     return out[_OBJ_COLS]
 
 
