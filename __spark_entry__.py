@@ -373,6 +373,31 @@ def q_extract_objects(spark, sf_dir):
     )
 
 
+def q_search(spark, sf_dir):
+    """TextMap.search: regex over layout text, spans -> bboxes
+    (text.py:145-210). Rows-only."""
+    from pdfplumber_spark.plans.search import search_pages
+
+    return search_pages(_pages(spark, sf_dir), r"[a-z]{6,}", num_partitions=8)
+
+
+def q_text_lines(spark, sf_dir):
+    """TextMap.extract_text_lines (text.py:212-230). Rows-only."""
+    from pdfplumber_spark.plans.search import extract_text_lines
+
+    return extract_text_lines(_pages(spark, sf_dir), num_partitions=8)
+
+
+def q_extract_text_dedupe(spark, sf_dir):
+    """extract_text with dedupe_chars (text.py:784-804) — collapses the
+    double-painted pdf/dupchars family. Rows-only."""
+    from pdfplumber_spark.plans.extract import extract_text
+
+    return extract_text(
+        _pages(spark, sf_dir), dedupe=True, num_partitions=8
+    ).select("url", "page_number", "text", "status")
+
+
 def q_image_metadata(spark, sf_dir):
     from pdfplumber_spark.operators.multimodal import image_metadata
 
@@ -410,6 +435,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_words": q_extract_words,
         "extract_tables": q_extract_tables,
         "extract_objects": q_extract_objects,
+        "search": q_search,
+        "text_lines": q_text_lines,
+        "extract_text_dedupe": q_extract_text_dedupe,
         "image_metadata": q_image_metadata,
     }
 

@@ -366,6 +366,19 @@ class Font:
             ]
         return list(raw)
 
+    def byte_tables(self):
+        """(widths[256] ndarray, unichr[256] list) for single-byte fast
+        path; built lazily once per font."""
+        tbl = getattr(self, "_byte_tables", None)
+        if tbl is None:
+            w = np.array(
+                [self.widths.get(c, self.default_width) for c in range(256)],
+                dtype=np.float64,
+            ) * 0.001
+            u = [self.to_unichr(c) for c in range(256)]
+            tbl = self._byte_tables = (w, u)
+        return tbl
+
     def char_width(self, cid: int) -> float:
         if self.multibyte:
             return self.cid_widths.get(cid, self.cid_default) * 0.001
@@ -724,10 +737,11 @@ class PageInterpreter:
     """Executes one page's content stream, emitting object rows."""
 
     def __init__(self, doc: PDFDocument, page_spec: dict, page_number: int,
-                 initial_doctop: float = 0.0):
+                 initial_doctop: float = 0.0, style: bool = True):
         self.doc = doc
         self.page_number = page_number
         self.initial_doctop = initial_doctop
+        self.style = style  # False: skip per-char matrix/color capture
         mb = [float(doc.resolve(v)) for v in doc.resolve(page_spec.get("MediaBox") or [0, 0, 612, 792])]
         x0, y0, x1, y1 = mb
         if x0 > x1:
@@ -746,11 +760,21 @@ class PageInterpreter:
             if isinstance(spec, dict):
                 self.fonts[str(fname)] = Font(doc, spec, str(fname))
         self.contents = self._load_content(page_spec)
-        # output accumulators
-        self.chars: List[tuple] = []
+        # output accumulators — chars go into flat typed columns (one
+        # array('d') extend per char; no per-char tuple boxing)
+        from array import array
+
+        self.ch_text: List[str] = []
+        self.ch_font: List[str] = []
+        self.ch_num = array("d")  # 12 doubles per char (see _CH_NUM_FIELDS)
+        self.ch_style: List[tuple] = []  # (matrix, stroke, fill) if style
         self.lines: List[tuple] = []
         self.rects: List[tuple] = []
         self.curves: List[tuple] = []
+
+    @property
+    def n_chars(self) -> int:
+        return len(self.ch_text)
 
     def _load_content(self, page_spec) -> bytes:
         c = self.doc.resolve(page_spec.get("Contents"))
@@ -1020,6 +1044,17 @@ class PageInterpreter:
         dxscale = 0.001 * fontsize * scaling
         x, y = lm
         needcharspace = False
+        a, b, c, d, e, f = matrix
+        # fast path: axis-aligned positively-scaled matrix + 1-byte font +
+        # no style capture — whole string run becomes numpy prefix sums
+        fast = (
+            not self.style
+            and not font.multibyte
+            and b == 0.0
+            and c == 0.0
+            and a > 0.0
+            and d > 0.0
+        )
         for item in seq:
             if isinstance(item, (int, float)):
                 x -= item * dxscale
@@ -1027,7 +1062,15 @@ class PageInterpreter:
                 continue
             if not isinstance(item, (bytes, bytearray)):
                 continue
-            for cid in font.decode(bytes(item)):
+            raw = bytes(item)
+            if fast and len(raw) >= 4:
+                x = self._emit_string_fast(
+                    raw, font, fontsize, scaling, rise, x, y,
+                    a, d, e, f, charspace, wordspace, needcharspace,
+                )
+                needcharspace = True
+                continue
+            for cid in font.decode(raw):
                 if needcharspace:
                     x += charspace
                 x += self._emit_char(
@@ -1038,6 +1081,59 @@ class PageInterpreter:
                     x += wordspace
                 needcharspace = True
         return (x, y)
+
+    def _emit_string_fast(self, raw, font, fontsize, scaling, rise, x, y,
+                          a, d, e, f, charspace, wordspace, needcharspace):
+        """Vectorized char emission for one string run (see _render_string
+        fast-path conditions). Bit-identical to the per-char path: same
+        operations in the same order per char (prefix sums of the identical
+        additive terms)."""
+        wvec, uvec = font.byte_tables()
+        cids = np.frombuffer(raw, dtype=np.uint8)
+        n = len(cids)
+        adv = wvec[cids] * (fontsize * scaling)
+        pre = np.full(n, charspace)
+        if not needcharspace:
+            pre[0] = 0.0
+        ws = (
+            np.where(cids == 32, wordspace, 0.0)
+            if wordspace
+            else np.zeros(n)
+        )
+        # per-char emit position: x + cumsum(pre) + cumsum(adv+ws) shifted
+        emit_x = x + np.cumsum(pre)
+        emit_x[1:] += np.cumsum(adv + ws)[:-1]
+        x_end = float(emit_x[-1] + adv[-1] + ws[-1])
+
+        # float op order matches the per-char path exactly (bit identity):
+        # e_i = x*a + e;  f_i = y*d + f;  corner = a*px + e_i / d*py + f_i
+        descent = font.get_descent() * fontsize
+        f_i = y * d + f
+        y0d = d * (descent + rise) + f_i
+        y1d = d * (descent + rise + fontsize) + f_i
+        x0d = emit_x * a + e
+        x1d = a * adv + x0d
+        top = self.mb[3] - y1d
+        bottom = self.mb[3] - y0d
+        size = y1d - y0d  # upright by construction (a>0, d>0)
+
+        self.ch_text.extend(uvec[cid] for cid in cids)
+        self.ch_font.extend([font.basefont] * n)
+        block = np.empty((n, 12), dtype=np.float64)
+        block[:, 0] = size
+        block[:, 1] = adv
+        block[:, 2] = 1.0  # upright
+        block[:, 3] = x0d
+        block[:, 4] = x1d
+        block[:, 5] = y0d
+        block[:, 6] = y1d
+        block[:, 7] = top
+        block[:, 8] = bottom
+        block[:, 9] = self.initial_doctop + top
+        block[:, 10] = x1d - x0d
+        block[:, 11] = y1d - y0d
+        self.ch_num.frombytes(block.tobytes())
+        return x_end
 
     def _emit_char(self, matrix, font, fontsize, scaling, rise, cid,
                    stroke_color, fill_color) -> float:
@@ -1054,14 +1150,16 @@ class PageInterpreter:
         text = font.to_unichr(cid)
         top = self._flip(y1d)
         bottom = self._flip(y0d)
-        self.chars.append(
-            (
-                text, font.basefont, size, adv, upright,
-                x0d, x1d, y0d, y1d, top, bottom,
-                self.initial_doctop + top, x1d - x0d, y1d - y0d,
-                list(matrix), list(stroke_color), list(fill_color), None, None,
-            )
+        self.ch_text.append(text)
+        self.ch_font.append(font.basefont)
+        self.ch_num.extend(
+            (size, adv, float(upright), x0d, x1d, y0d, y1d, top, bottom,
+             self.initial_doctop + top, x1d - x0d, y1d - y0d)
         )
+        if self.style:
+            self.ch_style.append(
+                (list(matrix), list(stroke_color), list(fill_color))
+            )
         return adv
 
     def _emit_path(self, sub, ctm, linewidth, stroke, fill, evenodd,
@@ -1089,28 +1187,47 @@ class PageInterpreter:
             self.curves.append(row)
 
 
-def parse_pdf(data: bytes) -> List[PageInterpreter]:
+def parse_pdf(data: bytes, style: bool = True) -> List[PageInterpreter]:
     """Parse a PDF into per-page interpreters (already run)."""
     doc = PDFDocument(data)
     specs = doc.pages()
     out = []
     doctop = 0.0
     for i, spec in enumerate(specs):
-        interp = PageInterpreter(doc, spec, i + 1, initial_doctop=doctop)
+        interp = PageInterpreter(doc, spec, i + 1, initial_doctop=doctop, style=style)
         interp.run()
         doctop += interp.height
         out.append(interp)
     return out
 
 
-def pdf_to_frames(data: bytes) -> Dict[str, pd.DataFrame]:
+def pdf_to_frames(data: bytes, style: bool = True) -> Dict[str, pd.DataFrame]:
     """Parse PDF bytes -> dict of object DataFrames (chars/lines/rects/
-    curves/pages) with page_number and ingestion-order index columns."""
-    pages = parse_pdf(data)
-    chars_rows, lines_rows, rects_rows, curves_rows, pages_rows = [], [], [], [], []
+    curves/pages) with page_number and ingestion-order index columns.
+
+    ``style=False`` skips per-char matrix/color capture (text-extraction
+    fast path; the columns are present but null)."""
+    pages = parse_pdf(data, style=style)
+    lines_rows, rects_rows, curves_rows, pages_rows = [], [], [], []
+    # chars: zero-copy from the interpreters' flat typed buffers
+    num_parts = []
+    text_parts: List[str] = []
+    font_parts: List[str] = []
+    pn_parts = []
+    ci_parts = []
+    style_parts: List[tuple] = []
     for p in pages:
-        for i, ch in enumerate(p.chars):
-            chars_rows.append((p.page_number, i) + ch)
+        n = p.n_chars
+        if n:
+            num_parts.append(
+                np.frombuffer(p.ch_num, dtype=np.float64).reshape(n, 12)
+            )
+            text_parts.extend(p.ch_text)
+            font_parts.extend(p.ch_font)
+            pn_parts.append(np.full(n, p.page_number, dtype=np.int64))
+            ci_parts.append(np.arange(n, dtype=np.int64))
+            if style:
+                style_parts.extend(p.ch_style)
         for i, ln in enumerate(p.lines):
             lines_rows.append((p.page_number, i) + ln)
         for i, r in enumerate(p.rects):
@@ -1118,9 +1235,36 @@ def pdf_to_frames(data: bytes) -> Dict[str, pd.DataFrame]:
         for i, cv in enumerate(p.curves):
             curves_rows.append((p.page_number, i) + cv)
         pages_rows.append((p.page_number, p.width, p.height, p.rotation))
-    chars = pd.DataFrame(
-        chars_rows, columns=["page_number", "char_index"] + CHAR_COLUMNS
-    )
+    if num_parts:
+        nums = np.vstack(num_parts)
+        data_cols = {
+            "page_number": np.concatenate(pn_parts),
+            "char_index": np.concatenate(ci_parts),
+            "text": np.array(text_parts, dtype=object),
+            "fontname": np.array(font_parts, dtype=object),
+        }
+        for k, name in enumerate(
+            ("size", "adv", "upright", "x0", "x1", "y0", "y1", "top",
+             "bottom", "doctop", "width", "height")
+        ):
+            data_cols[name] = nums[:, k]
+        data_cols["upright"] = data_cols["upright"].astype(np.int64)
+        if style and style_parts:
+            data_cols["matrix"] = [s[0] for s in style_parts]
+            data_cols["stroking_color"] = [s[1] for s in style_parts]
+            data_cols["non_stroking_color"] = [s[2] for s in style_parts]
+        else:
+            data_cols["matrix"] = None
+            data_cols["stroking_color"] = None
+            data_cols["non_stroking_color"] = None
+        data_cols["mcid"] = None
+        data_cols["tag"] = None
+        chars = pd.DataFrame(data_cols)
+        chars = chars[["page_number", "char_index"] + CHAR_COLUMNS]
+    else:
+        chars = pd.DataFrame(
+            columns=["page_number", "char_index"] + CHAR_COLUMNS
+        )
     lines = pd.DataFrame(
         lines_rows, columns=["page_number", "line_index"] + LINE_COLUMNS
     )

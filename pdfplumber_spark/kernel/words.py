@@ -1,4 +1,4 @@
-"""Char -> word assembly, vectorized over pandas frames.
+"""Char -> word assembly, vectorized over numpy arrays.
 
 Re-expresses the reference's ``WordExtractor``
 (``/root/reference/pdfplumber/utils/text.py:423-688``) as columnar passes:
@@ -13,11 +13,11 @@ Re-expresses the reference's ``WordExtractor``
    prev-END -> curr-START (cx > bx + x_tol), inter-line TOP -> TOP
    (cy > ay + y_tol); blanks end words; split-at-punctuation chars become
    single-char words (``text.py:593-639``);
-5. word merge: bbox agg + ordered concat with ligature expansion + first-char
-   attrs (``text.py:490-514``).
+5. word merge: per-word bbox via ``reduceat`` segment aggregation + ordered
+   concat with ligature expansion + first-char attrs (``text.py:490-514``).
 
-All boundary flags are computed with numpy shifts — no per-row Python in the
-hot path; only the small per-(upright)-group loop remains Python.
+The frame is decomposed into plain numpy arrays once up front; everything
+after is fancy indexing — no pandas in the hot loop.
 """
 
 from __future__ import annotations
@@ -101,19 +101,76 @@ class WordSettings:
         return self.line_dir if upright else self._line_dir_rotated
 
 
-def line_cluster_values(df: pd.DataFrame, line_dir: str) -> np.ndarray:
-    """Line-clustering key per char (``text.py:45-51``)."""
+class CharArrays:
+    """Struct-of-arrays view of a char frame (extracted once)."""
+
+    __slots__ = (
+        "n", "text", "x0", "x1", "top", "bottom", "doctop", "height",
+        "size", "upright", "extra",
+    )
+
+    def __init__(self, chars: pd.DataFrame, extra_attrs: Sequence[str] = ()):
+        self.n = len(chars)
+        self.text = chars["text"].to_numpy(dtype=object)
+        self.x0 = chars["x0"].to_numpy(np.float64)
+        self.x1 = chars["x1"].to_numpy(np.float64)
+        self.top = chars["top"].to_numpy(np.float64)
+        self.bottom = chars["bottom"].to_numpy(np.float64)
+        self.doctop = (
+            chars["doctop"].to_numpy(np.float64)
+            if "doctop" in chars.columns
+            else self.top
+        )
+        self.height = (
+            chars["height"].to_numpy(np.float64)
+            if "height" in chars.columns
+            else self.bottom - self.top
+        )
+        self.size = (
+            chars["size"].to_numpy(np.float64) if "size" in chars.columns else None
+        )
+        self.upright = chars["upright"].to_numpy()
+        self.extra = {a: chars[a].to_numpy(dtype=object) for a in extra_attrs}
+
+
+def _line_key_arrays(ca: CharArrays, idx: np.ndarray, line_dir: str) -> np.ndarray:
+    """Line-clustering key values (``text.py:45-51``)."""
     if line_dir == "ttb":
-        return df["top"].to_numpy(dtype=np.float64)
+        return ca.top[idx]
     if line_dir == "btt":
-        return -df["bottom"].to_numpy(dtype=np.float64)
+        return -ca.bottom[idx]
     if line_dir == "ltr":
-        return df["x0"].to_numpy(dtype=np.float64)
-    return -df["x1"].to_numpy(dtype=np.float64)  # rtl
+        return ca.x0[idx]
+    return -ca.x1[idx]  # rtl
+
+
+def _char_key_arrays(
+    ca: CharArrays, idx: np.ndarray, char_dir: str
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Primary+secondary in-line sort key (``text.py:54-60``)."""
+    if char_dir == "ttb":
+        return ca.top[idx], ca.bottom[idx]
+    if char_dir == "btt":
+        t, h = ca.top[idx], ca.height[idx]
+        return -(t + h), -t
+    if char_dir == "ltr":
+        x = ca.x0[idx]
+        return x, x
+    return -ca.x1[idx], -ca.x0[idx]  # rtl
+
+
+# DataFrame-facing shims (used by layout.py and tests)
+def line_cluster_values(df: pd.DataFrame, line_dir: str) -> np.ndarray:
+    if line_dir == "ttb":
+        return df["top"].to_numpy(np.float64)
+    if line_dir == "btt":
+        return -df["bottom"].to_numpy(np.float64)
+    if line_dir == "ltr":
+        return df["x0"].to_numpy(np.float64)
+    return -df["x1"].to_numpy(np.float64)
 
 
 def char_sort_keys(df: pd.DataFrame, char_dir: str) -> Tuple[np.ndarray, np.ndarray]:
-    """Primary+secondary in-line sort key per char (``text.py:54-60``)."""
     if char_dir == "ttb":
         return df["top"].to_numpy(np.float64), df["bottom"].to_numpy(np.float64)
     if char_dir == "btt":
@@ -123,112 +180,94 @@ def char_sort_keys(df: pd.DataFrame, char_dir: str) -> Tuple[np.ndarray, np.ndar
     if char_dir == "ltr":
         x = df["x0"].to_numpy(np.float64)
         return x, x
-    return -df["x1"].to_numpy(np.float64), -df["x0"].to_numpy(np.float64)  # rtl
+    return -df["x1"].to_numpy(np.float64), -df["x0"].to_numpy(np.float64)
 
 
-def _boundary_flags(
-    line: pd.DataFrame, direction: str, s: WordSettings
+def _boundary_word_ids(
+    ca: CharArrays, idx: np.ndarray, direction: str, s: WordSettings
 ) -> np.ndarray:
-    """New-word flags over one line's chars (already in final char order).
-
-    Implements the stateful splitter (``text.py:593-639``) as shift ops:
-    the reference's ``current_word[-1]`` is always the previous *kept*
-    (non-blank) char, and forced boundaries occur at/after punctuation
-    words and after dropped blanks.
-    """
-    n = len(line)
-    text = line["text"].to_numpy(dtype=object)
-    is_blank = np.array(
-        [bool(t) and str(t).isspace() and not s.keep_blank_chars for t in text]
-    )
+    """Word id per char of one line (indices ``idx``, already in final char
+    order); -1 marks dropped blanks. Implements the stateful splitter
+    (``text.py:593-639``) via shifts: the reference's ``current_word[-1]``
+    is always the previous *kept* char; forced boundaries at/after
+    punctuation words and after dropped blanks."""
+    n = len(idx)
+    text = ca.text[idx]
+    if s.keep_blank_chars:
+        is_blank = np.zeros(n, dtype=bool)
+    else:
+        is_blank = np.fromiter(
+            (bool(t) and str(t).isspace() for t in text), bool, count=n
+        )
     punct = s._punct
-    is_punct = (
-        np.array([str(t) in punct for t in text]) if punct else np.zeros(n, bool)
-    )
-    # blanks cannot simultaneously be punctuation splits (blank test first)
-    is_punct &= ~is_blank
+    if punct:
+        is_punct = np.fromiter((str(t) in punct for t in text), bool, count=n)
+        is_punct &= ~is_blank
+    else:
+        is_punct = np.zeros(n, dtype=bool)
 
     kept = np.flatnonzero(~is_blank)
+    out = np.full(n, -1, dtype=np.int64)
     if len(kept) == 0:
-        return np.zeros(n, dtype=np.int64) - 1  # all dropped
+        return out
 
     if direction in ("ltr", "rtl"):
-        xt, yt = None, None
         if direction == "ltr":
-            ax = line["x0"].to_numpy(np.float64)
-            bx = line["x1"].to_numpy(np.float64)
-            cx = line["x0"].to_numpy(np.float64)
+            ax = ca.x0[idx]
+            bx = ca.x1[idx]
+            cx = ax
         else:
-            ax = -line["x1"].to_numpy(np.float64)
-            bx = -line["x0"].to_numpy(np.float64)
-            cx = -line["x1"].to_numpy(np.float64)
-        ay = line["top"].to_numpy(np.float64)
-        cy = line["top"].to_numpy(np.float64)
+            ax = -ca.x1[idx]
+            bx = -ca.x0[idx]
+            cx = ax
+        ay = ca.top[idx]
+        cy = ay
         x_is_x = True
     else:
         if direction == "ttb":
-            ax = line["top"].to_numpy(np.float64)
-            bx = line["bottom"].to_numpy(np.float64)
-            cx = line["top"].to_numpy(np.float64)
+            ax = ca.top[idx]
+            bx = ca.bottom[idx]
+            cx = ax
         else:
-            ax = -line["bottom"].to_numpy(np.float64)
-            bx = -line["top"].to_numpy(np.float64)
-            cx = -line["bottom"].to_numpy(np.float64)
-        ay = line["x0"].to_numpy(np.float64)
-        cy = line["x0"].to_numpy(np.float64)
+            ax = -ca.bottom[idx]
+            bx = -ca.top[idx]
+            cx = ax
+        ay = ca.x0[idx]
+        cy = ay
         x_is_x = False
 
-    size = line["size"].to_numpy(np.float64) if "size" in line.columns else None
-
+    size = ca.size[idx] if ca.size is not None else None
     prev = kept[:-1]
     curr = kept[1:]
-    # intra/inter tolerance assignment swaps for vertical text (text.py:557-575)
+    # intra/inter tolerance swap for vertical text (text.py:557-575);
+    # ratio tolerances key off the *previous* char's size (text.py:629-630)
     if x_is_x:
-        xtol = (
-            np.full(len(prev), s.x_tolerance)
-            if s.x_tolerance_ratio is None or size is None
-            else s.x_tolerance_ratio * size[prev]
-        )
-        ytol = (
-            np.full(len(prev), s.y_tolerance)
-            if s.y_tolerance_ratio is None or size is None
-            else s.y_tolerance_ratio * size[prev]
+        xt, xtr, yt, ytr = (
+            s.x_tolerance, s.x_tolerance_ratio, s.y_tolerance, s.y_tolerance_ratio,
         )
     else:
-        xtol = (
-            np.full(len(prev), s.y_tolerance)
-            if s.y_tolerance_ratio is None or size is None
-            else s.y_tolerance_ratio * size[prev]
+        xt, xtr, yt, ytr = (
+            s.y_tolerance, s.y_tolerance_ratio, s.x_tolerance, s.x_tolerance_ratio,
         )
-        ytol = (
-            np.full(len(prev), s.x_tolerance)
-            if s.x_tolerance_ratio is None or size is None
-            else s.x_tolerance_ratio * size[prev]
-        )
+    xtol = xt if (xtr is None or size is None) else xtr * size[prev]
+    ytol = yt if (ytr is None or size is None) else ytr * size[prev]
 
     geo_break = (
         (cx[curr] < ax[prev])
         | (cx[curr] > bx[prev] + xtol)
         | (cy[curr] > ay[prev] + ytol)
     )
-    forced = (
-        is_punct[curr]
-        | is_punct[prev]
-        | ((curr - prev) > 1)  # a dropped blank intervened
-    )
+    forced = is_punct[curr] | is_punct[prev] | ((curr - prev) > 1)
     new_flag = np.empty(len(kept), dtype=bool)
     new_flag[0] = True
     new_flag[1:] = forced | geo_break
-
-    word_of_kept = np.cumsum(new_flag) - 1
-    out = np.full(n, -1, dtype=np.int64)
-    out[kept] = word_of_kept
+    out[kept] = np.cumsum(new_flag) - 1
     return out
 
 
 def extract_words_frame(
     chars: pd.DataFrame, settings: Optional[WordSettings] = None
-) -> Tuple[pd.DataFrame, np.ndarray]:
+):
     """Extract words from a char frame (one page, ingestion order).
 
     Returns ``(words, char_word_id, char_word_pos)`` where ``words`` has one
@@ -240,120 +279,127 @@ def extract_words_frame(
     (+extra_attrs).
     """
     s = settings or WordSettings()
+    cols = ["text", "x0", "x1", "top", "doctop", "bottom", "upright",
+            "height", "width", "direction", *s.extra_attrs]
     n = len(chars)
     char_word_id = np.full(n, -1, dtype=np.int64)
     char_word_pos = np.full(n, -1, dtype=np.int64)
-    word_rows: list = []
     if n == 0:
-        cols = ["text", "x0", "x1", "top", "doctop", "bottom", "upright",
-                "height", "width", "direction", *s.extra_attrs]
         return pd.DataFrame(columns=cols), char_word_id, char_word_pos
 
-    chars = chars.reset_index(drop=True)
+    ca = CharArrays(chars.reset_index(drop=True), s.extra_attrs)
+
+    # expanded text (ligatures) computed once for the whole page
+    if s._expansions:
+        exp = s._expansions
+        etext = np.fromiter(
+            (exp.get(t, t) for t in ca.text), dtype=object, count=ca.n
+        )
+    else:
+        etext = ca.text
 
     # 1. adjacent grouping by (upright, *extra_attrs)
-    gkey_cols = ["upright", *s.extra_attrs]
     change = np.zeros(n, dtype=bool)
-    for c in gkey_cols:
-        v = chars[c].to_numpy()
+    for v in (ca.upright, *ca.extra.values()):
         change[1:] |= v[1:] != v[:-1]
     change[0] = True
-    group_ids = np.cumsum(change) - 1
+    group_bounds = np.flatnonzero(change)
+    group_bounds = np.append(group_bounds, n)
 
+    # output accumulators (one entry per word)
+    w_text: list = []
+    w_x0: list = []
+    w_x1: list = []
+    w_top: list = []
+    w_bottom: list = []
+    w_doctop_adj: list = []
+    w_first: list = []
+    w_upright: list = []
+    w_dir: list = []
     next_word = 0
-    for g in range(group_ids[-1] + 1):
-        gidx = np.flatnonzero(group_ids == g)
-        gdf = chars.iloc[gidx]
-        upright = int(gdf["upright"].iloc[0])
+
+    for gi in range(len(group_bounds) - 1):
+        gidx = np.arange(group_bounds[gi], group_bounds[gi + 1])
+        upright = int(ca.upright[gidx[0]])
         char_dir = s.char_dir_for(upright)
 
         if s.use_text_flow:
-            # single pseudo-line in ingestion order; direction = configured
-            # char_dir regardless of upright (text.py:671-674)
-            line_slices = [np.arange(len(gidx))]
+            line_slices = [gidx]
             direction = s.char_dir
         else:
             line_dir = s.line_dir_for(upright)
-            vals = line_cluster_values(gdf, line_dir)
+            vals = _line_key_arrays(ca, gidx, line_dir)
             tol = s.y_tolerance if line_dir in ("ttb", "btt") else s.x_tolerance
             cids = assign_clusters(vals, tol)
             # groups ordered by cluster id; stable within (clustering.py:60-66)
             order = np.argsort(cids, kind="stable")
             sorted_cids = cids[order]
             bounds = np.flatnonzero(np.diff(sorted_cids) != 0) + 1
-            line_slices = np.split(order, bounds)
+            line_slices = [gidx[o] for o in np.split(order, bounds)]
             direction = char_dir
 
-        for sl in line_slices:
-            ldf = gdf.iloc[sl]
+        for lidx in line_slices:
             if not s.use_text_flow:
-                k1, k2 = char_sort_keys(ldf, direction)
-                sort_order = np.lexsort((k2, k1))  # stable: last key primary
-                # np.lexsort is stable w.r.t. input order for ties
-                ldf = ldf.iloc[sort_order]
-            wids = _boundary_flags(ldf, direction, s)
+                k1, k2 = _char_key_arrays(ca, lidx, direction)
+                lidx = lidx[np.lexsort((k2, k1))]  # stable; primary = k1
+            wids = _boundary_word_ids(ca, lidx, direction, s)
             kept_mask = wids >= 0
             if not kept_mask.any():
                 continue
-            n_words = int(wids[kept_mask].max()) + 1
-            # ldf row i corresponds to original char row gidx[sl][sort_order][i]
-            if not s.use_text_flow:
-                orig_rows = gidx[sl][sort_order]
-            else:
-                orig_rows = gidx[sl]
+            kept_rows = lidx[kept_mask]
             kept_wids = wids[kept_mask]
-            char_word_id[orig_rows[kept_mask]] = kept_wids + next_word
-            # position within word: kept_wids is nondecreasing over line order
+            char_word_id[kept_rows] = kept_wids + next_word
+            # segment starts (kept_wids is nondecreasing over line order)
             starts = np.flatnonzero(
                 np.concatenate(([True], np.diff(kept_wids) != 0))
             )
-            run_start_of = starts[np.searchsorted(starts, np.arange(len(kept_wids)), "right") - 1]
-            char_word_pos[orig_rows[kept_mask]] = np.arange(len(kept_wids)) - run_start_of
+            pos = np.arange(len(kept_wids)) - starts[
+                np.searchsorted(starts, np.arange(len(kept_wids)), "right") - 1
+            ]
+            char_word_pos[kept_rows] = pos
+            n_words = len(starts)
 
-            # merge words (text.py:490-514)
-            txt = ldf["text"].to_numpy(dtype=object)
-            if s._expansions:
-                txt = np.array(
-                    [s._expansions.get(t, t) for t in txt], dtype=object
-                )
-            x0 = ldf["x0"].to_numpy(np.float64)
-            x1 = ldf["x1"].to_numpy(np.float64)
-            top = ldf["top"].to_numpy(np.float64)
-            bottom = ldf["bottom"].to_numpy(np.float64)
-            doctop = (
-                ldf["doctop"].to_numpy(np.float64)
-                if "doctop" in ldf.columns
-                else top
+            # merge (text.py:490-514) via reduceat segment aggregation
+            w_x0.append(np.minimum.reduceat(ca.x0[kept_rows], starts))
+            w_x1.append(np.maximum.reduceat(ca.x1[kept_rows], starts))
+            w_top.append(np.minimum.reduceat(ca.top[kept_rows], starts))
+            w_bottom.append(np.maximum.reduceat(ca.bottom[kept_rows], starts))
+            firsts = kept_rows[starts]
+            w_first.append(firsts)
+            w_doctop_adj.append(ca.doctop[firsts] - ca.top[firsts])
+            seg_text = etext[kept_rows]
+            ends = np.append(starts[1:], len(kept_rows))
+            w_text.extend(
+                "".join(seg_text[a:b]) for a, b in zip(starts, ends)
             )
-            for w in range(n_words):
-                m = wids == w
-                first = int(np.flatnonzero(m)[0])
-                wx0 = float(x0[m].min())
-                wx1 = float(x1[m].max())
-                wtop = float(top[m].min())
-                wbottom = float(bottom[m].max())
-                doctop_adj = float(doctop[first] - top[first])
-                row = {
-                    "text": "".join(txt[m]),
-                    "x0": wx0,
-                    "x1": wx1,
-                    "top": wtop,
-                    "doctop": wtop + doctop_adj,
-                    "bottom": wbottom,
-                    "upright": upright,
-                    "height": wbottom - wtop,
-                    "width": wx1 - wx0,
-                    "direction": direction,
-                }
-                for a in s.extra_attrs:
-                    row[a] = ldf[a].iloc[first]
-                word_rows.append(row)
+            w_upright.extend([upright] * n_words)
+            w_dir.extend([direction] * n_words)
             next_word += n_words
 
-    cols = ["text", "x0", "x1", "top", "doctop", "bottom", "upright",
-            "height", "width", "direction", *s.extra_attrs]
-    words = pd.DataFrame(word_rows, columns=cols)
-    return words, char_word_id, char_word_pos
+    if not w_first:
+        return pd.DataFrame(columns=cols), char_word_id, char_word_pos
+
+    x0 = np.concatenate(w_x0)
+    x1 = np.concatenate(w_x1)
+    top = np.concatenate(w_top)
+    bottom = np.concatenate(w_bottom)
+    doctop_adj = np.concatenate(w_doctop_adj)
+    firsts = np.concatenate(w_first)
+    data = {
+        "text": w_text,
+        "x0": x0,
+        "x1": x1,
+        "top": top,
+        "doctop": top + doctop_adj,
+        "bottom": bottom,
+        "upright": w_upright,
+        "height": bottom - top,
+        "width": x1 - x0,
+        "direction": w_dir,
+    }
+    for a in s.extra_attrs:
+        data[a] = ca.extra[a][firsts]
+    return pd.DataFrame(data, columns=cols), char_word_id, char_word_pos
 
 
 def dedupe_chars_frame(chars: pd.DataFrame, tolerance: float = 1) -> pd.DataFrame:
@@ -368,17 +414,17 @@ def dedupe_chars_frame(chars: pd.DataFrame, tolerance: float = 1) -> pd.DataFram
     df = chars.reset_index(drop=True)
     key_cols = ["fontname", "size", "upright", "text"]
     keep = np.zeros(len(df), dtype=bool)
+    dt_all = df["doctop"].to_numpy(np.float64)
+    x0_all = df["x0"].to_numpy(np.float64)
     for _, grp in df.groupby(key_cols, sort=False):
-        dt = grp["doctop"].to_numpy(np.float64)
+        rows = grp.index.to_numpy()
+        dt = dt_all[rows]
         ycl = assign_clusters(dt, tolerance)
         for yc in np.unique(ycl):
-            sub = grp.iloc[np.flatnonzero(ycl == yc)]
-            xcl = assign_clusters(sub["x0"].to_numpy(np.float64), tolerance)
+            sub = rows[ycl == yc]
+            xcl = assign_clusters(x0_all[sub], tolerance)
             for xc in np.unique(xcl):
-                cell = sub.iloc[np.flatnonzero(xcl == xc)]
-                # keep min (doctop, x0)
-                k = np.lexsort(
-                    (cell["x0"].to_numpy(np.float64), cell["doctop"].to_numpy(np.float64))
-                )[0]
-                keep[cell.index[k]] = True
+                cell = sub[xcl == xc]
+                k = np.lexsort((x0_all[cell], dt_all[cell]))[0]
+                keep[cell[k]] = True
     return df[keep]

@@ -120,23 +120,34 @@ def lsh_topk(
     cross product — the candidate count, not the corpus size, drives cost.
     """
 
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    # all tables' planes in one (n_tables*n_planes, dim) matrix: bucket keys
+    # for every table come from ONE numpy matmul per Arrow batch
+    all_planes = np.vstack(
+        [random_hyperplanes(dim, n_planes, seed=977 + t) for t in range(n_tables)]
+    )
+    weights = np.array([1 << i for i in range(n_planes)], dtype=np.int64)
+
+    def _bucket_keys(vecs):
+        m = np.asarray(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        signs = (m @ all_planes.T) >= 0  # (batch, tables*planes)
+        signs = signs.reshape(len(m), n_tables, n_planes)
+        keys = (signs * weights).sum(axis=2)  # (batch, tables)
+        return pd.Series(list(keys))
+
+    # explicit returnType (postponed annotations break signature inference)
+    bucket_keys = pandas_udf(_bucket_keys, T.ArrayType(T.LongType()))
+
     def bucketed(df, idc, vc, out_id, out_vec):
-        tables = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table_id"),
-                    lsh_bucket_col(
-                        F.col(vc), random_hyperplanes(dim, n_planes, seed=977 + t)
-                    ).alias("key"),
-                )
-                for t in range(n_tables)
-            ]
-        )
-        return df.select(
+        keyed = df.select(
             F.col(idc).alias(out_id),
             F.col(vc).alias(out_vec),
-            F.explode(tables).alias("bk"),
-        ).select(out_id, out_vec, "bk.table_id", "bk.key")
+            F.posexplode(bucket_keys(F.col(vc))).alias("table_id", "key"),
+        )
+        return keyed
 
     c = bucketed(embeddings, id_col, vec_col, "neighbor_id", "cv")
     q = bucketed(queries, id_col, vec_col, "query_id", "qv")

@@ -52,22 +52,27 @@ def partition_by_url(df: DataFrame, num_partitions: Optional[int] = None) -> Dat
 
 # --- single-pass text extraction -------------------------------------------
 
-def _payload_to_text_rows(url: str, payload, layout: bool) -> list:
+def _payload_to_text_rows(url: str, payload, layout: bool, dedupe: bool = False) -> list:
     if payload is None:
         return [(url, 0, None, None, None, "error", "null payload")]
     data = bytes(payload)
     try:
         if data[:5] == b"%PDF-":
-            frames = pdf_to_frames(data)
+            frames = pdf_to_frames(data, style=False)
             pages_df = frames["pages"]
             if len(pages_df) == 0:
                 return [(url, 0, None, None, None, "error", "unparseable pdf")]
             chars = frames["chars"]
+            page_groups = dict(iter(chars.groupby("page_number", sort=False)))
             rows = []
             for pn, w, h in pages_df[["page_number", "width", "height"]].itertuples(
                 index=False
             ):
-                sub = chars[chars["page_number"] == pn]
+                sub = page_groups.get(pn, chars.iloc[0:0])
+                if dedupe and len(sub):
+                    from ..kernel.words import dedupe_chars_frame
+
+                    sub = dedupe_chars_frame(sub)
                 kwargs = {}
                 if layout:
                     kwargs = dict(
@@ -95,18 +100,20 @@ def _payload_to_text_rows(url: str, payload, layout: bool) -> list:
 def extract_text(
     pages: DataFrame,
     layout: bool = False,
+    dedupe: bool = False,
     num_partitions: Optional[int] = None,
 ) -> DataFrame:
     """pages -> (url, page_number, text, n_chars, n_words, status, error).
 
     Single mapInPandas pass; zero shuffles after the url-hash repartition.
+    ``dedupe`` applies dedupe_chars (text.py:784-804) before assembly.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             out = []
             for url, payload in zip(batch["url"], batch["html"]):
-                out.extend(_payload_to_text_rows(url, payload, layout))
+                out.extend(_payload_to_text_rows(url, payload, layout, dedupe))
             yield pd.DataFrame(
                 out,
                 columns=[
