@@ -30,12 +30,12 @@ def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _corpus_path(sf_dir: str) -> str:
+    from pdfplumber_spark.sources.corpus import CORPUS_VERSION, write_corpus_parquet
+
     sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     n = {"sf0.001": 30, "sf0.01": 80, "sf0.1": 400}.get(sf, 60)
-    path = f"/tmp/spark_graft_pages_{sf}_{n}.parquet"
+    path = f"/tmp/spark_graft_pages_v{CORPUS_VERSION}_{sf}_{n}.parquet"
     if not os.path.exists(path):
-        from pdfplumber_spark.sources.corpus import write_corpus_parquet
-
         write_corpus_parquet(path, n_docs=n, seed=42)
     return path
 
@@ -398,6 +398,15 @@ def q_extract_text_dedupe(spark, sf_dir):
     ).select("url", "page_number", "text", "status")
 
 
+def q_hyperlinks(spark, sf_dir):
+    """annots/hyperlinks (page.py:280-323). Rows-only."""
+    from pdfplumber_spark.plans.extract import extract_annots
+
+    return extract_annots(
+        _pages(spark, sf_dir), num_partitions=8, hyperlinks_only=True
+    )
+
+
 def q_image_metadata(spark, sf_dir):
     from pdfplumber_spark.operators.multimodal import image_metadata
 
@@ -438,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search": q_search,
         "text_lines": q_text_lines,
         "extract_text_dedupe": q_extract_text_dedupe,
+        "hyperlinks": q_hyperlinks,
         "image_metadata": q_image_metadata,
     }
 

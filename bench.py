@@ -34,7 +34,8 @@ def log(msg: str) -> None:
 
 
 def corpus_path() -> str:
-    path = f"/tmp/spark_graft_bench_{N_DOCS}.parquet"
+    from pdfplumber_spark.sources.corpus import CORPUS_VERSION
+    path = f"/tmp/spark_graft_bench_v{CORPUS_VERSION}_{N_DOCS}.parquet"
     if not os.path.exists(path):
         from pdfplumber_spark.sources.corpus import write_corpus_parquet
 

@@ -115,6 +115,7 @@ def make_pdf(pages: List[Dict]) -> bytes:
 
     page_nums = []
     content_nums = []
+    annot_nums: List[List[int]] = []
     for p in pages:
         raw = _content_stream(p)
         comp = zlib.compress(raw, 9)
@@ -123,15 +124,38 @@ def make_pdf(pages: List[Dict]) -> bytes:
             + comp + b"\nendstream"
         )
         content_nums.append(cn)
+        nums = []
+        h = p["height"]
+        for lk in p.get("links", []):
+            nums.append(
+                add(
+                    (
+                        "<</Type/Annot/Subtype/Link/Rect[%g %g %g %g]"
+                        "/A<</S/URI/URI(%s)>>>>"
+                        % (lk["x0"], h - lk["bottom"], lk["x1"], h - lk["top"],
+                           _esc(lk["uri"]).decode("latin-1"))
+                    ).encode()
+                )
+            )
+        annot_nums.append(nums)
         page_nums.append(None)  # placeholder
 
     pages_tree_num = len(objects) + len(pages) + 1
     for i, p in enumerate(pages):
+        annots_part = ""
+        if annot_nums[i]:
+            annots_part = "/Annots[" + " ".join(
+                f"{n} 0 R" for n in annot_nums[i]
+            ) + "]"
         pn = add(
             (
-                "<</Type/Page/Parent %d 0 R/MediaBox[0 0 %g %g]"
+                "<</Type/Page/Parent %d 0 R/MediaBox[0 0 %g %g]%s%s"
                 "/Resources<</Font<</F1 %d 0 R>>>>/Contents %d 0 R>>"
-                % (pages_tree_num, p["width"], p["height"], font_num, content_nums[i])
+                % (
+                    pages_tree_num, p["width"], p["height"],
+                    "/Rotate %d" % p["rotate"] if p.get("rotate") else "",
+                    annots_part, font_num, content_nums[i],
+                )
             ).encode()
         )
         page_nums[i] = pn

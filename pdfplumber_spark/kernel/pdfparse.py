@@ -792,6 +792,50 @@ class PageInterpreter:
     def _flip(self, y: float) -> float:
         return self.mb[3] - y
 
+    def annots(self, page_spec: dict) -> List[dict]:
+        """Annotation rows (``page.py:280-319`` semantics): rect y-flipped
+        to top/bottom/doctop; uri/title/contents decoded utf-8 with utf-16
+        fallback. Hyperlinks = rows with non-null uri."""
+        doc = self.doc
+        raw = doc.resolve(page_spec.get("Annots")) or []
+        out = []
+        for aref in raw:
+            annot = doc.resolve(aref)
+            if not isinstance(annot, dict):
+                continue
+            rect = [float(doc.resolve(v)) for v in (doc.resolve(annot.get("Rect")) or [0, 0, 0, 0])]
+            action = doc.resolve(annot.get("A")) or {}
+            extras = {
+                "uri": doc.resolve(action.get("URI")) if isinstance(action, dict) else None,
+                "title": doc.resolve(annot.get("T")),
+                "contents": doc.resolve(annot.get("Contents")),
+            }
+            for k, v in extras.items():
+                if isinstance(v, (bytes, bytearray)):
+                    try:
+                        extras[k] = bytes(v).decode("utf-8")
+                    except UnicodeDecodeError:
+                        extras[k] = bytes(v).decode("utf-16")
+                elif v is not None:
+                    extras[k] = str(v)
+            out.append(
+                {
+                    "page_number": self.page_number,
+                    "object_type": "annot",
+                    "x0": rect[0],
+                    "y0": rect[1],
+                    "x1": rect[2],
+                    "y1": rect[3],
+                    "doctop": self.initial_doctop + self.height - rect[3],
+                    "top": self.height - rect[3],
+                    "bottom": self.height - rect[1],
+                    "width": rect[2] - rect[0],
+                    "height": rect[3] - rect[1],
+                    **extras,
+                }
+            )
+        return out
+
     def run(self):
         # base CTM: translate mediabox origin to 0 + rotation
         x0, y0, x1, y1 = self.mb
@@ -1196,6 +1240,7 @@ def parse_pdf(data: bytes, style: bool = True) -> List[PageInterpreter]:
     for i, spec in enumerate(specs):
         interp = PageInterpreter(doc, spec, i + 1, initial_doctop=doctop, style=style)
         interp.run()
+        interp.annot_rows = interp.annots(spec)
         doctop += interp.height
         out.append(interp)
     return out
@@ -1277,7 +1322,16 @@ def pdf_to_frames(data: bytes, style: bool = True) -> Dict[str, pd.DataFrame]:
     pages_df = pd.DataFrame(
         pages_rows, columns=["page_number", "width", "height", "rotation"]
     )
+    annot_rows = [r for p in pages for r in getattr(p, "annot_rows", [])]
+    annots = pd.DataFrame(
+        annot_rows,
+        columns=[
+            "page_number", "object_type", "x0", "y0", "x1", "y1",
+            "doctop", "top", "bottom", "width", "height",
+            "uri", "title", "contents",
+        ],
+    )
     return {
         "chars": chars, "lines": lines, "rects": rects,
-        "curves": curves, "pages": pages_df,
+        "curves": curves, "pages": pages_df, "annots": annots,
     }

@@ -333,6 +333,60 @@ def extract_tables(
     return src.mapInPandas(run, schema=TABLES_SCHEMA)
 
 
+# --- annots / hyperlinks -----------------------------------------------------
+
+def extract_annots(
+    pages: DataFrame, num_partitions: Optional[int] = None, hyperlinks_only: bool = False
+) -> DataFrame:
+    """pages -> annotation rows (``page.py:280-323``); ``hyperlinks_only``
+    keeps rows with a uri (``page.py:321-323``)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("page_number", T.IntegerType(), False),
+            T.StructField("x0", T.DoubleType(), True),
+            T.StructField("top", T.DoubleType(), True),
+            T.StructField("x1", T.DoubleType(), True),
+            T.StructField("bottom", T.DoubleType(), True),
+            T.StructField("doctop", T.DoubleType(), True),
+            T.StructField("uri", T.StringType(), True),
+            T.StructField("title", T.StringType(), True),
+            T.StructField("contents", T.StringType(), True),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            outs = []
+            for url, payload in zip(batch["url"], batch["html"]):
+                if payload is None or bytes(payload)[:5] != b"%PDF-":
+                    continue
+                try:
+                    frames = pdf_to_frames(bytes(payload), style=False)
+                except Exception:  # noqa: BLE001
+                    continue
+                a = frames["annots"]
+                if len(a) == 0:
+                    continue
+                a = a.copy()
+                a["url"] = url
+                outs.append(a[cols])
+            yield (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame(columns=cols)
+            )
+
+    src = partition_by_url(pages.select("url", "html"), num_partitions)
+    out = src.mapInPandas(run, schema=schema)
+    if hyperlinks_only:
+        out = out.where(F.col("uri").isNotNull())
+    return out
+
+
 # --- oracle (single-process reference for byte-identity tests) --------------
 
 def oracle_extract_text(payloads, layout: bool = False) -> pd.DataFrame:

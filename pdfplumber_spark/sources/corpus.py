@@ -23,6 +23,9 @@ from typing import Iterator, List, Tuple
 
 from ..kernel.pdfgen import glyph_width, make_pdf
 
+# bump when generated content changes — cache paths embed this
+CORPUS_VERSION = 2
+
 LOREM = (
     "the quick brown fox jumps over a lazy dog while bright vixens watch "
     "jaded zebras vex my grand sphinx of black quartz and judge the vow "
@@ -51,7 +54,15 @@ def _pdf_basic(rng: random.Random, n_pages: int) -> bytes:
         for line in _wrap_text(rng, rng.randint(10, 30)):
             texts.append({"x": 72.0, "top": top, "size": 12, "text": line})
             top += 14.5
-        pages.append({"width": 612, "height": 792, "texts": texts})
+        page = {"width": 612, "height": 792, "texts": texts}
+        if rng.random() < 0.5:
+            page["links"] = [
+                {
+                    "x0": 72.0, "top": 72.0, "x1": 200.0, "bottom": 86.0,
+                    "uri": f"https://example.com/{rng.choice(LOREM)}",
+                }
+            ]
+        pages.append(page)
     return make_pdf(pages)
 
 
