@@ -753,12 +753,8 @@ class PageInterpreter:
         self.height = y1 - y0
         self.rotation = int(doc.resolve(page_spec.get("Rotate", 0)) or 0) % 360
         res = doc.resolve(page_spec.get("Resources")) or {}
-        self.fonts: Dict[str, Font] = {}
-        fdict = doc.resolve(res.get("Font")) or {}
-        for fname, fref in fdict.items():
-            spec = doc.resolve(fref)
-            if isinstance(spec, dict):
-                self.fonts[str(fname)] = Font(doc, spec, str(fname))
+        self.resources = res
+        self.fonts = self._load_fonts(res)
         self.contents = self._load_content(page_spec)
         # output accumulators — chars go into flat typed columns (one
         # array('d') extend per char; no per-char tuple boxing)
@@ -771,6 +767,16 @@ class PageInterpreter:
         self.lines: List[tuple] = []
         self.rects: List[tuple] = []
         self.curves: List[tuple] = []
+        self.images: List[tuple] = []
+
+    def _load_fonts(self, res: dict) -> Dict[str, Font]:
+        fonts: Dict[str, Font] = {}
+        fdict = self.doc.resolve(res.get("Font")) or {}
+        for fname, fref in fdict.items():
+            spec = self.doc.resolve(fref)
+            if isinstance(spec, dict):
+                fonts[str(fname)] = Font(self.doc, spec, str(fname))
+        return fonts
 
     @property
     def n_chars(self) -> int:
@@ -849,11 +855,13 @@ class PageInterpreter:
             ctm = (1.0, 0.0, 0.0, 1.0, -x0, -y0)
         if self.rotation in (90, 270):
             self.width, self.height = self.height, self.width
-        self._exec(self.contents, ctm)
+        self._exec(self.contents, ctm, self.fonts, self.resources)
         return self
 
-    def _exec(self, content: bytes, base_ctm):
+    def _exec(self, content: bytes, base_ctm, fonts=None, res=None, depth=0):
         doc = self.doc
+        fonts = self.fonts if fonts is None else fonts
+        res = self.resources if res is None else res
         lex = Lexer(content, 0)
         stack: List[object] = []
         gs_stack: List[tuple] = []
@@ -935,7 +943,7 @@ class PageInterpreter:
                 elif op == "Tf":
                     fontsize = float(stack.pop())
                     fname = stack.pop()
-                    font = self.fonts.get(str(fname))
+                    font = fonts.get(str(fname))
                 elif op == "Td":
                     ty = float(stack.pop()); tx = float(stack.pop())
                     tm = mat_translate(tm, tx, ty)
@@ -1065,7 +1073,34 @@ class PageInterpreter:
                         else:
                             stroke_color = tuple(vals)
                 elif op == "Do":
-                    stack.pop() if stack else None
+                    xname = str(stack.pop()) if stack else None
+                    xdict = doc.resolve((res or {}).get("XObject")) or {}
+                    xo = doc.resolve(xdict.get(xname))
+                    if isinstance(xo, StreamObj):
+                        subtype = str(doc.resolve(xo.attrs.get("Subtype", "")))
+                        if subtype == "Image":
+                            self._emit_image(xname, xo, ctm)
+                        elif subtype == "Form" and depth < 8:
+                            xres = doc.resolve(xo.attrs.get("Resources"))
+                            xres = xres if isinstance(xres, dict) else res
+                            mtx = doc.resolve(xo.attrs.get("Matrix"))
+                            if mtx:
+                                fm = tuple(
+                                    float(doc.resolve(v)) for v in mtx
+                                )
+                                form_ctm = mat_mult(fm, ctm)
+                            else:
+                                form_ctm = ctm
+                            xfonts = (
+                                self._load_fonts(xres) if xres is not res else fonts
+                            )
+                            try:
+                                self._exec(
+                                    xo.get_data(doc), form_ctm, xfonts, xres,
+                                    depth + 1,
+                                )
+                            except Exception:  # noqa: BLE001
+                                pass
                 elif op in ("BI", "ID", "EI"):
                     # inline image: skip to EI
                     end = content.find(b"EI", lex.pos)
@@ -1206,6 +1241,29 @@ class PageInterpreter:
             )
         return adv
 
+    def _emit_image(self, name, xo, ctm):
+        """Image placement row (``page.py`` image semantics): the CTM maps
+        the unit square to the image's device-space box."""
+        doc = self.doc
+        corners = [mat_apply(ctm, px, py) for (px, py) in
+                   ((0, 0), (1, 0), (0, 1), (1, 1))]
+        xs = [p[0] for p in corners]
+        ys = [p[1] for p in corners]
+        x0, x1 = min(xs), max(xs)
+        y0, y1 = min(ys), max(ys)
+        top, bottom = self._flip(y1), self._flip(y0)
+        self.images.append(
+            (
+                name,
+                x0, x1, y0, y1, top, bottom,
+                self.initial_doctop + top, x1 - x0, bottom - top,
+                int(doc.resolve(xo.attrs.get("Width", 0)) or 0),
+                int(doc.resolve(xo.attrs.get("Height", 0)) or 0),
+                int(doc.resolve(xo.attrs.get("BitsPerComponent", 0)) or 0),
+                bool(doc.resolve(xo.attrs.get("ImageMask", False))),
+            )
+        )
+
     def _emit_path(self, sub, ctm, linewidth, stroke, fill, evenodd,
                    stroke_color, fill_color):
         pts_dev = [mat_apply(ctm, px, py) for (_, px, py) in sub]
@@ -1322,6 +1380,19 @@ def pdf_to_frames(data: bytes, style: bool = True) -> Dict[str, pd.DataFrame]:
     pages_df = pd.DataFrame(
         pages_rows, columns=["page_number", "width", "height", "rotation"]
     )
+    image_rows = [
+        (p.page_number, i) + im
+        for p in pages
+        for i, im in enumerate(p.images)
+    ]
+    images = pd.DataFrame(
+        image_rows,
+        columns=[
+            "page_number", "image_index", "name",
+            "x0", "x1", "y0", "y1", "top", "bottom", "doctop",
+            "width", "height", "srcwidth", "srcheight", "bits", "imagemask",
+        ],
+    )
     annot_rows = [r for p in pages for r in getattr(p, "annot_rows", [])]
     annots = pd.DataFrame(
         annot_rows,
@@ -1334,4 +1405,5 @@ def pdf_to_frames(data: bytes, style: bool = True) -> Dict[str, pd.DataFrame]:
     return {
         "chars": chars, "lines": lines, "rects": rects,
         "curves": curves, "pages": pages_df, "annots": annots,
+        "images": images,
     }

@@ -153,6 +153,7 @@ def _frames_to_objects(url: str, frames) -> pd.DataFrame:
     for kind, idx_col in (
         ("chars", "char_index"), ("lines", "line_index"),
         ("rects", "rect_index"), ("curves", "curve_index"),
+        ("images", "image_index"),
     ):
         df = frames[kind]
         if len(df) == 0:
@@ -161,7 +162,7 @@ def _frames_to_objects(url: str, frames) -> pd.DataFrame:
         p["object_type"] = kind[:-1]
         p["obj_index"] = p[idx_col]
         p["url"] = url
-        if kind != "chars":
+        if "pts" in p.columns:
             p["pts"] = p["pts"].map(
                 lambda pts: [{"x": float(x), "y": float(y)} for (x, y) in pts]
             )
