@@ -398,6 +398,19 @@ def q_extract_text_dedupe(spark, sf_dir):
     ).select("url", "page_number", "text", "status")
 
 
+def q_extract_tables_stream(spark, sf_dir):
+    """Unruled tables via the 'text' strategy (words_to_edges_h/v,
+    table.py:101-204). Rows-only."""
+    from pdfplumber_spark.plans.extract import extract_tables
+
+    return extract_tables(
+        _pages(spark, sf_dir),
+        num_partitions=8,
+        vertical_strategy="text",
+        horizontal_strategy="text",
+    ).select("url", "page_number", "table_index", "row_index", "col_index", "text")
+
+
 def q_hyperlinks(spark, sf_dir):
     """annots/hyperlinks (page.py:280-323). Rows-only."""
     from pdfplumber_spark.plans.extract import extract_annots
@@ -443,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "document_text": q_document_text,
         "extract_words": q_extract_words,
         "extract_tables": q_extract_tables,
+        "extract_tables_stream": q_extract_tables_stream,
         "extract_objects": q_extract_objects,
         "search": q_search,
         "text_lines": q_text_lines,

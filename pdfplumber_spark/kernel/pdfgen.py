@@ -45,11 +45,17 @@ FONT_DESCENT = -212  # 1/1000 units, part of the deterministic font contract
 FONT_ASCENT = 718
 
 
+# non-ASCII glyphs the writer can emit, via ToUnicode-mapped high bytes —
+# exercises the parser's CMap path with the ligature set the reference
+# expands (text.py:34-42)
+LIG_BYTES = {"ﬁ": 0xA1, "ﬂ": 0xA2, "ﬀ": 0xA3, "ﬃ": 0xA4, "ﬄ": 0xA5}
+
+
 def glyph_width(ch: str) -> int:
     o = ord(ch)
     if 32 <= o <= 126:
         return WIDTHS[o - 32]
-    return 556
+    return 556  # MissingWidth for mapped high bytes
 
 
 def _esc(s: str) -> bytes:
@@ -60,6 +66,8 @@ def _esc(s: str) -> bytes:
             out.append("\\" + ch)
         elif 32 <= o <= 126:
             out.append(ch)
+        elif ch in LIG_BYTES:
+            out.append("\\%03o" % LIG_BYTES[ch])
         else:
             out.append("\\%03o" % (o & 0xFF))
     return "".join(out).encode("latin-1")
@@ -104,12 +112,28 @@ def make_pdf(pages: List[Dict]) -> bytes:
         objects.append(obj)
         return len(objects)
 
+    # ToUnicode CMap for the mapped high bytes (bfchar entries)
+    bfchars = "".join(
+        "<%02X> <%04X>\n" % (b, ord(ch)) for ch, b in sorted(LIG_BYTES.items())
+    )
+    cmap = (
+        "/CIDInit /ProcSet findresource begin 12 dict begin begincmap\n"
+        "1 begincodespacerange <00> <FF> endcodespacerange\n"
+        f"{len(LIG_BYTES)} beginbfchar\n{bfchars}endbfchar\n"
+        "endcmap end end"
+    ).encode("latin-1")
+    tounicode_num = add(
+        b"<</Length " + str(len(cmap)).encode() + b">>\nstream\n" + cmap
+        + b"\nendstream"
+    )
     font_num = add(
         b"<</Type/Font/Subtype/Type1/BaseFont/Helvetica/Encoding/WinAnsiEncoding"
         b"/FirstChar 32/LastChar 126/Widths[" +
         b" ".join(str(w).encode() for w in WIDTHS) +
-        b"]/FontDescriptor <</Type/FontDescriptor/FontName/Helvetica/Flags 32"
+        b"]/ToUnicode %d 0 R" % tounicode_num +
+        b"/FontDescriptor <</Type/FontDescriptor/FontName/Helvetica/Flags 32"
         b"/Ascent 718/Descent -212/CapHeight 718/ItalicAngle 0/StemV 88"
+        b"/MissingWidth 556"
         b"/FontBBox[-166 -225 1000 931]>> >>"
     )
 

@@ -721,6 +721,128 @@ class PDFDocument:
 
 # --- content stream interpretation -----------------------------------------
 
+# fast content-stream scanner: one regex pass for the overwhelmingly common
+# token kinds; strings/hex/dicts/arrays delegate to the full Lexer
+_CONTENT_TOKEN_RE = re.compile(
+    rb"(?:[\s\x00]+|%[^\r\n]*)"
+    rb"|(?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+))"
+    rb"|/(?P<name>[^\s\x00/()<>\[\]{}%]*)"
+    rb"|(?P<delim><<|\[|\(|<)"
+    rb"|(?P<op>[^\s\x00/()<>\[\]{}%]+)"
+    rb"|(?P<skip>[\]>}{)])"
+)
+
+
+_PLAIN_STR_RE = re.compile(rb"[^()\\]*")
+
+
+def tokenize_content(data: bytes):
+    """Yield the same token values Lexer.next_token produces, much faster
+    for typical content streams: regex scan for numbers/names/operators,
+    inline parse of flat arrays (TJ), plain-string fast path (no escapes /
+    nesting); everything else delegates to the full Lexer."""
+    pos = 0
+    n = len(data)
+    lex = Lexer(data, 0)
+    match = _CONTENT_TOKEN_RE.match
+    str_match = _PLAIN_STR_RE.match
+
+    def read_string(start_inner):
+        """Bytes of a ( string starting after the paren; returns (val, pos)."""
+        m3 = str_match(data, start_inner)
+        e = m3.end()
+        if e < n and data[e] == 0x29:  # ')' with no escapes/nesting
+            return data[start_inner:e], e + 1
+        lex.pos = start_inner - 1
+        return lex.next_token(), lex.pos
+
+    while pos < n:
+        m = match(data, pos)
+        if m is None:
+            pos += 1
+            continue
+        pos = m.end()
+        g = m.lastgroup
+        if g is None or g == "skip":
+            continue
+        if g == "num":
+            tok = m.group("num")
+            yield float(tok) if b"." in tok else int(tok)
+        elif g == "name":
+            raw = m.group("name")
+            if b"#" in raw:
+                raw = re.sub(
+                    rb"#([0-9A-Fa-f]{2})",
+                    lambda mm: bytes([int(mm.group(1), 16)]),
+                    raw,
+                )
+            yield Name(raw.decode("latin-1"))
+        elif g == "op":
+            op = m.group("op").decode("latin-1")
+            if op == "BI":
+                # inline image: skip to EI
+                end = data.find(b"EI", pos)
+                pos = n if end == -1 else end + 2
+                continue
+            yield ("kw", op)
+        else:  # delim: ( < << [
+            d = m.group("delim")
+            if d == b"(":
+                val, pos = read_string(pos)
+                yield val
+            elif d == b"[":
+                # inline flat-array parse (TJ arrays: numbers + strings)
+                arr = []
+                while pos < n:
+                    m2 = match(data, pos)
+                    if m2 is None:
+                        pos += 1
+                        continue
+                    g2 = m2.lastgroup
+                    end2 = m2.end()
+                    if g2 is None:
+                        pos = end2
+                        continue
+                    if g2 == "skip":
+                        pos = end2
+                        if m2.group() == b"]":
+                            break
+                        continue
+                    if g2 == "num":
+                        t = m2.group("num")
+                        arr.append(float(t) if b"." in t else int(t))
+                        pos = end2
+                    elif g2 == "name":
+                        arr.append(Name(m2.group("name").decode("latin-1")))
+                        pos = end2
+                    elif g2 == "delim":
+                        d2 = m2.group("delim")
+                        if d2 == b"(":
+                            val, pos = read_string(end2)
+                            arr.append(val)
+                        elif d2 == b"<":
+                            lex.pos = m2.start()
+                            arr.append(lex.next_token())
+                            pos = lex.pos
+                        else:  # << or nested [
+                            lex.pos = end2
+                            arr.append(
+                                _parse_from(lex, "<<" if d2 == b"<<" else "[")
+                            )
+                            pos = lex.pos
+                    else:  # op keyword inside array (rare; e.g. R)
+                        arr.append(("kw", m2.group("op").decode("latin-1")))
+                        pos = end2
+                yield arr
+            elif d == b"<<":
+                lex.pos = pos
+                yield _parse_from(lex, "<<")
+                pos = lex.pos
+            else:  # < hex string
+                lex.pos = m.start()
+                yield lex.next_token()
+                pos = lex.pos
+
 CHAR_COLUMNS = [
     "text", "fontname", "size", "adv", "upright",
     "x0", "x1", "y0", "y1", "top", "bottom", "doctop", "width", "height",
@@ -862,7 +984,6 @@ class PageInterpreter:
         doc = self.doc
         fonts = self.fonts if fonts is None else fonts
         res = self.resources if res is None else res
-        lex = Lexer(content, 0)
         stack: List[object] = []
         gs_stack: List[tuple] = []
         ctm = base_ctm
@@ -911,17 +1032,9 @@ class PageInterpreter:
                                 stroke_color, fill_color)
             path = []
 
-        while True:
-            tok = lex.next_token()
-            if tok is None:
-                break
-            if not (isinstance(tok, tuple) and tok[0] == "kw"):
-                if tok == "<<":
-                    stack.append(_parse_from(lex, tok))
-                elif tok == "[":
-                    stack.append(_parse_from(lex, tok))
-                else:
-                    stack.append(tok)
+        for tok in tokenize_content(content):
+            if type(tok) is not tuple:
+                stack.append(tok)
                 continue
             op = tok[1]
             try:
@@ -1102,9 +1215,8 @@ class PageInterpreter:
                             except Exception:  # noqa: BLE001
                                 pass
                 elif op in ("BI", "ID", "EI"):
-                    # inline image: skip to EI
-                    end = content.find(b"EI", lex.pos)
-                    lex.pos = len(content) if end == -1 else end + 2
+                    # inline images are skipped inside tokenize_content;
+                    # stray ID/EI just clear operands
                     stack.clear()
                 else:
                     # unknown operator: drop its operands

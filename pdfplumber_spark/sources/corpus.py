@@ -24,7 +24,7 @@ from typing import Iterator, List, Tuple
 from ..kernel.pdfgen import glyph_width, make_pdf
 
 # bump when generated content changes — cache paths embed this
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3
 
 LOREM = (
     "the quick brown fox jumps over a lazy dog while bright vixens watch "
@@ -149,6 +149,27 @@ def _pdf_dupchars(rng: random.Random, n_pages: int) -> bytes:
     return make_pdf(pages)
 
 
+def _pdf_rotated(rng: random.Random) -> bytes:
+    rot = rng.choice([90, 180, 270])
+    texts = []
+    top = 72.0
+    for line in _wrap_text(rng, 8):
+        texts.append({"x": 72.0, "top": top, "size": 12, "text": line})
+        top += 16.0
+    return make_pdf([{"width": 612, "height": 792, "rotate": rot, "texts": texts}])
+
+
+def _pdf_ligatures(rng: random.Random) -> bytes:
+    lig_words = ["ﬁnish", "ﬂood", "oﬀer", "eﬃcient", "waﬄe"]
+    texts = []
+    top = 72.0
+    for _ in range(8):
+        words = [rng.choice(LOREM + lig_words) for _ in range(7)]
+        texts.append({"x": 72.0, "top": top, "size": 12, "text": " ".join(words)})
+        top += 16.0
+    return make_pdf([{"width": 612, "height": 792, "texts": texts}])
+
+
 def _html_news(rng: random.Random) -> Tuple[bytes, str]:
     title = _sentence(rng, 4).title()
     paras = [_sentence(rng, rng.randint(20, 45)) + "." for _ in range(rng.randint(3, 8))]
@@ -174,12 +195,14 @@ def generate_rows(
     """Yield pages-table rows. Family mix is deterministic in doc index."""
     base_ts = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
     families = [
-        ("pdf/basic", 0.30),
-        ("pdf/layout", 0.15),
-        ("pdf/table-lattice", 0.15),
-        ("pdf/table-stream", 0.10),
+        ("pdf/basic", 0.26),
+        ("pdf/layout", 0.14),
+        ("pdf/table-lattice", 0.14),
+        ("pdf/table-stream", 0.09),
         ("pdf/dupchars", 0.05),
-        ("html/news", 0.20),
+        ("pdf/rotated", 0.04),
+        ("pdf/ligatures", 0.04),
+        ("html/news", 0.19),
         ("broken", 0.05),
     ]
     cum = []
@@ -205,6 +228,10 @@ def generate_rows(
             payload = _pdf_table_stream(rng, 1)
         elif fam == "pdf/dupchars":
             payload = _pdf_dupchars(rng, 1)
+        elif fam == "pdf/rotated":
+            payload = _pdf_rotated(rng)
+        elif fam == "pdf/ligatures":
+            payload = _pdf_ligatures(rng)
         elif fam == "html/news":
             payload, _ = _html_news(rng)
         else:  # broken
