@@ -1,0 +1,377 @@
+r"""pdfplumber-compatible single-document API facade over the kernels.
+
+Lets a reference user switch with minimal changes:
+
+    import pdfplumber_spark.api as pdfplumber
+    with pdfplumber.open("doc.pdf") as pdf:
+        page = pdf.pages[0]
+        page.extract_text(layout=True)
+        page.extract_words(keep_blank_chars=True)
+        page.extract_table({"vertical_strategy": "text"})
+        page.crop((0, 80, page.width, 400)).extract_text()
+        page.search(r"\d{4}")
+
+This facade is single-process (it drives the same kernels the Spark
+executors run — SURVEY §1.3: the corpus-scale path is the DataFrame API in
+``plans/``). Objects are returned as list-of-dicts like the reference
+(``page.py:416-425``); frames back every accessor.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import List, Optional, Union
+
+import pandas as pd
+
+from .kernel.geom import (
+    bbox_overlap_mask,
+    crop_frame,
+    frame_bbox,
+    lines_to_edges,
+    rects_to_edges,
+    curves_to_edges,
+    within_bbox_mask,
+)
+from .kernel.layout import (
+    assemble_text_layout,
+    build_word_chars,
+    page_text,
+    search_text,
+    simple_text,
+)
+from .kernel.pdfparse import parse_pdf
+from .kernel.tables import (
+    extract_table_text,
+    find_tables_frame,
+    table_rows,
+)
+from .kernel.words import (
+    WordSettings,
+    dedupe_chars_frame,
+    extract_words_frame,
+)
+
+_WS_FIELDS = set(WordSettings.__dataclass_fields__)
+
+
+def _split_kwargs(kwargs: dict):
+    ws = {k: v for k, v in kwargs.items() if k in _WS_FIELDS}
+    rest = {k: v for k, v in kwargs.items() if k not in _WS_FIELDS}
+    return WordSettings(**ws), rest
+
+
+class Page:
+    def __init__(self, pdf: "PDF", interp, chars: pd.DataFrame,
+                 lines: pd.DataFrame, rects: pd.DataFrame,
+                 curves: pd.DataFrame):
+        self.pdf = pdf
+        self.page_number = interp.page_number
+        self.width = interp.width
+        self.height = interp.height
+        self.rotation = interp.rotation
+        self.initial_doctop = interp.initial_doctop
+        self._chars = chars
+        self._lines = lines
+        self._rects = rects
+        self._curves = curves
+        self._interp = interp
+
+    # --- object accessors (reference: container.py:32-66) -------------------
+    @property
+    def bbox(self):
+        return (0.0, 0.0, self.width, self.height)
+
+    @property
+    def chars(self) -> List[dict]:
+        return self._chars.to_dict("records")
+
+    @property
+    def lines(self) -> List[dict]:
+        return self._lines.to_dict("records")
+
+    @property
+    def rects(self) -> List[dict]:
+        return self._rects.to_dict("records")
+
+    @property
+    def curves(self) -> List[dict]:
+        return self._curves.to_dict("records")
+
+    @property
+    def images(self) -> List[dict]:
+        cols = ["name", "x0", "x1", "y0", "y1", "top", "bottom", "doctop",
+                "width", "height", "srcwidth", "srcheight", "bits", "imagemask"]
+        return [dict(zip(cols, im)) for im in self._interp.images]
+
+    @property
+    def annots(self) -> List[dict]:
+        return list(getattr(self._interp, "annot_rows", []))
+
+    @property
+    def hyperlinks(self) -> List[dict]:
+        return [a for a in self.annots if a.get("uri") is not None]
+
+    def _edges_frame(self) -> pd.DataFrame:
+        parts = []
+        if len(self._lines):
+            parts.append(lines_to_edges(self._lines))
+        if len(self._rects):
+            parts.append(rects_to_edges(self._rects))
+        if len(self._curves) and "pts" in self._curves.columns:
+            parts.append(curves_to_edges(self._curves))
+        if not parts:
+            return pd.DataFrame(
+                columns=["x0", "x1", "top", "bottom", "width", "height",
+                         "orientation", "object_type"]
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    @property
+    def edges(self) -> List[dict]:
+        return self._edges_frame().to_dict("records")
+
+    # --- text ---------------------------------------------------------------
+    def extract_text(self, **kwargs) -> str:
+        settings, rest = _split_kwargs(kwargs)
+        layout = bool(rest.pop("layout", False))
+        layout_kwargs = {}
+        if layout:
+            layout_kwargs = dict(
+                layout_bbox=rest.pop("layout_bbox", self.bbox),
+                layout_width=rest.pop("layout_width", self.width),
+                layout_height=rest.pop("layout_height", self.height),
+            )
+            for k in ("x_density", "y_density", "x_shift", "y_shift",
+                      "layout_width_chars", "layout_height_chars"):
+                if k in rest:
+                    layout_kwargs[k] = rest.pop(k)
+            if "layout_width_chars" in layout_kwargs:
+                layout_kwargs.pop("layout_width", None)
+            if "layout_height_chars" in layout_kwargs:
+                layout_kwargs.pop("layout_height", None)
+        return page_text(self._chars, settings, layout=layout, **layout_kwargs)
+
+    def extract_text_simple(self, **kwargs) -> str:
+        return simple_text(self._chars, **kwargs)
+
+    def extract_words(self, **kwargs) -> List[dict]:
+        settings, _ = _split_kwargs(kwargs)
+        words, _, _ = extract_words_frame(self._chars, settings)
+        return words.to_dict("records")
+
+    def search(self, pattern, regex: bool = True, case: bool = True,
+               main_group: int = 0, **kwargs) -> List[dict]:
+        settings, _ = _split_kwargs(kwargs)
+        words, cwid, cwpos = extract_words_frame(self._chars, settings)
+        if len(words) == 0:
+            return []
+        wc = build_word_chars(self._chars, cwid, cwpos, len(words))
+        rendered, prov = assemble_text_layout(
+            words, wc, layout_bbox=self.bbox,
+            layout_width=self.width, layout_height=self.height,
+        )
+        out = search_text(rendered, prov, self._chars, pattern,
+                          regex=regex, case=case, main_group=main_group)
+        return out.to_dict("records")
+
+    def extract_text_lines(self, strip: bool = True, **kwargs) -> List[dict]:
+        pat = r" *([^\n]+?) *(\n|$)" if strip else r"([^\n]+)"
+        settings, _ = _split_kwargs(kwargs)
+        words, cwid, cwpos = extract_words_frame(self._chars, settings)
+        if len(words) == 0:
+            return []
+        wc = build_word_chars(self._chars, cwid, cwpos, len(words))
+        rendered, prov = assemble_text_layout(
+            words, wc, layout_bbox=self.bbox,
+            layout_width=self.width, layout_height=self.height,
+        )
+        return search_text(
+            rendered, prov, self._chars, pat, main_group=1
+        ).to_dict("records")
+
+    # --- tables --------------------------------------------------------------
+    def find_tables(self, table_settings: Optional[dict] = None):
+        ts = dict(table_settings or {})
+        text_settings = {
+            k[5:]: ts.pop(k) for k in list(ts) if k.startswith("text_")
+        }
+        words = None
+        if "text" in (ts.get("vertical_strategy", "lines"),
+                      ts.get("horizontal_strategy", "lines")):
+            settings, _ = _split_kwargs(text_settings)
+            words, _, _ = extract_words_frame(self._chars, settings)
+        tables = find_tables_frame(
+            self._edges_frame(), words=words, page_bbox=self.bbox, **ts
+        )
+        return [Table(self, cells, text_settings) for cells in tables]
+
+    def extract_tables(self, table_settings: Optional[dict] = None):
+        return [t.extract() for t in self.find_tables(table_settings)]
+
+    def extract_table(self, table_settings: Optional[dict] = None):
+        tables = self.find_tables(table_settings)
+        if not tables:
+            return None
+        # largest; ties by top, x0 (page.py:439-454)
+        best = sorted(
+            tables,
+            key=lambda t: (-len(t.cells), t.bbox[1], t.bbox[0]),
+        )[0]
+        return best.extract()
+
+    # --- derived pages --------------------------------------------------------
+    def crop(self, bbox, relative: bool = False, strict: bool = True) -> "Page":
+        bbox = self._resolve_bbox(bbox, relative, strict)
+        return self._derive(lambda df: crop_frame(df, bbox))
+
+    def within_bbox(self, bbox, relative: bool = False, strict: bool = True) -> "Page":
+        bbox = self._resolve_bbox(bbox, relative, strict)
+        return self._derive(lambda df: df[within_bbox_mask(df, bbox)] if len(df) else df)
+
+    def outside_bbox(self, bbox, relative: bool = False, strict: bool = True) -> "Page":
+        bbox = self._resolve_bbox(bbox, relative, strict)
+        return self._derive(
+            lambda df: df[~bbox_overlap_mask(df, bbox)] if len(df) else df
+        )
+
+    def filter(self, test_function) -> "Page":
+        def f(df):
+            if not len(df):
+                return df
+            mask = df.apply(lambda row: test_function(row.to_dict()), axis=1)
+            return df[mask]
+
+        return self._derive(f)
+
+    def dedupe_chars(self, **kwargs) -> "Page":
+        out = Page(self.pdf, self._interp, dedupe_chars_frame(self._chars, **kwargs),
+                   self._lines, self._rects, self._curves)
+        return out
+
+    def _resolve_bbox(self, bbox, relative, strict):
+        x0, top, x1, bottom = bbox
+        if relative:
+            pass  # our pages always have origin (0, 0)
+        if strict:
+            if x0 > x1 or top > bottom:
+                raise ValueError(f"Bounding box {bbox} has negative size")
+            if not (x0 >= 0 and top >= 0):
+                raise ValueError(f"Bounding box {bbox} is not fully within page")
+        return (float(x0), float(top), float(x1), float(bottom))
+
+    def _derive(self, fn) -> "Page":
+        return Page(
+            self.pdf, self._interp, fn(self._chars), fn(self._lines),
+            fn(self._rects), fn(self._curves),
+        )
+
+
+class Table:
+    def __init__(self, page: Page, cells, text_settings=None):
+        self.page = page
+        self.cells = cells
+        self._text_settings = text_settings or {}
+
+    @property
+    def bbox(self):
+        return (
+            min(c[0] for c in self.cells),
+            min(c[1] for c in self.cells),
+            max(c[2] for c in self.cells),
+            max(c[3] for c in self.cells),
+        )
+
+    @property
+    def rows(self):
+        return table_rows(self.cells)
+
+    def extract(self, **kwargs):
+        ts = {**self._text_settings, **kwargs}
+        return extract_table_text(self.cells, self.page._chars, ts)
+
+
+class PDF:
+    def __init__(self, data: bytes, pages: Optional[List[int]] = None):
+        interps = parse_pdf(data)
+        self.pages: List[Page] = []
+        for interp in interps:
+            if pages is not None and interp.page_number not in pages:
+                continue
+            n = interp.n_chars
+            import numpy as np
+
+            from .kernel.pdfparse import CHAR_COLUMNS, LINE_COLUMNS
+
+            if n:
+                nums = np.frombuffer(interp.ch_num, dtype=np.float64).reshape(n, 12)
+                chars = pd.DataFrame(
+                    {
+                        "char_index": np.arange(n),
+                        "text": interp.ch_text,
+                        "fontname": interp.ch_font,
+                        **{
+                            name: nums[:, k]
+                            for k, name in enumerate(
+                                ("size", "adv", "upright", "x0", "x1", "y0",
+                                 "y1", "top", "bottom", "doctop", "width",
+                                 "height")
+                            )
+                        },
+                    }
+                )
+                chars["upright"] = chars["upright"].astype(int)
+                chars["object_type"] = "char"
+            else:
+                chars = pd.DataFrame(
+                    columns=["char_index", "text", "fontname", "size", "adv",
+                             "upright", "x0", "x1", "y0", "y1", "top",
+                             "bottom", "doctop", "width", "height",
+                             "object_type"]
+                )
+            lines = pd.DataFrame(
+                [ln for ln in interp.lines], columns=LINE_COLUMNS
+            )
+            lines["object_type"] = "line"
+            rects = pd.DataFrame([r for r in interp.rects], columns=LINE_COLUMNS)
+            rects["object_type"] = "rect"
+            curves = pd.DataFrame([c for c in interp.curves], columns=LINE_COLUMNS)
+            curves["object_type"] = "curve"
+            self.pages.append(Page(self, interp, chars, lines, rects, curves))
+
+    @property
+    def chars(self):
+        return [c for p in self.pages for c in p.chars]
+
+    @property
+    def objects(self):
+        return {
+            "char": self.chars,
+            "line": [o for p in self.pages for o in p.lines],
+            "rect": [o for p in self.pages for o in p.rects],
+            "curve": [o for p in self.pages for o in p.curves],
+        }
+
+    def close(self):
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+def open(path_or_fp: Union[str, bytes, io.IOBase], pages=None) -> PDF:  # noqa: A001
+    """pdfplumber.open analogue (``pdf.py:65-108``): path / file-like /
+    raw bytes; ``pages`` subsets 1-based page numbers."""
+    if isinstance(path_or_fp, (bytes, bytearray)):
+        data = bytes(path_or_fp)
+    elif hasattr(path_or_fp, "read"):
+        data = path_or_fp.read()
+    else:
+        import builtins
+
+        with builtins.open(path_or_fp, "rb") as f:
+            data = f.read()
+    return PDF(data, pages=pages)
