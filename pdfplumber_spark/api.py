@@ -293,6 +293,9 @@ class Table:
 
 class PDF:
     def __init__(self, data: bytes, pages: Optional[List[int]] = None):
+        from .kernel.pdfparse import PDFDocument
+
+        self.metadata = PDFDocument(data).metadata()
         interps = parse_pdf(data)
         self.pages: List[Page] = []
         for interp in interps:

@@ -78,12 +78,15 @@ def assemble_text(
     y_tolerance: float = DEFAULT_Y_TOLERANCE,
     line_dir_render: Optional[str] = None,
     char_dir_render: Optional[str] = None,
+    preserve_order: bool = False,
 ) -> str:
     """Non-layout extract_text body (``text.py:730-758``).
 
     Words arrive in extractor emission order; they are clustered on the
     line key (tolerance chooses y vs x by the *render* line direction, a
     reference quirk at ``text.py:743-747``) and joined.
+    ``preserve_order`` (use_text_flow, issue #982) groups adjacent runs
+    instead of re-sorting clusters, keeping stream order.
     """
     if len(words) == 0:
         return ""
@@ -92,7 +95,7 @@ def assemble_text(
     vals = word_line_key(words, line_dir)
     tol = y_tolerance if ldr in ("ttb", "btt") else x_tolerance
     cids = assign_clusters(vals, tol)
-    groups = group_rows_by_cluster(cids, preserve_order=False)
+    groups = group_rows_by_cluster(cids, preserve_order=preserve_order)
     texts = words["text"].to_numpy(dtype=object)
     base = "\n".join(" ".join(texts[i] for i in grp) for grp in groups)
     return render_directions(base, ldr, cdr)
@@ -309,6 +312,7 @@ def page_text(
             y_tolerance=s.y_tolerance,
             line_dir_render=line_dir_render,
             char_dir_render=char_dir_render,
+            preserve_order=s.use_text_flow,
         )
     if layout_bbox is None:
         from .geom import frame_bbox

@@ -269,12 +269,38 @@ _WINANSI = {
 }
 
 
+# CP936-bytes fontname normalization (reference page.py:76-94; map via
+# the public mupdf pdf-font.c table)
+CP936_FONTNAMES = {
+    b"\xcb\xce\xcc\xe5": "SimSun,Regular",
+    b"\xba\xda\xcc\xe5": "SimHei,Regular",
+    b"\xbf\xac\xcc\xe5_GB2312": "SimKai,Regular",
+    b"\xb7\xc2\xcb\xce_GB2312": "SimFang,Regular",
+    b"\xc1\xa5\xca\xe9": "SimLi,Regular",
+}
+
+
+def normalize_fontname(name: str) -> str:
+    """Byte-encoded (CP936) fontnames -> canonical; subset prefix kept
+    (``page.py:85-94`` semantics, incl. the str(bytes)[2:-1] fallback)."""
+    raw = name.encode("latin-1", "replace")
+    if raw.isascii():
+        return name
+    if b"+" in raw:
+        at = raw.index(b"+") + 1
+        prefix, suffix = raw[:at], raw[at:]
+    else:
+        prefix, suffix = b"", raw
+    suffix_new = CP936_FONTNAMES.get(suffix, str(suffix)[2:-1])
+    return str(prefix)[2:-1] + suffix_new
+
+
 class Font:
     """Simple (1-byte) font: widths, encoding, ToUnicode."""
 
     def __init__(self, doc: "PDFDocument", spec: dict, name: str):
         self.name = name
-        self.basefont = str(spec.get("BaseFont", name))
+        self.basefont = normalize_fontname(str(spec.get("BaseFont", name)))
         self.first_char = doc.resolve(spec.get("FirstChar", 0)) or 0
         widths = doc.resolve(spec.get("Widths"))
         self.widths: Dict[int, float] = {}
@@ -687,6 +713,38 @@ class PDFDocument:
             depth += 1
         return obj
 
+    # -- metadata -------------------------------------------------------------
+
+    def metadata(self) -> dict:
+        """Resolved+decoded Info dict (``pdf.py:47-63`` semantics):
+        PDFDocEncoding/UTF-16 text decode, ints/floats kept native."""
+        info = self.resolve(self.trailer.get("Info"))
+        out = {}
+        if not isinstance(info, dict):
+            return out
+        for k, v in info.items():
+            v = self.resolve(v)
+            if isinstance(v, (bytes, bytearray)):
+                b = bytes(v)
+                if b[:2] in (b"\xfe\xff", b"\xff\xfe"):
+                    try:
+                        out[k] = b.decode("utf-16")
+                        continue
+                    except UnicodeDecodeError:
+                        pass
+                out[k] = b.decode("latin-1")
+            elif isinstance(v, (int, float, bool)) or v is None:
+                out[k] = v
+            elif isinstance(v, list):
+                out[k] = [
+                    self.resolve(x) if not isinstance(x, (bytes, bytearray))
+                    else bytes(x).decode("latin-1")
+                    for x in v
+                ]
+            else:
+                out[k] = str(v)
+        return out
+
     # -- page tree -----------------------------------------------------------
 
     def pages(self) -> List[dict]:
@@ -874,6 +932,10 @@ class PageInterpreter:
         self.width = x1 - x0
         self.height = y1 - y0
         self.rotation = int(doc.resolve(page_spec.get("Rotate", 0)) or 0) % 360
+        if self.rotation in (90, 270):
+            self.width, self.height = self.height, self.width
+        # device-space y extent: the y-flip base (page.py:192-197 analogue)
+        self._flip_h = self.height
         res = doc.resolve(page_spec.get("Resources")) or {}
         self.resources = res
         self.fonts = self._load_fonts(res)
@@ -918,7 +980,7 @@ class PageInterpreter:
 
     # device-space (bottom-up) -> page top-left space
     def _flip(self, y: float) -> float:
-        return self.mb[3] - y
+        return self._flip_h - y
 
     def annots(self, page_spec: dict) -> List[dict]:
         """Annotation rows (``page.py:280-319`` semantics): rect y-flipped
@@ -966,17 +1028,18 @@ class PageInterpreter:
 
     def run(self):
         # base CTM: translate mediabox origin to 0 + rotation
+        # base CTM per rotation — pdfminer's convention (pdfinterp
+        # process_page), which the reference's upright/direction semantics
+        # are built around
         x0, y0, x1, y1 = self.mb
         if self.rotation == 90:
-            ctm = (0.0, 1.0, -1.0, 0.0, y1, -x0)
+            ctm = (0.0, -1.0, 1.0, 0.0, -y0, x1)
         elif self.rotation == 180:
             ctm = (-1.0, 0.0, 0.0, -1.0, x1, y1)
         elif self.rotation == 270:
-            ctm = (0.0, -1.0, 1.0, 0.0, -y0, x1)
+            ctm = (0.0, 1.0, -1.0, 0.0, y1, -x0)
         else:
             ctm = (1.0, 0.0, 0.0, 1.0, -x0, -y0)
-        if self.rotation in (90, 270):
-            self.width, self.height = self.height, self.width
         self._exec(self.contents, ctm, self.fonts, self.resources)
         return self
 
@@ -1304,8 +1367,8 @@ class PageInterpreter:
         y1d = d * (descent + rise + fontsize) + f_i
         x0d = emit_x * a + e
         x1d = a * adv + x0d
-        top = self.mb[3] - y1d
-        bottom = self.mb[3] - y0d
+        top = self._flip_h - y1d
+        bottom = self._flip_h - y0d
         size = y1d - y0d  # upright by construction (a>0, d>0)
 
         self.ch_text.extend(uvec[cid] for cid in cids)

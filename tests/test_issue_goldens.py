@@ -1,0 +1,89 @@
+"""Reference issue-regression expectations (tests/test_issues.py) via the
+API facade, where the fixture is parseable offline."""
+
+import re
+
+import pytest
+
+import pdfplumber_spark.api as pdfplumber
+from pdfplumber_spark.kernel.pdfparse import normalize_fontname
+
+PDFS = "/root/reference/tests/pdfs"
+
+
+def test_issue_140_cropped_table():
+    # test_issues.py:150-155
+    with pdfplumber.open(f"{PDFS}/issue-140-example.pdf") as pdf:
+        page = pdf.pages[0]
+        cropped = page.crop((0, 0, page.width, 122))
+        assert len(cropped.extract_table()) == 5
+
+
+def test_issue_216_no_table_returns_none():
+    # test_issues.py:162-170
+    with pdfplumber.open(f"{PDFS}/issue-140-example.pdf") as pdf:
+        cropped = pdf.pages[0].crop((0, 0, 1, 1))
+        assert cropped.extract_table() is None
+
+
+def test_issue_461_842_fontname_bytes():
+    # test_issues.py:199-222
+    assert normalize_fontname(
+        b"RGJSAP+\xcb\xce\xcc\xe5".decode("latin-1")
+    ) == "RGJSAP+SimSun,Regular"
+    assert normalize_fontname(
+        b"\xcb\xce\xcc\xe5".decode("latin-1")
+    ) == "SimSun,Regular"
+    for name in ("issue-461-example", "issue-842-example"):
+        with pdfplumber.open(f"{PDFS}/{name}.pdf") as pdf:
+            page = pdf.pages[0]
+            assert page.chars
+            assert all(isinstance(c["fontname"], str) for c in page.chars)
+            page.dedupe_chars()
+
+
+def test_issue_598_ligatures():
+    # test_issues.py:233-249
+    with pdfplumber.open(f"{PDFS}/issue-598-example.pdf") as pdf:
+        page = pdf.pages[0]
+        a = page.extract_text()
+        assert "fiction" in a and "ﬁction" not in a
+        b = page.extract_text(expand_ligatures=False)
+        assert "ﬁction" in b and "fiction" not in b
+        assert page.extract_words()[53]["text"] == "fiction"
+        assert page.extract_words(expand_ligatures=False)[53]["text"] == "ﬁction"
+
+
+def test_issue_683_search_multichar():
+    # test_issues.py:251-264 (ligature len > 1 in search)
+    with pdfplumber.open(f"{PDFS}/issue-71-duplicate-chars-2.pdf") as pdf:
+        pdf.pages[0].search(r"\d+", regex=True)
+
+
+def test_issue_982_use_text_flow():
+    # test_issues.py:267-282
+    with pdfplumber.open(f"{PDFS}/issue-982-example.pdf") as pdf:
+        page = pdf.pages[0]
+        text = re.sub(r"\s+", " ", page.extract_text(use_text_flow=True))
+        words = " ".join(
+            w["text"] for w in page.extract_words(use_text_flow=True)
+        )
+        assert text[0:100] == words[0:100]
+
+
+def test_issue_33_objects():
+    with pdfplumber.open(f"{PDFS}/issue-33-lorem-ipsum.pdf") as pdf:
+        assert pdf.objects["char"]
+
+
+def test_issue_53_objects():
+    with pdfplumber.open(f"{PDFS}/issue-53-example.pdf") as pdf:
+        assert pdf.objects["char"]
+
+
+def test_extra_attrs():
+    # test_issues.py issue-67 family: words split by size via extra_attrs
+    with pdfplumber.open(f"{PDFS}/issue-67-example.pdf") as pdf:
+        words = pdf.pages[0].extract_words(extra_attrs=["size"])
+        assert words
+        assert all("size" in w for w in words)
