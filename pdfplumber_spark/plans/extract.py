@@ -334,6 +334,89 @@ def extract_tables(
     return src.mapInPandas(run, schema=TABLES_SCHEMA)
 
 
+# --- skew handling: mega-document page explosion (SCALE.md §2.1) -------------
+
+def explode_skewed(
+    pages: DataFrame,
+    page_threshold: int = 50,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Split payloads with more than ``page_threshold`` pages into per-page
+    1-page payload rows, so page-level parallelism caps task skew.
+
+    Output schema: (url, page_base, html). ``page_base`` is the original
+    page number for exploded rows, 0 for intact documents. The xref-only
+    page count is cheap (~2 ms/page to split; stream bytes copied raw).
+    """
+    from pyspark.sql import types as T
+
+    from ..kernel.pdfsplit import count_pages, split_pdf_pages
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("page_base", T.IntegerType(), False),
+            T.StructField("html", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for url, payload in zip(batch["url"], batch["html"]):
+                data = bytes(payload) if payload is not None else b""
+                if data[:5] == b"%PDF-" and count_pages(data) > page_threshold:
+                    try:
+                        parts = split_pdf_pages(data)
+                    except Exception:  # noqa: BLE001
+                        rows.append((url, 0, data))
+                        continue
+                    for i, part in enumerate(parts):
+                        rows.append((url, i + 1, part))
+                else:
+                    rows.append((url, 0, payload))
+            yield pd.DataFrame(rows, columns=["url", "page_base", "html"])
+
+    src = partition_by_url(pages.select("url", "html"), num_partitions)
+    return src.mapInPandas(run, schema=schema)
+
+
+def extract_text_salted(
+    pages: DataFrame,
+    layout: bool = False,
+    page_threshold: int = 50,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """extract_text with mega-document page salting: skewed docs explode to
+    per-page rows BEFORE the parse stage; the second repartition spreads
+    the exploded pages across the cluster."""
+    exploded = explode_skewed(pages, page_threshold, num_partitions)
+    # second spread: exploded pages of one url get distinct partitions
+    exploded = exploded.repartition(
+        *([num_partitions] if num_partitions else []),
+        F.xxhash64("url", "page_base"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for url, base, payload in zip(
+                batch["url"], batch["page_base"], batch["html"]
+            ):
+                rows = _payload_to_text_rows(url, payload, layout)
+                if base:
+                    # single-page payload: restore the original page number
+                    rows = [(r[0], int(base)) + r[2:] for r in rows]
+                out.extend(rows)
+            yield pd.DataFrame(
+                out,
+                columns=["url", "page_number", "text", "n_chars", "n_words",
+                         "status", "error"],
+            )
+
+    return exploded.mapInPandas(run, schema=EXTRACTED_SCHEMA)
+
+
 # --- annots / hyperlinks -----------------------------------------------------
 
 def extract_annots(
