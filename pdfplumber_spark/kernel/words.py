@@ -200,11 +200,11 @@ def _boundary_word_ids(
             (bool(t) and str(t).isspace() for t in text), bool, count=n
         )
     punct = s._punct
-    if punct:
-        is_punct = np.fromiter((str(t) in punct for t in text), bool, count=n)
-        is_punct &= ~is_blank
-    else:
-        is_punct = np.zeros(n, dtype=bool)
+    # NB: `"" in punct` is True for ANY punct string (incl. ""), so
+    # empty-text chars always split as single-char words — a reference
+    # quirk (text.py:621: `text in self.split_at_punctuation`)
+    is_punct = np.fromiter((str(t) in punct for t in text), bool, count=n)
+    is_punct &= ~is_blank
 
     kept = np.flatnonzero(~is_blank)
     out = np.full(n, -1, dtype=np.int64)
