@@ -292,11 +292,11 @@ class Table:
 
 
 class PDF:
-    def __init__(self, data: bytes, pages: Optional[List[int]] = None):
+    def __init__(self, data: bytes, pages: Optional[List[int]] = None, password: str = ""):
         from .kernel.pdfparse import PDFDocument
 
-        self.metadata = PDFDocument(data).metadata()
-        interps = parse_pdf(data)
+        self.metadata = PDFDocument(data, password=password).metadata()
+        interps = parse_pdf(data, password=password)
         self.pages: List[Page] = []
         for interp in interps:
             if pages is not None and interp.page_number not in pages:
@@ -365,7 +365,7 @@ class PDF:
         self.close()
 
 
-def open(path_or_fp: Union[str, bytes, io.IOBase], pages=None) -> PDF:  # noqa: A001
+def open(path_or_fp: Union[str, bytes, io.IOBase], pages=None, password: str = "") -> PDF:  # noqa: A001
     """pdfplumber.open analogue (``pdf.py:65-108``): path / file-like /
     raw bytes; ``pages`` subsets 1-based page numbers."""
     if isinstance(path_or_fp, (bytes, bytearray)):
@@ -377,4 +377,4 @@ def open(path_or_fp: Union[str, bytes, io.IOBase], pages=None) -> PDF:  # noqa: 
 
         with builtins.open(path_or_fp, "rb") as f:
             data = f.read()
-    return PDF(data, pages=pages)
+    return PDF(data, pages=pages, password=password)

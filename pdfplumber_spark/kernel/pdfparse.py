@@ -442,7 +442,10 @@ class StreamObj:
         for i, f in enumerate(filters):
             fname = str(doc.resolve(f))
             if fname in ("FlateDecode", "Fl"):
-                data = zlib.decompress(data)
+                try:
+                    data = zlib.decompress(data)
+                except zlib.error:
+                    data = _tolerant_inflate(data)
                 p = doc.resolve(parms_list[i]) if i < len(parms_list) else None
                 if isinstance(p, dict) and doc.resolve(p.get("Predictor", 1)) and int(
                     doc.resolve(p.get("Predictor", 1))
@@ -453,13 +456,107 @@ class StreamObj:
                         int(doc.resolve(p.get("Colors", 1))),
                         int(doc.resolve(p.get("BitsPerComponent", 8))),
                     )
+            elif fname in ("LZWDecode", "LZW"):
+                data = _lzw_decode(data)
+                p = doc.resolve(parms_list[i]) if i < len(parms_list) else None
+                if isinstance(p, dict) and int(doc.resolve(p.get("Predictor", 1)) or 1) >= 10:
+                    data = _png_predictor(
+                        data,
+                        int(doc.resolve(p.get("Columns", 1))),
+                        int(doc.resolve(p.get("Colors", 1))),
+                        int(doc.resolve(p.get("BitsPerComponent", 8))),
+                    )
+            elif fname in ("ASCII85Decode", "A85"):
+                import base64
+
+                body = data.split(b"~>")[0]
+                body = re.sub(rb"\s", b"", body)
+                if body.startswith(b"<~"):
+                    body = body[2:]
+                data = base64.a85decode(body)
+            elif fname in ("RunLengthDecode", "RL"):
+                data = _rle_decode(data)
             elif fname == "ASCIIHexDecode":
                 hx = re.sub(rb"[^0-9A-Fa-f]", b"", data.split(b">")[0])
                 if len(hx) % 2:
                     hx += b"0"
                 data = bytes.fromhex(hx.decode())
-            # unknown filters: pass through
+            # unknown filters (DCT/JPX/CCITT images): pass through raw
         return data
+
+
+def _tolerant_inflate(data: bytes) -> bytes:
+    """Best-effort inflate for streams with broken headers/trailers
+    (reference analogue: the ghostscript repair path)."""
+    for skip in (0, 1, 2):
+        try:
+            d = zlib.decompressobj()
+            out = d.decompress(data[skip:])
+            return out
+        except zlib.error:
+            continue
+    # raw deflate (no zlib header)
+    try:
+        return zlib.decompressobj(-15).decompress(data)
+    except zlib.error:
+        return b""
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """PDF LZWDecode (ISO 32000 §7.4.4): 9-12 bit variable codes,
+    256=clear, 257=EOD, early-change table growth."""
+    out = bytearray()
+    table: List[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    bits = 9
+    acc = 0
+    nbits = 0
+    prev: Optional[bytes] = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= bits:
+            code = (acc >> (nbits - bits)) & ((1 << bits) - 1)
+            nbits -= bits
+            if code == 256:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                bits = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            # early change: bump width one code before the table fills
+            if len(table) + 1 >= (1 << bits) and bits < 12:
+                bits += 1
+    return bytes(out)
+
+
+def _rle_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        length = data[i]
+        i += 1
+        if length == 128:
+            break
+        if length < 128:
+            out += data[i : i + length + 1]
+            i += length + 1
+        else:
+            if i < n:
+                out += bytes([data[i]]) * (257 - length)
+                i += 1
+    return bytes(out)
 
 
 def _png_predictor(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
@@ -502,16 +599,122 @@ def _png_predictor(data: bytes, columns: int, colors: int, bpc: int) -> bytes:
     return bytes(out)
 
 
-class PDFDocument:
-    """Random-access PDF object store: xref (classic + stream), ObjStm."""
+# standard security handler (ISO 32000 §7.6.3): RC4 variants
+_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+        0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
 
-    def __init__(self, data: bytes):
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = b ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_key(password: bytes, o_entry: bytes, p: int, id0: bytes,
+             r: int, key_len: int, encrypt_metadata: bool = True) -> bytes:
+    """Algorithm 2: encryption key from the (padded) user password."""
+    import hashlib as _hl
+
+    padded = (password + _PAD)[:32]
+    h = _hl.md5(padded)
+    h.update(o_entry[:32])
+    h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
+    h.update(id0)
+    if r >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = _hl.md5(key[:key_len]).digest()
+    return key[:key_len]
+
+
+class PDFDocument:
+    """Random-access PDF object store: xref (classic + stream), ObjStm,
+    RC4 standard-security decryption."""
+
+    def __init__(self, data: bytes, password: str = ""):
         self.data = data
         self.xref: Dict[int, Tuple[str, int, int]] = {}  # num -> (kind, a, b)
         self.trailer: dict = {}
         self._cache: Dict[int, object] = {}
         self._objstm_cache: Dict[int, Dict[int, object]] = {}
+        self._enc_key: Optional[bytes] = None
         self._load_xref()
+        self._init_encryption(password.encode("latin-1", "replace"))
+
+    def _init_encryption(self, password: bytes) -> None:
+        enc_ref = self.trailer.get("Encrypt")
+        if enc_ref is None:
+            return
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict) or str(self.resolve(enc.get("Filter"))) != "Standard":
+            return
+        v = int(self.resolve(enc.get("V", 0)) or 0)
+        r = int(self.resolve(enc.get("R", 2)) or 2)
+        if v not in (1, 2, 4):
+            return  # V5/AES-256 unsupported offline
+        if v == 4:
+            cf = self.resolve(enc.get("CF")) or {}
+            stdcf = self.resolve(cf.get("StdCF")) or {}
+            if str(self.resolve(stdcf.get("CFM"))) != "V2":
+                return  # AESV2 unsupported (needs an AES impl)
+        length = int(self.resolve(enc.get("Length", 40)) or 40) // 8
+        o_entry = bytes(self.resolve(enc.get("O")) or b"")
+        p = int(self.resolve(enc.get("P", -1)) or -1)
+        ids = self.resolve(self.trailer.get("ID")) or [b""]
+        id0 = bytes(self.resolve(ids[0]) or b"")
+        em = self.resolve(enc.get("EncryptMetadata", True))
+        self._enc_key = _std_key(
+            password, o_entry, p, id0, r, length,
+            encrypt_metadata=bool(em if em is not None else True),
+        )
+        self._enc_exempt = {enc_ref.num} if isinstance(enc_ref, Ref) else set()
+
+    def _obj_rc4_key(self, num: int, gen: int) -> bytes:
+        import hashlib as _hl
+
+        k = self._enc_key
+        h = _hl.md5(
+            k + (num & 0xFFFFFF).to_bytes(3, "little")
+            + (gen & 0xFFFF).to_bytes(2, "little")
+        ).digest()
+        return h[: min(len(k) + 5, 16)]
+
+    def _decrypt_obj(self, obj, num: int, gen: int, depth: int = 0):
+        if depth > 32:
+            return obj
+        if isinstance(obj, StreamObj):
+            key = self._obj_rc4_key(num, gen)
+            return StreamObj(
+                self._decrypt_obj(obj.attrs, num, gen, depth + 1),
+                _rc4(key, obj.raw),
+            )
+        if isinstance(obj, (bytes, bytearray)):
+            return _rc4(self._obj_rc4_key(num, gen), bytes(obj))
+        if isinstance(obj, dict):
+            return {
+                k: self._decrypt_obj(v, num, gen, depth + 1)
+                for k, v in obj.items()
+            }
+        if isinstance(obj, list):
+            return [self._decrypt_obj(v, num, gen, depth + 1) for v in obj]
+        return obj
 
     # -- xref loading --------------------------------------------------------
 
@@ -678,7 +881,17 @@ class PDFDocument:
             if not (isinstance(t1, int) and t3 == ("kw", "obj")):
                 return None
             obj = self._parse_indirect_body(lex)
-        else:  # in object stream
+            if self._enc_key is not None and num not in getattr(
+                self, "_enc_exempt", ()
+            ):
+                gen = t2 if isinstance(t2, int) else 0
+                # xref streams are never encrypted (ISO 32000 §7.5.8.2)
+                if not (
+                    isinstance(obj, StreamObj)
+                    and str(obj.attrs.get("Type", "")) == "XRef"
+                ):
+                    obj = self._decrypt_obj(obj, num, gen)
+        else:  # in object stream (container already decrypted)
             obj = self._get_from_objstm(a, b)
         self._cache[num] = obj
         return obj
@@ -1002,10 +1215,14 @@ class PageInterpreter:
             }
             for k, v in extras.items():
                 if isinstance(v, (bytes, bytearray)):
+                    b = bytes(v)
                     try:
-                        extras[k] = bytes(v).decode("utf-8")
+                        extras[k] = b.decode("utf-8")
                     except UnicodeDecodeError:
-                        extras[k] = bytes(v).decode("utf-16")
+                        try:
+                            extras[k] = b.decode("utf-16")
+                        except UnicodeDecodeError:
+                            extras[k] = b.decode("latin-1")
                 elif v is not None:
                     extras[k] = str(v)
             out.append(
@@ -1464,9 +1681,9 @@ class PageInterpreter:
             self.curves.append(row)
 
 
-def parse_pdf(data: bytes, style: bool = True) -> List[PageInterpreter]:
+def parse_pdf(data: bytes, style: bool = True, password: str = "") -> List[PageInterpreter]:
     """Parse a PDF into per-page interpreters (already run)."""
-    doc = PDFDocument(data)
+    doc = PDFDocument(data, password=password)
     specs = doc.pages()
     out = []
     doctop = 0.0
@@ -1479,13 +1696,13 @@ def parse_pdf(data: bytes, style: bool = True) -> List[PageInterpreter]:
     return out
 
 
-def pdf_to_frames(data: bytes, style: bool = True) -> Dict[str, pd.DataFrame]:
+def pdf_to_frames(data: bytes, style: bool = True, password: str = "") -> Dict[str, pd.DataFrame]:
     """Parse PDF bytes -> dict of object DataFrames (chars/lines/rects/
     curves/pages) with page_number and ingestion-order index columns.
 
     ``style=False`` skips per-char matrix/color capture (text-extraction
     fast path; the columns are present but null)."""
-    pages = parse_pdf(data, style=style)
+    pages = parse_pdf(data, style=style, password=password)
     lines_rows, rects_rows, curves_rows, pages_rows = [], [], [], []
     # chars: zero-copy from the interpreters' flat typed buffers
     num_parts = []

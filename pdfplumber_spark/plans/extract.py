@@ -417,6 +417,66 @@ def extract_text_salted(
     return exploded.mapInPandas(run, schema=EXTRACTED_SCHEMA)
 
 
+def extract_page_meta(
+    pages: DataFrame, num_partitions: Optional[int] = None
+) -> DataFrame:
+    """pages -> (url, page_number, width, height, rotation) per PDF page."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("page_number", T.IntegerType(), False),
+            T.StructField("width", T.DoubleType(), True),
+            T.StructField("height", T.DoubleType(), True),
+            T.StructField("rotation", T.IntegerType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in schema.fields]
+        for batch in batches:
+            outs = []
+            for url, payload in zip(batch["url"], batch["html"]):
+                if payload is None or bytes(payload)[:5] != b"%PDF-":
+                    continue
+                try:
+                    meta = pdf_to_frames(bytes(payload), style=False)["pages"]
+                except Exception:  # noqa: BLE001
+                    continue
+                m = meta.copy()
+                m["url"] = url
+                outs.append(m[cols])
+            yield (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame(columns=cols)
+            )
+
+    src = partition_by_url(pages.select("url", "html"), num_partitions)
+    return src.mapInPandas(run, schema=schema)
+
+
+def with_doc_doctop(df: DataFrame, page_meta: DataFrame) -> DataFrame:
+    """Recompute document-level ``doctop`` = top + cumulative height of
+    preceding pages (``pdf.py:135-144``) — the window form, needed after
+    page-salted parses where each part only knows its own page."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("url")
+        .orderBy("page_number")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = page_meta.select(
+        "url", "page_number",
+        F.coalesce(F.sum("height").over(w), F.lit(0.0)).alias("initial_doctop"),
+    )
+    return df.join(offsets, ["url", "page_number"], "left").withColumn(
+        "doctop", F.col("top") + F.coalesce("initial_doctop", F.lit(0.0))
+    ).drop("initial_doctop")
+
+
 # --- annots / hyperlinks -----------------------------------------------------
 
 def extract_annots(

@@ -87,3 +87,17 @@ def test_extra_attrs():
         words = pdf.pages[0].extract_words(extra_attrs=["size"])
         assert words
         assert all("size" in w for w in words)
+
+
+def test_pr_138_encrypted_rc4_v4():
+    # test_issues.py:137-148: RC4-128 (V4/StdCF) encrypted doc, empty password
+    with pdfplumber.open(f"{PDFS}/pr-138-example.pdf") as pdf:
+        page = pdf.pages[0]
+        assert len(page.chars) == 5140
+        assert "Home Loan Interest Rates" in page.extract_text()
+
+
+def test_password_protected_rc4_v2():
+    # test_basics.py:154-157: RC4 V2/R3 with user password
+    with pdfplumber.open(f"{PDFS}/password-example.pdf", password="test") as pdf:
+        assert "Backup4all" in pdf.pages[0].extract_text()
