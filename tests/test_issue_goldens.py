@@ -101,3 +101,31 @@ def test_password_protected_rc4_v2():
     # test_basics.py:154-157: RC4 V2/R3 with user password
     with pdfplumber.open(f"{PDFS}/password-example.pdf", password="test") as pdf:
         assert "Backup4all" in pdf.pages[0].extract_text()
+
+
+def test_dedupe_chars_cjk_goldens():
+    # reference tests/test_dedupe_chars.py:23-74 (CID fonts, CJK text)
+    with pdfplumber.open(f"{PDFS}/issue-71-duplicate-chars.pdf") as pdf:
+        page = pdf.pages[0]
+        assert page.extract_text().split("\n")[-1] == (
+            "微微软软 培培训训课课程程：： 名名模模意意义义一一些些有有意意义义一一些些"
+        )
+        assert page.dedupe_chars().extract_text().split("\n")[-1] == (
+            "微软 培训课程： 名模意义一些有意义一些"
+        )
+        w = page.extract_words()[-1]
+        wd = page.dedupe_chars().extract_words()[-1]
+        assert round(w["x0"], 3) == 440.143
+        assert round(w["x1"], 3) == 534.992
+        assert round(wd["x1"], 3) == 534.719
+        assert w["text"] == "名名模模意意义义一一些些有有意意义义一一些些"
+        assert wd["text"] == "名模意义一些有意义一些"
+
+
+def test_dedupe_chars_accents():
+    # reference tests/test_dedupe_chars.py:67-74
+    with pdfplumber.open(f"{PDFS}/issue-71-duplicate-chars-2.pdf") as pdf:
+        assert (
+            pdf.pages[0].dedupe_chars().extract_text(y_tolerance=6).splitlines()[4]
+            == "UE 8. Circulation - Métabolismes"
+        )
