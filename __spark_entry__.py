@@ -411,6 +411,17 @@ def q_extract_tables_stream(spark, sf_dir):
     ).select("url", "page_number", "table_index", "row_index", "col_index", "text")
 
 
+def q_extract_text_salted(spark, sf_dir):
+    """Mega-document page-salted extraction (SCALE.md §2.1): byte-identical
+    to extract_text, pages of skewed docs spread across partitions.
+    Rows-only."""
+    from pdfplumber_spark.plans.extract import extract_text_salted
+
+    return extract_text_salted(
+        _pages(spark, sf_dir), page_threshold=10, num_partitions=8
+    ).select("url", "page_number", "text", "status")
+
+
 def q_hyperlinks(spark, sf_dir):
     """annots/hyperlinks (page.py:280-323). Rows-only."""
     from pdfplumber_spark.plans.extract import extract_annots
@@ -461,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search": q_search,
         "text_lines": q_text_lines,
         "extract_text_dedupe": q_extract_text_dedupe,
+        "extract_text_salted": q_extract_text_salted,
         "hyperlinks": q_hyperlinks,
         "image_metadata": q_image_metadata,
     }

@@ -121,6 +121,12 @@ def main() -> None:
         "docs_per_sec_32": round(dps_n, 2),
         "docs_per_sec_8": round(dps_small, 2) if dps_small else None,
         "scaling_efficiency": round(efficiency, 3) if efficiency else None,
+        "scaling_note": (
+            "quick per-round pair on a small corpus (walls of a few sec are "
+            "scheduler-dominated); protocol-grade measurement (>=50s walls, "
+            "64k docs) in BENCH/BASELINE.md: 4->16 cores eff 1.036, 8->32 "
+            "hardware-bound 0.71 with Spark == raw-multiprocessing throughput"
+        ),
     }
     print(json.dumps(out))
 
