@@ -343,6 +343,25 @@ def page_text(
     return text
 
 
+def page_text_ca(ca, settings: Optional[WordSettings] = None) -> str:
+    """Non-layout extract_text straight from CharArrays (parser buffers) —
+    the extraction fast path (no pandas for the char table)."""
+    from .words import extract_words_ca
+
+    s = settings or WordSettings()
+    if ca.n == 0:
+        return ""
+    words, _, _ = extract_words_ca(ca, s)
+    return assemble_text(
+        words,
+        line_dir=s.line_dir,
+        char_dir=s.char_dir,
+        x_tolerance=s.x_tolerance,
+        y_tolerance=s.y_tolerance,
+        preserve_order=s.use_text_flow,
+    )
+
+
 def build_word_chars(
     chars: pd.DataFrame,
     char_word_id: np.ndarray,

@@ -132,6 +132,26 @@ class CharArrays:
         self.upright = chars["upright"].to_numpy()
         self.extra = {a: chars[a].to_numpy(dtype=object) for a in extra_attrs}
 
+    @classmethod
+    def from_arrays(cls, text, nums) -> "CharArrays":
+        """Build directly from the parser's flat buffers (no pandas):
+        ``nums`` is the (n, 12) float64 block with columns
+        (size, adv, upright, x0, x1, y0, y1, top, bottom, doctop, width,
+        height)."""
+        self = cls.__new__(cls)
+        self.n = len(text)
+        self.text = np.asarray(text, dtype=object)
+        self.size = nums[:, 0]
+        self.upright = nums[:, 2].astype(np.int64)
+        self.x0 = nums[:, 3]
+        self.x1 = nums[:, 4]
+        self.top = nums[:, 7]
+        self.bottom = nums[:, 8]
+        self.doctop = nums[:, 9]
+        self.height = nums[:, 11]
+        self.extra = {}
+        return self
+
 
 def _line_key_arrays(ca: CharArrays, idx: np.ndarray, line_dir: str) -> np.ndarray:
     """Line-clustering key values (``text.py:45-51``)."""
@@ -279,15 +299,26 @@ def extract_words_frame(
     (+extra_attrs).
     """
     s = settings or WordSettings()
+    if len(chars) == 0:
+        cols = ["text", "x0", "x1", "top", "doctop", "bottom", "upright",
+                "height", "width", "direction", *s.extra_attrs]
+        empty = np.full(0, -1, dtype=np.int64)
+        return pd.DataFrame(columns=cols), empty, empty
+    ca = CharArrays(chars.reset_index(drop=True), s.extra_attrs)
+    return extract_words_ca(ca, s)
+
+
+def extract_words_ca(ca: CharArrays, settings: Optional[WordSettings] = None):
+    """Array-native form of extract_words_frame (same returns); the
+    extraction fast path calls this straight from parser buffers."""
+    s = settings or WordSettings()
     cols = ["text", "x0", "x1", "top", "doctop", "bottom", "upright",
             "height", "width", "direction", *s.extra_attrs]
-    n = len(chars)
+    n = ca.n
     char_word_id = np.full(n, -1, dtype=np.int64)
     char_word_pos = np.full(n, -1, dtype=np.int64)
     if n == 0:
         return pd.DataFrame(columns=cols), char_word_id, char_word_pos
-
-    ca = CharArrays(chars.reset_index(drop=True), s.extra_attrs)
 
     # expanded text (ligatures) computed once for the whole page
     if s._expansions:

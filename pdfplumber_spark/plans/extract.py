@@ -58,6 +58,35 @@ def _payload_to_text_rows(url: str, payload, layout: bool, dedupe: bool = False)
     data = bytes(payload)
     try:
         if data[:5] == b"%PDF-":
+            if not layout and not dedupe:
+                # fast path: parser buffers -> CharArrays, no pandas
+                import numpy as np
+
+                from ..kernel.layout import page_text_ca
+                from ..kernel.pdfparse import parse_pdf
+                from ..kernel.words import CharArrays
+
+                interps = parse_pdf(data, style=False)
+                if not interps:
+                    return [(url, 0, None, None, None, "error", "unparseable pdf")]
+                rows = []
+                for it in interps:
+                    n = it.n_chars
+                    if n:
+                        nums = np.frombuffer(
+                            it.ch_num, dtype=np.float64
+                        ).reshape(n, 12)
+                        txt = page_text_ca(
+                            CharArrays.from_arrays(it.ch_text, nums),
+                            WordSettings(),
+                        )
+                    else:
+                        txt = ""
+                    rows.append(
+                        (url, it.page_number, txt, n,
+                         txt.count(" ") + 1 if txt else 0, "ok", None)
+                    )
+                return rows
             frames = pdf_to_frames(data, style=False)
             pages_df = frames["pages"]
             if len(pages_df) == 0:
