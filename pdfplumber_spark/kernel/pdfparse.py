@@ -1161,6 +1161,9 @@ class PageInterpreter:
         self.ch_font: List[str] = []
         self.ch_num = array("d")  # 12 doubles per char (see _CH_NUM_FIELDS)
         self.ch_style: List[tuple] = []  # (matrix, stroke, fill) if style
+        # marked-content runs: (chars_emitted_before_change, mcid, tag)
+        # (page.py:128-176 semantics, recorded as spans not per-char)
+        self.mc_spans: List[tuple] = []
         self.lines: List[tuple] = []
         self.rects: List[tuple] = []
         self.curves: List[tuple] = []
@@ -1494,6 +1497,28 @@ class PageInterpreter:
                                 )
                             except Exception:  # noqa: BLE001
                                 pass
+                elif op == "BDC":
+                    props = stack.pop() if stack else None
+                    tag = stack.pop() if stack else None
+                    if isinstance(props, Name):
+                        plist = doc.resolve((res or {}).get("Properties")) or {}
+                        props = doc.resolve(plist.get(str(props)))
+                    mcid = None
+                    if isinstance(props, dict) and "MCID" in props:
+                        try:
+                            mcid = int(doc.resolve(props["MCID"]))
+                        except (TypeError, ValueError):
+                            mcid = None
+                    self.mc_spans.append(
+                        (len(self.ch_text), mcid, str(tag) if tag is not None else None)
+                    )
+                elif op == "BMC":
+                    tag = stack.pop() if stack else None
+                    self.mc_spans.append(
+                        (len(self.ch_text), None, str(tag) if tag is not None else None)
+                    )
+                elif op == "EMC":
+                    self.mc_spans.append((len(self.ch_text), None, None))
                 elif op in ("BI", "ID", "EI"):
                     # inline images are skipped inside tokenize_content;
                     # stray ID/EI just clear operands
@@ -1711,6 +1736,9 @@ def pdf_to_frames(data: bytes, style: bool = True, password: str = "") -> Dict[s
     pn_parts = []
     ci_parts = []
     style_parts: List[tuple] = []
+    mcid_parts: List[np.ndarray] = []
+    tag_parts: List[np.ndarray] = []
+    any_mc = any(p.mc_spans for p in pages)
     for p in pages:
         n = p.n_chars
         if n:
@@ -1723,6 +1751,17 @@ def pdf_to_frames(data: bytes, style: bool = True, password: str = "") -> Dict[s
             ci_parts.append(np.arange(n, dtype=np.int64))
             if style:
                 style_parts.extend(p.ch_style)
+            if any_mc:
+                mcid_arr = np.full(n, None, dtype=object)
+                tag_arr = np.full(n, None, dtype=object)
+                spans = p.mc_spans
+                for i, (start, mcid, tag) in enumerate(spans):
+                    end = spans[i + 1][0] if i + 1 < len(spans) else n
+                    if end > start:
+                        mcid_arr[start:end] = mcid
+                        tag_arr[start:end] = tag
+                mcid_parts.append(mcid_arr)
+                tag_parts.append(tag_arr)
         for i, ln in enumerate(p.lines):
             lines_rows.append((p.page_number, i) + ln)
         for i, r in enumerate(p.rects):
@@ -1752,8 +1791,12 @@ def pdf_to_frames(data: bytes, style: bool = True, password: str = "") -> Dict[s
             data_cols["matrix"] = None
             data_cols["stroking_color"] = None
             data_cols["non_stroking_color"] = None
-        data_cols["mcid"] = None
-        data_cols["tag"] = None
+        if any_mc and mcid_parts:
+            data_cols["mcid"] = np.concatenate(mcid_parts)
+            data_cols["tag"] = np.concatenate(tag_parts)
+        else:
+            data_cols["mcid"] = None
+            data_cols["tag"] = None
         chars = pd.DataFrame(data_cols)
         chars = chars[["page_number", "char_index"] + CHAR_COLUMNS]
     else:

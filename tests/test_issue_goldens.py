@@ -129,3 +129,17 @@ def test_dedupe_chars_accents():
             pdf.pages[0].dedupe_chars().extract_text(y_tolerance=6).splitlines()[4]
             == "UE 8. Circulation - Métabolismes"
         )
+
+
+def test_mcid_marked_content():
+    # marked-content tracking (page.py:128-176) + the cli.add_text_to_mcids
+    # join (cli.py:72-91): mcid -> concatenated text
+    from pdfplumber_spark.kernel.pdfparse import pdf_to_frames
+
+    fr = pdf_to_frames(open(f"{PDFS}/mcid_example.pdf", "rb").read(), style=False)
+    ch = fr["chars"]
+    sub = ch[ch.mcid.notna()]
+    grouped = sub.groupby("mcid")["text"].apply("".join)
+    assert grouped[0] == "Test of figures"
+    assert grouped[2] == "1 ligne"
+    assert set(t for t in ch.tag if t is not None) == {"P", "Standard"}
