@@ -203,8 +203,29 @@ def char_sort_keys(df: pd.DataFrame, char_dir: str) -> Tuple[np.ndarray, np.ndar
     return -df["x1"].to_numpy(np.float64), -df["x0"].to_numpy(np.float64)
 
 
+def _page_char_flags(ca: CharArrays, s: WordSettings):
+    """(is_blank, is_punct) for the whole page, computed once.
+
+    NB: `"" in punct` is True for ANY punct string (incl. ""), so
+    empty-text chars always split as single-char words — a reference
+    quirk (text.py:621: `text in self.split_at_punctuation`)."""
+    if s.keep_blank_chars:
+        is_blank = np.zeros(ca.n, dtype=bool)
+    else:
+        is_blank = np.fromiter(
+            (bool(t) and str(t).isspace() for t in ca.text), bool, count=ca.n
+        )
+    punct = s._punct
+    is_punct = np.fromiter(
+        (str(t) in punct for t in ca.text), bool, count=ca.n
+    )
+    is_punct &= ~is_blank
+    return is_blank, is_punct
+
+
 def _boundary_word_ids(
-    ca: CharArrays, idx: np.ndarray, direction: str, s: WordSettings
+    ca: CharArrays, idx: np.ndarray, direction: str, s: WordSettings,
+    flags=None,
 ) -> np.ndarray:
     """Word id per char of one line (indices ``idx``, already in final char
     order); -1 marks dropped blanks. Implements the stateful splitter
@@ -212,19 +233,10 @@ def _boundary_word_ids(
     is always the previous *kept* char; forced boundaries at/after
     punctuation words and after dropped blanks."""
     n = len(idx)
-    text = ca.text[idx]
-    if s.keep_blank_chars:
-        is_blank = np.zeros(n, dtype=bool)
-    else:
-        is_blank = np.fromiter(
-            (bool(t) and str(t).isspace() for t in text), bool, count=n
-        )
-    punct = s._punct
-    # NB: `"" in punct` is True for ANY punct string (incl. ""), so
-    # empty-text chars always split as single-char words — a reference
-    # quirk (text.py:621: `text in self.split_at_punctuation`)
-    is_punct = np.fromiter((str(t) in punct for t in text), bool, count=n)
-    is_punct &= ~is_blank
+    if flags is None:
+        flags = _page_char_flags(ca, s)
+    is_blank = flags[0][idx]
+    is_punct = flags[1][idx]
 
     kept = np.flatnonzero(~is_blank)
     out = np.full(n, -1, dtype=np.int64)
@@ -329,6 +341,8 @@ def extract_words_ca(ca: CharArrays, settings: Optional[WordSettings] = None):
     else:
         etext = ca.text
 
+    page_flags = _page_char_flags(ca, s)
+
     # 1. adjacent grouping by (upright, *extra_attrs)
     change = np.zeros(n, dtype=bool)
     for v in (ca.upright, *ca.extra.values()):
@@ -373,7 +387,7 @@ def extract_words_ca(ca: CharArrays, settings: Optional[WordSettings] = None):
             if not s.use_text_flow:
                 k1, k2 = _char_key_arrays(ca, lidx, direction)
                 lidx = lidx[np.lexsort((k2, k1))]  # stable; primary = k1
-            wids = _boundary_word_ids(ca, lidx, direction, s)
+            wids = _boundary_word_ids(ca, lidx, direction, s, flags=page_flags)
             kept_mask = wids >= 0
             if not kept_mask.any():
                 continue
