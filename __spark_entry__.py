@@ -431,6 +431,15 @@ def q_hyperlinks(spark, sf_dir):
     )
 
 
+def q_structure(spark, sf_dir):
+    """Tagged-PDF structure tree as JSON column (structure.py analogue).
+    Rows-only (synthetic corpus PDFs are untagged -> empty trees, but the
+    plumbing runs; real-fixture parity in tests/test_structure_tree.py)."""
+    from pdfplumber_spark.plans.extract import extract_structure
+
+    return extract_structure(_pages(spark, sf_dir), num_partitions=8)
+
+
 def q_image_metadata(spark, sf_dir):
     from pdfplumber_spark.operators.multimodal import image_metadata
 
@@ -474,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_dedupe": q_extract_text_dedupe,
         "extract_text_salted": q_extract_text_salted,
         "hyperlinks": q_hyperlinks,
+        "structure": q_structure,
         "image_metadata": q_image_metadata,
     }
 

@@ -295,6 +295,8 @@ class PDF:
     def __init__(self, data: bytes, pages: Optional[List[int]] = None, password: str = ""):
         from .kernel.pdfparse import PDFDocument
 
+        self._data = data
+        self._password = password
         self.metadata = PDFDocument(data, password=password).metadata()
         interps = parse_pdf(data, password=password)
         self.pages: List[Page] = []
@@ -341,6 +343,17 @@ class PDF:
             curves = pd.DataFrame([c for c in interp.curves], columns=LINE_COLUMNS)
             curves["object_type"] = "curve"
             self.pages.append(Page(self, interp, chars, lines, rects, curves))
+
+    def structure_tree(self, page_number: Optional[int] = None):
+        """Tagged-PDF structure tree (structure.py:101-509 analogue);
+        optionally scoped to one page."""
+        from .kernel.pdfparse import PDFDocument
+        from .kernel.structure import StructTree
+
+        return StructTree(
+            PDFDocument(self._data, password=self._password),
+            page_number=page_number,
+        )
 
     @property
     def chars(self):

@@ -970,6 +970,7 @@ class PDFDocument:
         inheritable = ("Resources", "MediaBox", "CropBox", "Rotate")
         while stack:
             node, inh = stack.pop(0)
+            ref_num = node.num if isinstance(node, Ref) else None
             node = self.resolve(node)
             if not isinstance(node, dict):
                 continue
@@ -986,6 +987,7 @@ class PDFDocument:
                 spec = dict(node)
                 for k in inheritable:
                     spec.setdefault(k, new_inh.get(k))
+                spec["_ref"] = ref_num  # page object number (structure /Pg)
                 out.append(spec)
         return out
 

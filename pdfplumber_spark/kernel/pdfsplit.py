@@ -17,7 +17,7 @@ from typing import Dict, List, Optional
 
 from .pdfparse import Lexer, Name, PDFDocument, Ref, StreamObj
 
-_DROP_PAGE_KEYS = {"Parent", "B", "StructParents", "Tabs", "Metadata"}
+_DROP_PAGE_KEYS = {"Parent", "B", "StructParents", "Tabs", "Metadata", "_ref"}
 
 
 class _Serializer:

@@ -446,6 +446,38 @@ def extract_text_salted(
     return exploded.mapInPandas(run, schema=EXTRACTED_SCHEMA)
 
 
+def extract_structure(
+    pages: DataFrame, num_partitions: Optional[int] = None
+) -> DataFrame:
+    """pages -> (url, structure_json) — the Tagged-PDF tree as a JSON
+    column (SURVEY §1.2: Spark has no recursive StructType)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("structure_json", T.StringType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel.structure import tree_to_json
+
+        for batch in batches:
+            rows = []
+            for url, payload in zip(batch["url"], batch["html"]):
+                if payload is None or bytes(payload)[:5] != b"%PDF-":
+                    continue
+                try:
+                    rows.append((url, tree_to_json(bytes(payload))))
+                except Exception:  # noqa: BLE001
+                    rows.append((url, None))
+            yield pd.DataFrame(rows, columns=["url", "structure_json"])
+
+    src = partition_by_url(pages.select("url", "html"), num_partitions)
+    return src.mapInPandas(run, schema=schema)
+
+
 def extract_page_meta(
     pages: DataFrame, num_partitions: Optional[int] = None
 ) -> DataFrame:
