@@ -75,16 +75,20 @@ def _esc(s: str) -> bytes:
 
 def _content_stream(page: Dict) -> bytes:
     h = page["height"]
+    tagged = bool(page.get("tagged"))
     parts: List[str] = []
-    for t in page.get("texts", []):
+    for i, t in enumerate(page.get("texts", [])):
         size = t.get("size", 12)
         # writer contract: "top" is the glyph-box top; baseline sits at
         # top + ascent*size/1000 below the page top (y up in PDF space)
         baseline_y = h - t["top"] - size * FONT_ASCENT / 1000.0
         chunk = t["text"]
-        parts.append("BT /F1 %g Tf 1 0 0 1 %g %g Tm (%s) Tj ET" % (
+        body = "BT /F1 %g Tf 1 0 0 1 %g %g Tm (%s) Tj ET" % (
             size, t["x"], baseline_y, _esc(chunk).decode("latin-1"),
-        ))
+        )
+        if tagged:
+            body = "/P <</MCID %d>> BDC %s EMC" % (i, body)
+        parts.append(body)
     for r in page.get("rects", []):
         y = h - r["bottom"]
         parts.append(
@@ -189,7 +193,33 @@ def make_pdf(pages: List[Dict]) -> bytes:
         b"<</Type/Pages/Kids" + kids + b"/Count " + str(len(pages)).encode() + b">>"
     )
     assert ptn == pages_tree_num
-    root = add(b"<</Type/Catalog/Pages %d 0 R>>" % pages_tree_num)
+
+    # optional Tagged-PDF structure tree: one /P StructElem per tagged text
+    struct_root_num = None
+    if any(p.get("tagged") for p in pages):
+        elem_nums = []
+        for i, p in enumerate(pages):
+            if not p.get("tagged"):
+                continue
+            for mcid in range(len(p.get("texts", []))):
+                elem_nums.append(
+                    add(
+                        b"<</Type/StructElem/S/P/Pg %d 0 R/K %d>>"
+                        % (page_nums[i], mcid)
+                    )
+                )
+        doc_elem = add(
+            b"<</Type/StructElem/S/Document/K["
+            + b" ".join(b"%d 0 R" % n for n in elem_nums)
+            + b"]>>"
+        )
+        struct_root_num = add(
+            b"<</Type/StructTreeRoot/K %d 0 R>>" % doc_elem
+        )
+    root_body = b"<</Type/Catalog/Pages %d 0 R" % pages_tree_num
+    if struct_root_num:
+        root_body += b"/StructTreeRoot %d 0 R/MarkInfo<</Marked true>>" % struct_root_num
+    root = add(root_body + b">>")
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
