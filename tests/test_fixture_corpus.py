@@ -1,0 +1,53 @@
+"""Capstone robustness: every reference fixture PDF as one Spark corpus —
+the engine must extract from ~50 real-world PDFs (xref streams, ObjStm,
+CID fonts, encryption, rotations, scans) in one job without failures."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pdfplumber_spark.plans.extract import extract_text, read_pages
+
+PDFS = "/root/reference/tests/pdfs"
+
+
+@pytest.fixture(scope="module")
+def fixture_corpus(tmp_path_factory):
+    rows = []
+    for name in sorted(os.listdir(PDFS)):
+        if not name.endswith(".pdf"):
+            continue
+        with open(os.path.join(PDFS, name), "rb") as f:
+            rows.append(
+                {"url": f"fixture://{name}", "warc_ts": None,
+                 "html": f.read(), "text": None, "lang": "en"}
+            )
+    t = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("url", pa.string()), ("warc_ts", pa.timestamp("us", tz="UTC")),
+             ("html", pa.binary()), ("text", pa.string()), ("lang", pa.string())]
+        ),
+    )
+    p = tmp_path_factory.mktemp("fx") / "pages.parquet"
+    pq.write_table(t, str(p))
+    return str(p), len(rows)
+
+
+def test_real_world_corpus_extraction(spark, fixture_corpus):
+    path, n_docs = fixture_corpus
+    out = extract_text(read_pages(spark, path), num_partitions=8).toPandas()
+    by_url = out.groupby("url")["status"].agg(lambda s: (s == "ok").any())
+    ok_docs = int(by_url.sum())
+    # 49/52 real-world fixtures extract pages (password-example needs its
+    # password; empty.pdf and issue-297 have no content by design)
+    assert ok_docs >= 45, f"only {ok_docs}/{n_docs} fixtures extracted"
+    # no Python exception ever escapes the kernel: every row has a status
+    assert set(out["status"].unique()) <= {"ok", "error"}
+    # scotus text present and correct-looking
+    scotus = out[out.url.str.contains("scotus")]["text"].iloc[0]
+    assert "Official" in scotus
+    # substantial total text volume
+    assert out["n_chars"].fillna(0).sum() > 300_000
