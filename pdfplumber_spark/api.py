@@ -77,10 +77,9 @@ class Page:
         self._curves = curves
         self._interp = interp
 
+        self.bbox = (0.0, 0.0, self.width, self.height)
+
     # --- object accessors (reference: container.py:32-66) -------------------
-    @property
-    def bbox(self):
-        return (0.0, 0.0, self.width, self.height)
 
     @property
     def chars(self) -> List[dict]:
@@ -139,8 +138,12 @@ class Page:
         if layout:
             layout_kwargs = dict(
                 layout_bbox=rest.pop("layout_bbox", self.bbox),
-                layout_width=rest.pop("layout_width", self.width),
-                layout_height=rest.pop("layout_height", self.height),
+                layout_width=rest.pop(
+                    "layout_width", self.bbox[2] - self.bbox[0]
+                ),
+                layout_height=rest.pop(
+                    "layout_height", self.bbox[3] - self.bbox[1]
+                ),
             )
             for k in ("x_density", "y_density", "x_shift", "y_shift",
                       "layout_width_chars", "layout_height_chars"):
@@ -169,7 +172,8 @@ class Page:
         wc = build_word_chars(self._chars, cwid, cwpos, len(words))
         rendered, prov = assemble_text_layout(
             words, wc, layout_bbox=self.bbox,
-            layout_width=self.width, layout_height=self.height,
+            layout_width=self.bbox[2] - self.bbox[0],
+            layout_height=self.bbox[3] - self.bbox[1],
         )
         out = search_text(rendered, prov, self._chars, pattern,
                           regex=regex, case=case, main_group=main_group)
@@ -184,7 +188,8 @@ class Page:
         wc = build_word_chars(self._chars, cwid, cwpos, len(words))
         rendered, prov = assemble_text_layout(
             words, wc, layout_bbox=self.bbox,
-            layout_width=self.width, layout_height=self.height,
+            layout_width=self.bbox[2] - self.bbox[0],
+            layout_height=self.bbox[3] - self.bbox[1],
         )
         return search_text(
             rendered, prov, self._chars, pat, main_group=1
@@ -223,13 +228,17 @@ class Page:
     # --- derived pages --------------------------------------------------------
     def crop(self, bbox, relative: bool = False, strict: bool = True) -> "Page":
         bbox = self._resolve_bbox(bbox, relative, strict)
-        return self._derive(lambda df: crop_frame(df, bbox))
+        return self._derive(lambda df: crop_frame(df, bbox), bbox=bbox)
 
     def within_bbox(self, bbox, relative: bool = False, strict: bool = True) -> "Page":
         bbox = self._resolve_bbox(bbox, relative, strict)
-        return self._derive(lambda df: df[within_bbox_mask(df, bbox)] if len(df) else df)
+        return self._derive(
+            lambda df: df[within_bbox_mask(df, bbox)] if len(df) else df,
+            bbox=bbox,
+        )
 
     def outside_bbox(self, bbox, relative: bool = False, strict: bool = True) -> "Page":
+        # outside_bbox keeps the parent bbox (page.py:674-677)
         bbox = self._resolve_bbox(bbox, relative, strict)
         return self._derive(
             lambda df: df[~bbox_overlap_mask(df, bbox)] if len(df) else df
@@ -252,19 +261,37 @@ class Page:
     def _resolve_bbox(self, bbox, relative, strict):
         x0, top, x1, bottom = bbox
         if relative:
-            pass  # our pages always have origin (0, 0)
+            # offsets are relative to THIS page's bbox origin (page.py:658-661)
+            o_x0, o_top = self.bbox[0], self.bbox[1]
+            x0, top, x1, bottom = x0 + o_x0, top + o_top, x1 + o_x0, bottom + o_top
         if strict:
+            # test_proposed_bbox (page.py:629-646)
             if x0 > x1 or top > bottom:
                 raise ValueError(f"Bounding box {bbox} has negative size")
-            if not (x0 >= 0 and top >= 0):
-                raise ValueError(f"Bounding box {bbox} is not fully within page")
+            if (x1 - x0) * (bottom - top) == 0:
+                raise ValueError(f"Bounding box {bbox} has an area of zero.")
+            px0, ptop, px1, pbottom = self.bbox
+            ow = min(x1, px1) - max(x0, px0)
+            oh = min(bottom, pbottom) - max(top, ptop)
+            if ow < 0 or oh < 0 or (ow + oh) <= 0:
+                raise ValueError(
+                    f"Bounding box {bbox} is entirely outside parent page "
+                    f"bounding box {self.bbox}"
+                )
+            if ow * oh < (x1 - x0) * (bottom - top):
+                raise ValueError(
+                    f"Bounding box {bbox} is not fully within parent page "
+                    f"bounding box {self.bbox}"
+                )
         return (float(x0), float(top), float(x1), float(bottom))
 
-    def _derive(self, fn) -> "Page":
-        return Page(
+    def _derive(self, fn, bbox=None) -> "Page":
+        p = Page(
             self.pdf, self._interp, fn(self._chars), fn(self._lines),
             fn(self._rects), fn(self._curves),
         )
+        p.bbox = bbox if bbox is not None else self.bbox
+        return p
 
 
 class Table:

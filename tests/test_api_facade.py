@@ -52,11 +52,8 @@ def test_extract_text_layout_cropped_golden(scotus):
     ).read().strip("\n")
     p = scotus.pages[0]
     cropped = p.crop((90, 70, p.width, 300))
-    text = cropped.extract_text(
-        layout=True, layout_bbox=(90, 70, p.width, 300),
-        layout_width=p.width - 90, layout_height=230,
-    )
-    assert text == golden
+    # defaults come from the cropped page's bbox, like the reference
+    assert cropped.extract_text(layout=True) == golden
 
 
 def test_extract_text_layout_width_chars(scotus):
@@ -197,3 +194,17 @@ def test_hyperlinks_api():
     with pdfplumber.open(pdf_bytes) as pdf:
         links = pdf.pages[0].hyperlinks
         assert links[0]["uri"] == "https://example.com"
+
+
+def test_relative_and_strict_crop(scotus):
+    # CroppedPage relative offsets + test_proposed_bbox (page.py:629-661)
+    p = scotus.pages[0]
+    cropped = p.crop((90, 70, p.width, 300))
+    rel = cropped.crop((0, 0, 100, 100), relative=True)
+    assert rel.bbox == (90.0, 70.0, 190.0, 170.0)
+    with pytest.raises(ValueError, match="area of zero"):
+        p.crop((0, 0, 1, 0))
+    with pytest.raises(ValueError, match="entirely outside"):
+        p.crop((-700, 0, -600, 10))
+    with pytest.raises(ValueError, match="not fully within"):
+        p.crop((0, 0, p.width + 100, 100))
