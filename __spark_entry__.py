@@ -524,8 +524,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM vals
             ), ids AS (
                 SELECT event_type, v,
-                       SUM(gap) OVER (PARTITION BY event_type ORDER BY v
-                                      ROWS UNBOUNDED PRECEDING) AS cluster_id
+                       CAST(SUM(gap) OVER (PARTITION BY event_type ORDER BY v
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS cluster_id
                 FROM flagged
             )
             SELECT e.event_type, i.cluster_id, COUNT(*) AS n,

@@ -67,8 +67,6 @@ class Page:
                  curves: pd.DataFrame):
         self.pdf = pdf
         self.page_number = interp.page_number
-        self.width = interp.width
-        self.height = interp.height
         self.rotation = interp.rotation
         self.initial_doctop = interp.initial_doctop
         self._chars = chars
@@ -77,7 +75,17 @@ class Page:
         self._curves = curves
         self._interp = interp
 
-        self.bbox = (0.0, 0.0, self.width, self.height)
+        self.bbox = (0.0, 0.0, interp.width, interp.height)
+
+    @property
+    def width(self) -> float:
+        """Derived from bbox so cropped pages report crop dims
+        (reference page.py:250-254)."""
+        return self.bbox[2] - self.bbox[0]
+
+    @property
+    def height(self) -> float:
+        return self.bbox[3] - self.bbox[1]
 
     # --- object accessors (reference: container.py:32-66) -------------------
 

@@ -231,30 +231,55 @@ def curves_to_edges(curves: pd.DataFrame) -> pd.DataFrame:
     ``pts`` column holds a list of (x, top) pairs per curve. Orientation is
     'v' iff xs equal, 'h' iff ys equal, else None (oblique).
     """
-    rows = []
-    for _, c in curves.iterrows():
-        pts = c["pts"]
-        dt_adj = c["doctop"] - c["top"] if "doctop" in c else 0.0
-        for (ax, ay), (bx, by) in zip(pts, pts[1:]):
-            rows.append(
-                {
-                    "object_type": "curve_edge",
-                    "x0": min(ax, bx),
-                    "x1": max(ax, bx),
-                    "top": min(ay, by),
-                    "doctop": min(ay, by) + dt_adj,
-                    "bottom": max(ay, by),
-                    "width": abs(ax - bx),
-                    "height": abs(ay - by),
-                    "orientation": "v" if ax == bx else ("h" if ay == by else None),
-                }
-            )
+    cols = [
+        "object_type", "x0", "x1", "top", "doctop", "bottom",
+        "width", "height", "orientation",
+    ]
+    if not len(curves):
+        return pd.DataFrame(columns=cols)
+    # Flatten all pts into one array; segment i..i+1 within each curve.
+    pts_lists = curves["pts"].to_list()
+    npts = np.fromiter((len(p) for p in pts_lists), dtype=np.int64,
+                       count=len(pts_lists))
+    if npts.sum() == 0:
+        return pd.DataFrame(columns=cols)
+    flat = np.concatenate([np.asarray(p, dtype=np.float64).reshape(-1, 2)
+                           for p in pts_lists if len(p)])
+    # Row index of each flattened point's parent curve.
+    owner = np.repeat(np.arange(len(pts_lists)), npts)
+    # A segment starts at every point whose successor has the same owner.
+    seg_mask = np.empty(len(flat), dtype=bool)
+    seg_mask[:-1] = owner[:-1] == owner[1:]
+    seg_mask[-1] = False
+    a = flat[:-1][seg_mask[:-1]]
+    b = flat[1:][seg_mask[:-1]]
+    own = owner[:-1][seg_mask[:-1]]
+    ax, ay, bx, by = a[:, 0], a[:, 1], b[:, 0], b[:, 1]
+    x0 = np.minimum(ax, bx)
+    x1 = np.maximum(ax, bx)
+    top = np.minimum(ay, by)
+    bottom = np.maximum(ay, by)
+    if "doctop" in curves.columns:
+        dt_adj = (curves["doctop"].to_numpy(dtype=np.float64)
+                  - curves["top"].to_numpy(dtype=np.float64))[own]
+    else:
+        dt_adj = np.zeros(len(own))
+    orientation = np.where(
+        ax == bx, "v", np.where(ay == by, "h", None)
+    )
     return pd.DataFrame(
-        rows,
-        columns=[
-            "object_type", "x0", "x1", "top", "doctop", "bottom",
-            "width", "height", "orientation",
-        ],
+        {
+            "object_type": "curve_edge",
+            "x0": x0,
+            "x1": x1,
+            "top": top,
+            "doctop": top + dt_adj,
+            "bottom": bottom,
+            "width": np.abs(ax - bx),
+            "height": np.abs(ay - by),
+            "orientation": orientation,
+        },
+        columns=cols,
     )
 
 

@@ -67,7 +67,8 @@ class StructElement:
 
 
 def _find_all(elements, matcher: MatchType) -> Iterator[StructElement]:
-    """Breadth-first match (structure.py:39-71 semantics)."""
+    """Pre-order depth-first match (structure.py:39-71: deque.popleft +
+    extendleft(reversed(children)) — 'Iterate depth-first')."""
     if isinstance(matcher, str):
         match = lambda e: e.type == matcher  # noqa: E731
     elif isinstance(matcher, re.Pattern):
@@ -79,7 +80,7 @@ def _find_all(elements, matcher: MatchType) -> Iterator[StructElement]:
         el = queue.pop(0)
         if match(el):
             yield el
-        queue.extend(el.children)
+        queue[:0] = el.children
 
 
 class StructTree:

@@ -294,7 +294,7 @@ def extract_tables(
 ) -> DataFrame:
     """pages -> tables DataFrame
     (url, page_number, table_index, row_index, col_index, text, bbox)."""
-    from ..kernel.geom import lines_to_edges, rects_to_edges
+    from ..kernel.geom import curves_to_edges, lines_to_edges, rects_to_edges
     from ..kernel.tables import extract_table_text, find_tables_frame, table_rows
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -321,6 +321,13 @@ def extract_tables(
                     rc_p = rc[rc["page_number"] == pn]
                     if len(rc_p):
                         edge_parts.append(rects_to_edges(rc_p))
+                    # Reference includes curve-derived edges in page.edges
+                    # (container.py:85-90); curve-ruled tables need them.
+                    cv = frames.get("curves")
+                    if cv is not None and "pts" in cv.columns:
+                        cv_p = cv[cv["page_number"] == pn]
+                        if len(cv_p):
+                            edge_parts.append(curves_to_edges(cv_p))
                     edges = (
                         pd.concat(edge_parts, ignore_index=True)
                         if edge_parts
