@@ -30,14 +30,9 @@ def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _corpus_path(sf_dir: str) -> str:
-    from pdfplumber_spark.sources.corpus import CORPUS_VERSION, write_corpus_parquet
+    from pdfplumber_spark.sources.corpus import corpus_path_for_sf
 
-    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    n = {"sf0.001": 30, "sf0.01": 80, "sf0.1": 400}.get(sf, 60)
-    path = f"/tmp/spark_graft_pages_v{CORPUS_VERSION}_{sf}_{n}.parquet"
-    if not os.path.exists(path):
-        write_corpus_parquet(path, n_docs=n, seed=42)
-    return path
+    return corpus_path_for_sf(sf_dir)
 
 
 def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,9 +294,8 @@ def q_minhash_pairs(spark, sf_dir):
 
     docs = _tbl(spark, sf_dir, "documents").where("doc_id < 300")
     sigs = minhash_signatures(docs, "doc_id", "text")
-    return minhash_lsh_candidates(sigs).select(
-        "doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard")
-    )
+    # no rounding: k/64 is an exact double, bit-identical to the oracle's
+    return minhash_lsh_candidates(sigs).select("doc_a", "doc_b", "est_jaccard")
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -732,4 +726,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored) t
             WHERE rank <= 5
         """,
+        # --- materialized single-process oracles (sources/expected.py) ------
+        # PDF parsing / MinHash banding / hyperplane LSH are not ANSI-SQL
+        # expressible; the expected result is computed single-process (shared
+        # per-payload kernels for extraction, independent brute-force for
+        # dedup/ANN) and parked as parquet for DuckDB to read. This gate
+        # proves the DISTRIBUTED plan preserves the single-process result;
+        # kernel-vs-reference byte identity is gated by pytest goldens.
+        **{
+            name: f"SELECT * FROM read_parquet('{path}')"
+            for name, path in _expected_oracle_paths().items()
+        },
     }
+
+
+def _expected_oracle_paths() -> dict[str, str]:
+    from pdfplumber_spark.sources.expected import expected_paths
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    return expected_paths(sf_dir)

@@ -1,0 +1,167 @@
+"""Pure-Python AES (128/192/256) + CBC helpers for the PDF standard
+security handler (ISO 32000 §7.6.2: AESV2 = AES-128-CBC, AESV3 =
+AES-256-CBC; reference behavior = pdfminer's pdfminer/ccitt-free AES path
+via its crypto module, pdfminer.pdfdocument ~AESV2/AESV3 handlers).
+
+No external crypto libs are available offline; this is the textbook FIPS-197
+implementation with precomputed tables. Encrypted PDFs are a small corpus
+fraction, and decryption touches only string/stream bytes once per object —
+not a per-char hot path — so pure Python is acceptable here; at cluster
+scale swap ``cbc_decrypt`` for ``cryptography``'s EVP with the same
+signature.
+"""
+
+from __future__ import annotations
+
+_SBOX = bytes.fromhex(
+    "637c777bf26b6fc53001672bfed7ab76ca82c97dfa5947f0add4a2af9ca472c0"
+    "b7fd9326363ff7cc34a5e5f171d8311504c723c31896059a071280e2eb27b275"
+    "09832c1a1b6e5aa0523bd6b329e32f8453d100ed20fcb15b6acbbe394a4c58cf"
+    "d0efaafb434d338545f9027f503c9fa851a3408f929d38f5bcb6da2110fff3d2"
+    "cd0c13ec5f974417c4a77e3d645d197360814fdc222a908846eeb814de5e0bdb"
+    "e0323a0a4906245cc2d3ac629195e479e7c8376d8dd54ea96c56f4ea657aae08"
+    "ba78252e1ca6b4c6e8dd741f4bbd8b8a703eb5664803f60e613557b986c11d9e"
+    "e1f8981169d98e949b1e87e9ce5528df8ca1890dbfe6426841992d0fb054bb16"
+)
+_INV_SBOX = bytes(256)
+_INV_SBOX = bytearray(256)
+for _i, _v in enumerate(_SBOX):
+    _INV_SBOX[_v] = _i
+_INV_SBOX = bytes(_INV_SBOX)
+
+_RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36,
+         0x6C, 0xD8, 0xAB, 0x4D]
+
+
+def _xtime(a: int) -> int:
+    a <<= 1
+    if a & 0x100:
+        a ^= 0x11B
+    return a & 0xFF
+
+
+# GF(2^8) multiply tables for MixColumns / InvMixColumns
+def _mul_table(c: int) -> bytes:
+    t = bytearray(256)
+    for x in range(256):
+        r, a, b = 0, x, c
+        while b:
+            if b & 1:
+                r ^= a
+            a = _xtime(a)
+            b >>= 1
+        t[x] = r
+    return bytes(t)
+
+
+_M2, _M3 = _mul_table(2), _mul_table(3)
+_M9, _M11, _M13, _M14 = (_mul_table(c) for c in (9, 11, 13, 14))
+
+
+def key_expansion(key: bytes) -> list:
+    """Round keys as a flat list of 4-byte words."""
+    nk = len(key) // 4
+    assert nk in (4, 6, 8), "AES key must be 128/192/256 bits"
+    nr = nk + 6
+    words = [key[4 * i:4 * i + 4] for i in range(nk)]
+    for i in range(nk, 4 * (nr + 1)):
+        temp = words[i - 1]
+        if i % nk == 0:
+            temp = bytes(
+                _SBOX[temp[(j + 1) % 4]] ^ (_RCON[i // nk - 1] if j == 0 else 0)
+                for j in range(4)
+            )
+        elif nk > 6 and i % nk == 4:
+            temp = bytes(_SBOX[b] for b in temp)
+        words.append(bytes(a ^ b for a, b in zip(words[i - nk], temp)))
+    return words
+
+
+def _round_keys(key: bytes) -> list:
+    w = key_expansion(key)
+    return [b"".join(w[4 * r:4 * r + 4]) for r in range(len(w) // 4)]
+
+
+def encrypt_block(block: bytes, rk: list) -> bytes:
+    nr = len(rk) - 1
+    s = bytes(a ^ b for a, b in zip(block, rk[0]))
+    for rnd in range(1, nr):
+        # SubBytes + ShiftRows
+        t = bytes(
+            _SBOX[s[(i + 4 * (i % 4)) % 16]] for i in range(16)
+        )
+        # MixColumns
+        m = bytearray(16)
+        for c in range(4):
+            a0, a1, a2, a3 = t[4 * c:4 * c + 4]
+            m[4 * c + 0] = _M2[a0] ^ _M3[a1] ^ a2 ^ a3
+            m[4 * c + 1] = a0 ^ _M2[a1] ^ _M3[a2] ^ a3
+            m[4 * c + 2] = a0 ^ a1 ^ _M2[a2] ^ _M3[a3]
+            m[4 * c + 3] = _M3[a0] ^ a1 ^ a2 ^ _M2[a3]
+        s = bytes(a ^ b for a, b in zip(m, rk[rnd]))
+    t = bytes(_SBOX[s[(i + 4 * (i % 4)) % 16]] for i in range(16))
+    return bytes(a ^ b for a, b in zip(t, rk[nr]))
+
+
+def decrypt_block(block: bytes, rk: list) -> bytes:
+    nr = len(rk) - 1
+    s = bytes(a ^ b for a, b in zip(block, rk[nr]))
+    for rnd in range(nr - 1, 0, -1):
+        # InvShiftRows + InvSubBytes
+        t = bytes(
+            _INV_SBOX[s[(i - 4 * (i % 4)) % 16]] for i in range(16)
+        )
+        x = bytes(a ^ b for a, b in zip(t, rk[rnd]))
+        # InvMixColumns
+        m = bytearray(16)
+        for c in range(4):
+            a0, a1, a2, a3 = x[4 * c:4 * c + 4]
+            m[4 * c + 0] = _M14[a0] ^ _M11[a1] ^ _M13[a2] ^ _M9[a3]
+            m[4 * c + 1] = _M9[a0] ^ _M14[a1] ^ _M11[a2] ^ _M13[a3]
+            m[4 * c + 2] = _M13[a0] ^ _M9[a1] ^ _M14[a2] ^ _M11[a3]
+            m[4 * c + 3] = _M11[a0] ^ _M13[a1] ^ _M9[a2] ^ _M14[a3]
+        s = bytes(m)
+    t = bytes(_INV_SBOX[s[(i - 4 * (i % 4)) % 16]] for i in range(16))
+    return bytes(a ^ b for a, b in zip(t, rk[0]))
+
+
+def cbc_decrypt(key: bytes, data: bytes, iv: bytes = None,
+                unpad: bool = True) -> bytes:
+    """AES-CBC decrypt. If ``iv`` is None the first 16 bytes of ``data`` are
+    the IV (the PDF stream layout). ``unpad`` strips PKCS#5/7 padding."""
+    if iv is None:
+        iv, data = data[:16], data[16:]
+    n = len(data) - (len(data) % 16)
+    data = data[:n]
+    if not data:
+        return b""
+    rk = _round_keys(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, n, 16):
+        blk = data[i:i + 16]
+        dec = decrypt_block(blk, rk)
+        out += bytes(a ^ b for a, b in zip(dec, prev))
+        prev = blk
+    if unpad and out:
+        pad = out[-1]
+        if 1 <= pad <= 16:
+            out = out[:-pad]
+    return bytes(out)
+
+
+def cbc_encrypt(key: bytes, data: bytes, iv: bytes, pad: bool = True) -> bytes:
+    """AES-CBC encrypt; prepends nothing (caller decides the iv layout).
+    ``pad`` applies PKCS#5/7 padding (always a full pad block when aligned)."""
+    if pad:
+        p = 16 - (len(data) % 16)
+        data = data + bytes([p]) * p
+    rk = _round_keys(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
+        enc = encrypt_block(blk, rk)
+        out += enc
+        prev = enc
+    return bytes(out)

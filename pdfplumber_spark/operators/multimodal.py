@@ -68,26 +68,30 @@ def _decode_image_stub(data: bytes):
     raise NotImplementedError(f"decode not available for format={fmt}")
 
 
+def _payload_to_image_row(url, payload) -> tuple:
+    """Per-payload metadata row (IMAGE_META_SCHEMA order) — shared by the
+    Spark operator and the materialized single-process oracle."""
+    if payload is None:
+        return (url, 0, None, None, None, None, "error")
+    data = bytes(payload)
+    sha = hashlib.sha256(data).hexdigest()
+    try:
+        fmt, w, h = _decode_image_stub(data)
+        return (url, len(data), fmt, w, h, sha, "ok")
+    except NotImplementedError:
+        return (url, len(data), _sniff_format(data), None, None, sha,
+                "unsupported")
+
+
 def image_metadata(df: DataFrame, url_col: str = "url", bin_col: str = "html") -> DataFrame:
     """binary column -> typed metadata rows (mapInPandas, Arrow-batched)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows = []
-            for url, payload in zip(b[url_col], b[bin_col]):
-                if payload is None:
-                    rows.append((url, 0, None, None, None, None, "error"))
-                    continue
-                data = bytes(payload)
-                sha = hashlib.sha256(data).hexdigest()
-                try:
-                    fmt, w, h = _decode_image_stub(data)
-                    rows.append((url, len(data), fmt, w, h, sha, "ok"))
-                except NotImplementedError:
-                    rows.append(
-                        (url, len(data), _sniff_format(data), None, None, sha,
-                         "unsupported")
-                    )
+            rows = [
+                _payload_to_image_row(url, payload)
+                for url, payload in zip(b[url_col], b[bin_col])
+            ]
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_META_SCHEMA.fields])
 
     return df.select(url_col, bin_col).mapInPandas(run, schema=IMAGE_META_SCHEMA)

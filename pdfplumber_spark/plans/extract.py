@@ -213,6 +213,21 @@ def _frames_to_objects(url: str, frames) -> pd.DataFrame:
     return out[_OBJ_COLS]
 
 
+def _payload_to_objects(url: str, payload) -> Optional[pd.DataFrame]:
+    """Per-payload unified objects frame — shared by the Spark plan and the
+    materialized single-process oracle."""
+    if payload is None:
+        return None
+    data = bytes(payload)
+    if data[:5] != b"%PDF-":
+        return None
+    try:
+        frames = pdf_to_frames(data)
+    except Exception:  # noqa: BLE001
+        return None
+    return _frames_to_objects(url, frames)
+
+
 def extract_objects(
     pages: DataFrame, num_partitions: Optional[int] = None
 ) -> DataFrame:
@@ -222,16 +237,9 @@ def extract_objects(
         for batch in batches:
             outs = []
             for url, payload in zip(batch["url"], batch["html"]):
-                if payload is None:
-                    continue
-                data = bytes(payload)
-                if data[:5] != b"%PDF-":
-                    continue
-                try:
-                    frames = pdf_to_frames(data)
-                except Exception:  # noqa: BLE001
-                    continue
-                outs.append(_frames_to_objects(url, frames))
+                obj = _payload_to_objects(url, payload)
+                if obj is not None:
+                    outs.append(obj)
             yield (
                 pd.concat(outs, ignore_index=True)
                 if outs
@@ -243,6 +251,30 @@ def extract_objects(
 
 
 # --- words ------------------------------------------------------------------
+
+def _payload_to_word_frames(url: str, payload, s: WordSettings) -> list:
+    """Per-payload word frames (WORDS_SCHEMA column order) — shared by the
+    Spark plan and the materialized single-process oracle."""
+    cols = [f.name for f in WORDS_SCHEMA.fields]
+    if payload is None or bytes(payload)[:5] != b"%PDF-":
+        return []
+    try:
+        frames = pdf_to_frames(bytes(payload))
+    except Exception:  # noqa: BLE001
+        return []
+    outs = []
+    chars = frames["chars"]
+    for pn, sub in chars.groupby("page_number", sort=True):
+        words, _, _ = extract_words_frame(sub, s)
+        if len(words) == 0:
+            continue
+        w = words.copy()
+        w["url"] = url
+        w["page_number"] = int(pn)
+        w["word_index"] = np.arange(len(w))
+        outs.append(w[cols])
+    return outs
+
 
 def extract_words(
     pages: DataFrame,
@@ -257,22 +289,7 @@ def extract_words(
         for batch in batches:
             outs = []
             for url, payload in zip(batch["url"], batch["html"]):
-                if payload is None or bytes(payload)[:5] != b"%PDF-":
-                    continue
-                try:
-                    frames = pdf_to_frames(bytes(payload))
-                except Exception:  # noqa: BLE001
-                    continue
-                chars = frames["chars"]
-                for pn, sub in chars.groupby("page_number", sort=True):
-                    words, _, _ = extract_words_frame(sub, s)
-                    if len(words) == 0:
-                        continue
-                    w = words.copy()
-                    w["url"] = url
-                    w["page_number"] = int(pn)
-                    w["word_index"] = np.arange(len(w))
-                    outs.append(w[cols])
+                outs.extend(_payload_to_word_frames(url, payload, s))
             yield (
                 pd.concat(outs, ignore_index=True)
                 if outs
@@ -285,6 +302,80 @@ def extract_words(
 
 # --- tables -----------------------------------------------------------------
 
+def _payload_to_table_rows(
+    url: str,
+    payload,
+    vertical_strategy: str = "lines",
+    horizontal_strategy: str = "lines",
+    **table_kwargs,
+) -> list:
+    """Per-payload table-cell rows (TABLES_SCHEMA order) — shared by the
+    Spark plan and the materialized single-process oracle."""
+    from ..kernel.geom import curves_to_edges, lines_to_edges, rects_to_edges
+    from ..kernel.tables import extract_table_text, find_tables_frame, table_rows
+
+    if payload is None or bytes(payload)[:5] != b"%PDF-":
+        return []
+    try:
+        frames = pdf_to_frames(bytes(payload))
+    except Exception:  # noqa: BLE001
+        return []
+    out_rows = []
+    for pmeta in frames["pages"].itertuples(index=False):
+        pn = pmeta.page_number
+        chars = frames["chars"]
+        chars_p = chars[chars["page_number"] == pn]
+        edge_parts = []
+        ln = frames["lines"]
+        ln_p = ln[ln["page_number"] == pn]
+        if len(ln_p):
+            edge_parts.append(lines_to_edges(ln_p))
+        rc = frames["rects"]
+        rc_p = rc[rc["page_number"] == pn]
+        if len(rc_p):
+            edge_parts.append(rects_to_edges(rc_p))
+        # Reference includes curve-derived edges in page.edges
+        # (container.py:85-90); curve-ruled tables need them.
+        cv = frames.get("curves")
+        if cv is not None and "pts" in cv.columns:
+            cv_p = cv[cv["page_number"] == pn]
+            if len(cv_p):
+                edge_parts.append(curves_to_edges(cv_p))
+        edges = (
+            pd.concat(edge_parts, ignore_index=True)
+            if edge_parts
+            else pd.DataFrame(
+                columns=["x0", "x1", "top", "bottom", "width",
+                         "height", "orientation", "object_type"]
+            )
+        )
+        words = None
+        if "text" in (vertical_strategy, horizontal_strategy):
+            words, _, _ = extract_words_frame(chars_p, WordSettings())
+        try:
+            tables = find_tables_frame(
+                edges,
+                words=words,
+                page_bbox=(0.0, 0.0, pmeta.width, pmeta.height),
+                vertical_strategy=vertical_strategy,
+                horizontal_strategy=horizontal_strategy,
+                **table_kwargs,
+            )
+        except Exception:  # noqa: BLE001
+            continue
+        for ti, cells in enumerate(tables):
+            grid = table_rows(cells)
+            texts = extract_table_text(cells, chars_p)
+            for ri, (row_cells, row_texts) in enumerate(zip(grid, texts)):
+                for ci, (cell, txt) in enumerate(zip(row_cells, row_texts)):
+                    bbox = cell or (None, None, None, None)
+                    out_rows.append(
+                        (url, int(pn), ti, ri, ci, txt,
+                         bbox[0], bbox[1], bbox[2], bbox[3])
+                    )
+    return out_rows
+
+
 def extract_tables(
     pages: DataFrame,
     num_partitions: Optional[int] = None,
@@ -294,76 +385,19 @@ def extract_tables(
 ) -> DataFrame:
     """pages -> tables DataFrame
     (url, page_number, table_index, row_index, col_index, text, bbox)."""
-    from ..kernel.geom import curves_to_edges, lines_to_edges, rects_to_edges
-    from ..kernel.tables import extract_table_text, find_tables_frame, table_rows
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in TABLES_SCHEMA.fields]
         for batch in batches:
             out_rows = []
             for url, payload in zip(batch["url"], batch["html"]):
-                if payload is None or bytes(payload)[:5] != b"%PDF-":
-                    continue
-                try:
-                    frames = pdf_to_frames(bytes(payload))
-                except Exception:  # noqa: BLE001
-                    continue
-                for pmeta in frames["pages"].itertuples(index=False):
-                    pn = pmeta.page_number
-                    chars = frames["chars"]
-                    chars_p = chars[chars["page_number"] == pn]
-                    edge_parts = []
-                    ln = frames["lines"]
-                    ln_p = ln[ln["page_number"] == pn]
-                    if len(ln_p):
-                        edge_parts.append(lines_to_edges(ln_p))
-                    rc = frames["rects"]
-                    rc_p = rc[rc["page_number"] == pn]
-                    if len(rc_p):
-                        edge_parts.append(rects_to_edges(rc_p))
-                    # Reference includes curve-derived edges in page.edges
-                    # (container.py:85-90); curve-ruled tables need them.
-                    cv = frames.get("curves")
-                    if cv is not None and "pts" in cv.columns:
-                        cv_p = cv[cv["page_number"] == pn]
-                        if len(cv_p):
-                            edge_parts.append(curves_to_edges(cv_p))
-                    edges = (
-                        pd.concat(edge_parts, ignore_index=True)
-                        if edge_parts
-                        else pd.DataFrame(
-                            columns=["x0", "x1", "top", "bottom", "width",
-                                     "height", "orientation", "object_type"]
-                        )
+                out_rows.extend(
+                    _payload_to_table_rows(
+                        url, payload,
+                        vertical_strategy=vertical_strategy,
+                        horizontal_strategy=horizontal_strategy,
+                        **table_kwargs,
                     )
-                    words = None
-                    if "text" in (vertical_strategy, horizontal_strategy):
-                        words, _, _ = extract_words_frame(chars_p, WordSettings())
-                    try:
-                        tables = find_tables_frame(
-                            edges,
-                            words=words,
-                            page_bbox=(0.0, 0.0, pmeta.width, pmeta.height),
-                            vertical_strategy=vertical_strategy,
-                            horizontal_strategy=horizontal_strategy,
-                            **table_kwargs,
-                        )
-                    except Exception:  # noqa: BLE001
-                        continue
-                    for ti, cells in enumerate(tables):
-                        grid = table_rows(cells)
-                        texts = extract_table_text(cells, chars_p)
-                        for ri, (row_cells, row_texts) in enumerate(
-                            zip(grid, texts)
-                        ):
-                            for ci, (cell, txt) in enumerate(
-                                zip(row_cells, row_texts)
-                            ):
-                                bbox = cell or (None, None, None, None)
-                                out_rows.append(
-                                    (url, int(pn), ti, ri, ci, txt,
-                                     bbox[0], bbox[1], bbox[2], bbox[3])
-                                )
+                )
             yield pd.DataFrame(out_rows, columns=cols)
 
     src = partition_by_url(pages.select("url", "html"), num_partitions)
@@ -547,6 +581,30 @@ def with_doc_doctop(df: DataFrame, page_meta: DataFrame) -> DataFrame:
 
 # --- annots / hyperlinks -----------------------------------------------------
 
+ANNOT_COLS = [
+    "url", "page_number", "x0", "top", "x1", "bottom", "doctop",
+    "uri", "title", "contents",
+]
+
+
+def _payload_to_annots(url: str, payload, cols=None) -> Optional[pd.DataFrame]:
+    """Per-payload annotation frame — shared by the Spark plan and the
+    materialized single-process oracle."""
+    cols = cols or ANNOT_COLS
+    if payload is None or bytes(payload)[:5] != b"%PDF-":
+        return None
+    try:
+        frames = pdf_to_frames(bytes(payload), style=False)
+    except Exception:  # noqa: BLE001
+        return None
+    a = frames["annots"]
+    if len(a) == 0:
+        return None
+    a = a.copy()
+    a["url"] = url
+    return a[cols]
+
+
 def extract_annots(
     pages: DataFrame, num_partitions: Optional[int] = None, hyperlinks_only: bool = False
 ) -> DataFrame:
@@ -574,18 +632,9 @@ def extract_annots(
         for batch in batches:
             outs = []
             for url, payload in zip(batch["url"], batch["html"]):
-                if payload is None or bytes(payload)[:5] != b"%PDF-":
-                    continue
-                try:
-                    frames = pdf_to_frames(bytes(payload), style=False)
-                except Exception:  # noqa: BLE001
-                    continue
-                a = frames["annots"]
-                if len(a) == 0:
-                    continue
-                a = a.copy()
-                a["url"] = url
-                outs.append(a[cols])
+                a = _payload_to_annots(url, payload, cols)
+                if a is not None:
+                    outs.append(a)
             yield (
                 pd.concat(outs, ignore_index=True)
                 if outs

@@ -76,6 +76,30 @@ def extract_text_lines(
     return _run(pages, "", True, True, True, num_partitions)
 
 
+def _payload_to_match_frames(url, payload, pattern, regex, case,
+                             strip_lines) -> list:
+    """Per-payload match frames (MATCHES_SCHEMA order) — shared by the Spark
+    plan and the materialized single-process oracle."""
+    cols = [f.name for f in MATCHES_SCHEMA.fields]
+    if payload is None or bytes(payload)[:5] != b"%PDF-":
+        return []
+    try:
+        frames = pdf_to_frames(bytes(payload), style=False)
+    except Exception:  # noqa: BLE001
+        return []
+    outs = []
+    for pn, sub in frames["chars"].groupby("page_number", sort=True):
+        m = _page_matches(sub, pattern, regex, case, strip_lines)
+        if len(m) == 0:
+            continue
+        m = m.drop(columns=["groups"], errors="ignore")
+        m["url"] = url
+        m["page_number"] = int(pn)
+        m["match_index"] = range(len(m))
+        outs.append(m[cols])
+    return outs
+
+
 def _run(pages, pattern, regex, case, strip_lines, num_partitions):
     from .extract import partition_by_url
 
@@ -84,21 +108,11 @@ def _run(pages, pattern, regex, case, strip_lines, num_partitions):
         for batch in batches:
             outs = []
             for url, payload in zip(batch["url"], batch["html"]):
-                if payload is None or bytes(payload)[:5] != b"%PDF-":
-                    continue
-                try:
-                    frames = pdf_to_frames(bytes(payload), style=False)
-                except Exception:  # noqa: BLE001
-                    continue
-                for pn, sub in frames["chars"].groupby("page_number", sort=True):
-                    m = _page_matches(sub, pattern, regex, case, strip_lines)
-                    if len(m) == 0:
-                        continue
-                    m = m.drop(columns=["groups"], errors="ignore")
-                    m["url"] = url
-                    m["page_number"] = int(pn)
-                    m["match_index"] = range(len(m))
-                    outs.append(m[cols])
+                outs.extend(
+                    _payload_to_match_frames(
+                        url, payload, pattern, regex, case, strip_lines
+                    )
+                )
             yield (
                 pd.concat(outs, ignore_index=True)
                 if outs

@@ -280,3 +280,17 @@ def write_corpus_parquet(
     )
     pq.write_table(table, path)
     return len(rows)
+
+
+def corpus_path_for_sf(sf_dir: str) -> str:
+    """Deterministic /tmp cache path of the synthetic pages corpus sized for
+    a testdata sf directory (shared by __spark_entry__ and the materialized
+    oracle so both read the SAME bytes)."""
+    import os
+
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    n = {"sf0.001": 30, "sf0.01": 80, "sf0.1": 400}.get(sf, 60)
+    path = f"/tmp/spark_graft_pages_v{CORPUS_VERSION}_{sf}_{n}.parquet"
+    if not os.path.exists(path):
+        write_corpus_parquet(path, n_docs=n, seed=42)
+    return path

@@ -1,0 +1,408 @@
+"""Materialized single-process oracles for the driver's DuckDB correctness
+gate.
+
+Every distributed query in ``__spark_entry__.queries()`` that cannot be
+expressed in ANSI SQL (PDF parsing, MinHash banding, hyperplane LSH, …)
+gets an *expected-result parquet* computed here in plain single-process
+Python over the SAME deterministic inputs; ``oracle_sql()`` then points
+DuckDB at ``SELECT * FROM read_parquet('<path>')``.
+
+What this gate proves: the distributed plan — repartitioning, mapInPandas
+Arrow round-trips, bucketed joins, window ranking — preserves the
+single-process result exactly (rows + schema + value hash). Kernel-level
+correctness vs the reference (jsvine/pdfplumber) is gated separately by the
+pytest suite (byte-identical scotus goldens, WARN/NICS table goldens,
+differential tests against the reference's own algorithm modules).
+
+Two builder styles:
+
+- extraction queries reuse the *same per-payload functions* the Spark plans
+  call inside mapInPandas (``_payload_to_text_rows`` etc.) — a pure
+  distribution check with zero drift risk;
+- dedup/ANN queries re-derive the result with an *independent brute-force
+  algorithm* (all-pairs band comparison instead of the bucketed join;
+  dense matmul + cumsum-fold cosine instead of the SQL expression tree), so
+  the banding/join logic itself is cross-checked.
+
+All floats are either produced by the identical kernel code (bit-identical)
+or computed with the same left-to-right fold order Spark's ``aggregate``
+uses (``np.cumsum``), so value hashes match without tolerance.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Tuple
+
+import numpy as np
+import pandas as pd
+
+from .corpus import CORPUS_VERSION, corpus_path_for_sf
+
+# bump when any expected-result computation changes
+EXPECTED_VERSION = 1
+
+
+# ---------------------------------------------------------------------------
+# corpus + testdata inputs
+# ---------------------------------------------------------------------------
+
+def _read_corpus(sf_dir: str) -> List[Tuple[str, bytes]]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(corpus_path_for_sf(sf_dir), columns=["url", "html"])
+    return list(zip(t.column("url").to_pylist(), t.column("html").to_pylist()))
+
+
+def _read_documents(sf_dir: str, max_id: int = 300) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas()
+    return t[t["doc_id"] < max_id].reset_index(drop=True)
+
+
+def _read_embeddings(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# extraction-family builders (shared per-payload kernels, single-process)
+# ---------------------------------------------------------------------------
+
+def _text_frame(sf_dir: str, layout: bool = False, dedupe: bool = False) -> pd.DataFrame:
+    from ..plans.extract import _payload_to_text_rows
+
+    rows = []
+    for url, payload in _read_corpus(sf_dir):
+        rows.extend(_payload_to_text_rows(url, payload, layout, dedupe))
+    return pd.DataFrame(
+        rows,
+        columns=["url", "page_number", "text", "n_chars", "n_words",
+                 "status", "error"],
+    )
+
+
+def _b_extract_text(sf_dir: str) -> pd.DataFrame:
+    return _text_frame(sf_dir)[["url", "page_number", "text", "status"]]
+
+
+def _b_extract_text_layout(sf_dir: str) -> pd.DataFrame:
+    return _text_frame(sf_dir, layout=True)[
+        ["url", "page_number", "text", "status"]
+    ]
+
+
+def _b_extract_text_dedupe(sf_dir: str) -> pd.DataFrame:
+    return _text_frame(sf_dir, dedupe=True)[
+        ["url", "page_number", "text", "status"]
+    ]
+
+
+def _b_document_text(sf_dir: str) -> pd.DataFrame:
+    from ..plans.extract import PAGE_SEP
+
+    t = _text_frame(sf_dir)
+    ok = t[t["status"] == "ok"].sort_values(["url", "page_number"])
+    out = (
+        ok.groupby("url", sort=False)["text"]
+        .apply(lambda s: PAGE_SEP.join("" if v is None else v for v in s))
+        .reset_index()
+    )
+    return out[["url", "text"]]
+
+
+def _b_extract_words(sf_dir: str) -> pd.DataFrame:
+    from ..kernel.words import WordSettings
+    from ..plans.extract import _payload_to_word_frames
+
+    s = WordSettings()
+    outs = []
+    for url, payload in _read_corpus(sf_dir):
+        outs.extend(_payload_to_word_frames(url, payload, s))
+    cols = ["url", "page_number", "word_index", "text", "x0", "top", "direction"]
+    if not outs:
+        return pd.DataFrame(columns=cols)
+    return pd.concat(outs, ignore_index=True)[cols]
+
+
+def _tables_frame(sf_dir: str, **kwargs) -> pd.DataFrame:
+    from ..plans.extract import _payload_to_table_rows
+
+    rows = []
+    for url, payload in _read_corpus(sf_dir):
+        rows.extend(_payload_to_table_rows(url, payload, **kwargs))
+    cols = ["url", "page_number", "table_index", "row_index", "col_index",
+            "text", "x0", "top", "x1", "bottom"]
+    return pd.DataFrame(rows, columns=cols)
+
+
+def _b_extract_tables(sf_dir: str) -> pd.DataFrame:
+    return _tables_frame(sf_dir)[
+        ["url", "page_number", "table_index", "row_index", "col_index", "text"]
+    ]
+
+
+def _b_extract_tables_stream(sf_dir: str) -> pd.DataFrame:
+    return _tables_frame(
+        sf_dir, vertical_strategy="text", horizontal_strategy="text"
+    )[["url", "page_number", "table_index", "row_index", "col_index", "text"]]
+
+
+def _b_extract_objects(sf_dir: str) -> pd.DataFrame:
+    from ..plans.extract import _payload_to_objects
+
+    outs = []
+    for url, payload in _read_corpus(sf_dir):
+        obj = _payload_to_objects(url, payload)
+        if obj is not None:
+            outs.append(obj)
+    cols = ["url", "page_number", "object_type", "obj_index", "text",
+            "x0", "top", "x1", "bottom"]
+    if not outs:
+        return pd.DataFrame(columns=cols)
+    return pd.concat(outs, ignore_index=True)[cols]
+
+
+def _matches_frame(sf_dir: str, pattern: str, strip_lines: bool) -> pd.DataFrame:
+    from ..plans.search import MATCHES_SCHEMA, _payload_to_match_frames
+
+    cols = [f.name for f in MATCHES_SCHEMA.fields]
+    outs = []
+    for url, payload in _read_corpus(sf_dir):
+        outs.extend(
+            _payload_to_match_frames(url, payload, pattern, True, True,
+                                     strip_lines)
+        )
+    if not outs:
+        return pd.DataFrame(columns=cols)
+    return pd.concat(outs, ignore_index=True)[cols]
+
+
+def _b_search(sf_dir: str) -> pd.DataFrame:
+    return _matches_frame(sf_dir, r"[a-z]{6,}", False)
+
+
+def _b_text_lines(sf_dir: str) -> pd.DataFrame:
+    return _matches_frame(sf_dir, "", True)
+
+
+def _b_hyperlinks(sf_dir: str) -> pd.DataFrame:
+    from ..plans.extract import ANNOT_COLS, _payload_to_annots
+
+    outs = []
+    for url, payload in _read_corpus(sf_dir):
+        a = _payload_to_annots(url, payload)
+        if a is not None:
+            outs.append(a)
+    if not outs:
+        return pd.DataFrame(columns=ANNOT_COLS)
+    out = pd.concat(outs, ignore_index=True)
+    return out[out["uri"].notna()].reset_index(drop=True)[ANNOT_COLS]
+
+
+def _b_structure(sf_dir: str) -> pd.DataFrame:
+    from ..kernel.structure import tree_to_json
+
+    rows = []
+    for url, payload in _read_corpus(sf_dir):
+        if payload is None or bytes(payload)[:5] != b"%PDF-":
+            continue
+        try:
+            rows.append((url, tree_to_json(bytes(payload))))
+        except Exception:  # noqa: BLE001
+            rows.append((url, None))
+    return pd.DataFrame(rows, columns=["url", "structure_json"])
+
+
+def _b_image_metadata(sf_dir: str) -> pd.DataFrame:
+    from ..operators.multimodal import _payload_to_image_row
+
+    rows = [
+        _payload_to_image_row(url, payload)
+        for url, payload in _read_corpus(sf_dir)
+    ]
+    out = pd.DataFrame(
+        rows,
+        columns=["url", "n_bytes", "format", "width", "height", "sha256",
+                 "status"],
+    )
+    out["n_bytes"] = out["n_bytes"].astype("int64")
+    return out[["url", "n_bytes", "format", "sha256", "status"]]
+
+
+# ---------------------------------------------------------------------------
+# dedup / ANN builders (independent brute-force re-derivations)
+# ---------------------------------------------------------------------------
+
+def _b_minhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """Brute-force re-derivation of minhash_lsh_candidates semantics:
+    a pair is a candidate iff it shares a full band slice whose bucket holds
+    <= max_bucket rows; est_jaccard = matching positions / num_perm
+    (exact k/64 double — no rounding on either side)."""
+    from ..kernel.textstats import minhash_signature
+
+    num_perm, k, bands, max_bucket = 64, 5, 16, 50
+    rows_per_band = num_perm // bands
+    docs = _read_documents(sf_dir, max_id=300)
+    ids = docs["doc_id"].to_numpy()
+    sigs = np.stack(
+        [minhash_signature(t or "", num_perm=num_perm, k=k) for t in docs["text"]]
+    )  # (n, 64) int64
+
+    # bucket membership: group rows by (band, band-slice content)
+    buckets: Dict[tuple, list] = {}
+    for i in range(len(ids)):
+        for b in range(bands):
+            key = (b, sigs[i, b * rows_per_band:(b + 1) * rows_per_band].tobytes())
+            buckets.setdefault(key, []).append(i)
+
+    cand = set()
+    for members in buckets.values():
+        if len(members) > max_bucket:
+            continue  # dropped bucket — exact-dup territory
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                a, b = members[ai], members[bi]
+                if ids[a] > ids[b]:
+                    a, b = b, a
+                cand.add((a, b))
+
+    out_rows = []
+    for a, b in cand:
+        est = float((sigs[a] == sigs[b]).sum()) / num_perm
+        out_rows.append((int(ids[a]), int(ids[b]), est))
+    out = pd.DataFrame(out_rows, columns=["doc_a", "doc_b", "est_jaccard"])
+    out["doc_a"] = out["doc_a"].astype("int64")
+    out["doc_b"] = out["doc_b"].astype("int64")
+    out["est_jaccard"] = out["est_jaccard"].astype("float64")
+    return out
+
+
+def _b_simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """Brute-force simhash_near_pairs: pairs sharing >=1 of 4 16-bit bands
+    with exact hamming <= 6."""
+    from ..kernel.textstats import simhash64
+
+    docs = _read_documents(sf_dir, max_id=300)
+    ids = docs["doc_id"].to_numpy()
+    hashes = np.array(
+        [simhash64(t or "") for t in docs["text"]], dtype=np.int64
+    ).view(np.uint64)
+    bands = np.stack(
+        [(hashes >> np.uint64(16 * i)) & np.uint64(0xFFFF) for i in range(4)],
+        axis=1,
+    )  # (n, 4)
+    n = len(ids)
+    out_rows = []
+    for a in range(n):
+        for b in range(a + 1, n):
+            i, j = (a, b) if ids[a] < ids[b] else (b, a)
+            if not (bands[i] == bands[j]).any():
+                continue
+            ham = int(bin(int(hashes[i] ^ hashes[j])).count("1"))
+            if ham <= 6:
+                out_rows.append((int(ids[i]), int(ids[j]), ham))
+    out = pd.DataFrame(out_rows, columns=["doc_a", "doc_b", "hamming"])
+    return out.astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
+
+
+def _fold_dot(a: np.ndarray, b: np.ndarray) -> float:
+    """Left-to-right fold sum (matches Spark's ``aggregate`` order exactly;
+    np.cumsum is sequential, unlike np.dot's pairwise/BLAS summation)."""
+    return float(np.cumsum(a * b)[-1])
+
+
+def _b_lsh_topk(sf_dir: str) -> pd.DataFrame:
+    """Brute-force re-derivation of lsh_topk: same hyperplanes (seeded), a
+    pair is a candidate iff its sign-bit key matches in ANY of the 16
+    tables; exact cosine re-rank with Spark's fold order; top-5 by
+    (-cosine, neighbor_id)."""
+    from ..operators.similarity import random_hyperplanes
+
+    n_planes, n_tables, dim, k = 4, 16, 64, 5
+    emb = _read_embeddings(sf_dir)
+    ids = emb["vec_id"].to_numpy()
+    m = np.asarray([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    all_planes = np.vstack(
+        [random_hyperplanes(dim, n_planes, seed=977 + t) for t in range(n_tables)]
+    )
+    signs = (m @ all_planes.T) >= 0
+    signs = signs.reshape(len(m), n_tables, n_planes)
+    weights = np.array([1 << i for i in range(n_planes)], dtype=np.int64)
+    keys = (signs * weights).sum(axis=2)  # (n, tables)
+
+    q_mask = ids < 5
+    out_rows = []
+    for qi in np.where(q_mask)[0]:
+        collide = (keys == keys[qi]).any(axis=1)
+        collide[ids == ids[qi]] = False
+        nq = np.sqrt(np.cumsum(m[qi] * m[qi])[-1])
+        scored = []
+        for ci in np.where(collide)[0]:
+            nc = np.sqrt(np.cumsum(m[ci] * m[ci])[-1])
+            cos = _fold_dot(m[qi], m[ci]) / (nq * nc)
+            scored.append((cos, int(ids[ci])))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (_, nid) in enumerate(scored[:k], start=1):
+            out_rows.append((int(ids[qi]), nid, rank))
+    out = pd.DataFrame(out_rows, columns=["query_id", "neighbor_id", "rank"])
+    return out.astype({"query_id": "int64", "neighbor_id": "int64",
+                       "rank": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# registry + materialization
+# ---------------------------------------------------------------------------
+
+_BUILDERS = {
+    "extract_text": _b_extract_text,
+    "extract_text_layout": _b_extract_text_layout,
+    "extract_text_dedupe": _b_extract_text_dedupe,
+    # page-salted extraction must be byte-identical to the unsalted plan —
+    # same expected table checks the salting machinery itself
+    "extract_text_salted": _b_extract_text,
+    "document_text": _b_document_text,
+    "extract_words": _b_extract_words,
+    "extract_tables": _b_extract_tables,
+    "extract_tables_stream": _b_extract_tables_stream,
+    "extract_objects": _b_extract_objects,
+    "search": _b_search,
+    "text_lines": _b_text_lines,
+    "hyperlinks": _b_hyperlinks,
+    "structure": _b_structure,
+    "image_metadata": _b_image_metadata,
+    "minhash_pairs": _b_minhash_pairs,
+    "simhash_pairs": _b_simhash_pairs,
+    "lsh_topk": _b_lsh_topk,
+}
+
+
+def expected_dir(sf_dir: str) -> str:
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return (
+        f"/tmp/spark_graft_expected_v{CORPUS_VERSION}.{EXPECTED_VERSION}_{sf}"
+    )
+
+
+def expected_paths(sf_dir: str) -> Dict[str, str]:
+    """Materialize (once, cached in /tmp) and return {query: parquet path}."""
+    base = expected_dir(sf_dir)
+    marker = os.path.join(base, ".done")
+    paths = {
+        name: os.path.join(base, f"{name}.parquet") for name in _BUILDERS
+    }
+    if os.path.exists(marker):
+        return paths
+    os.makedirs(base, exist_ok=True)
+    for name, builder in _BUILDERS.items():
+        df = builder(sf_dir)
+        df.to_parquet(paths[name], engine="pyarrow", index=False)
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return paths
