@@ -644,6 +644,86 @@ def _std_key(password: bytes, o_entry: bytes, p: int, id0: bytes,
     return key[:key_len]
 
 
+def _std_user_check(key: bytes, r: int, id0: bytes) -> bytes:
+    """Algorithm 4/5: the U entry a correct user password produces (first
+    16 bytes are significant for r >= 3)."""
+    import hashlib as _hl
+
+    if r == 2:
+        return _rc4(key, _PAD)
+    h = _hl.md5(_PAD + id0).digest()
+    out = _rc4(key, h)
+    for i in range(1, 20):
+        out = _rc4(bytes(b ^ i for b in key), out)
+    return out + b"\x00" * 16
+
+
+def _owner_to_user_password(owner_pw: bytes, o_entry: bytes, r: int,
+                            key_len: int) -> bytes:
+    """Algorithm 7 (decrypt side): recover the user password bytes from O."""
+    import hashlib as _hl
+
+    key = _hl.md5((owner_pw + _PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            key = _hl.md5(key).digest()
+    key = key[:key_len]
+    data = o_entry[:32]
+    if r == 2:
+        return _rc4(key, data)
+    for i in range(19, -1, -1):
+        data = _rc4(bytes(b ^ i for b in key), data)
+    return data
+
+
+def _hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B (R6 hardened hash)."""
+    import hashlib as _hl
+
+    from .aes import cbc_encrypt
+
+    k = _hl.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = cbc_encrypt(k[:16], k1, iv=k[16:32], pad=False)
+        mod = sum(e[:16]) % 3
+        k = (_hl.sha256, _hl.sha384, _hl.sha512)[mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            break
+    return k[:32]
+
+
+def _aes256_file_key(password: bytes, r: int, u_entry: bytes, o_entry: bytes,
+                     ue: bytes, oe: bytes) -> Optional[bytes]:
+    """Algorithms 2.A / 8 / 9: validate password (user then owner) and
+    recover the 32-byte file encryption key (pdfminer AESV3 behavior)."""
+    import hashlib as _hl
+
+    from .aes import cbc_decrypt
+
+    password = password[:127]
+    u_hash, u_vsalt, u_ksalt = u_entry[:32], u_entry[32:40], u_entry[40:48]
+    o_hash, o_vsalt, o_ksalt = o_entry[:32], o_entry[32:40], o_entry[40:48]
+    if r == 5:
+        if _hl.sha256(password + u_vsalt).digest() == u_hash:
+            ik = _hl.sha256(password + u_ksalt).digest()
+            return cbc_decrypt(ik, ue, iv=b"\x00" * 16, unpad=False)
+        if _hl.sha256(password + o_vsalt + u_entry[:48]).digest() == o_hash:
+            ik = _hl.sha256(password + o_ksalt + u_entry[:48]).digest()
+            return cbc_decrypt(ik, oe, iv=b"\x00" * 16, unpad=False)
+        return None
+    # r == 6
+    if _hash_2b(password, u_vsalt) == u_hash:
+        ik = _hash_2b(password, u_ksalt)
+        return cbc_decrypt(ik, ue, iv=b"\x00" * 16, unpad=False)
+    if _hash_2b(password, o_vsalt, u_entry[:48]) == o_hash:
+        ik = _hash_2b(password, o_ksalt, u_entry[:48])
+        return cbc_decrypt(ik, oe, iv=b"\x00" * 16, unpad=False)
+    return None
+
+
 class PDFDocument:
     """Random-access PDF object store: xref (classic + stream), ObjStm,
     RC4 standard-security decryption."""
@@ -659,6 +739,9 @@ class PDFDocument:
         self._init_encryption(password.encode("latin-1", "replace"))
 
     def _init_encryption(self, password: bytes) -> None:
+        """Standard security handler (pdfminer.pdfdocument security-handler
+        parity): RC4 V1/V2/V4, AES-128 (AESV2, R4), AES-256 (AESV3, R5/R6).
+        User password is tried first, then owner (pdfminer behavior)."""
         enc_ref = self.trailer.get("Encrypt")
         if enc_ref is None:
             return
@@ -667,46 +750,78 @@ class PDFDocument:
             return
         v = int(self.resolve(enc.get("V", 0)) or 0)
         r = int(self.resolve(enc.get("R", 2)) or 2)
+        o_entry = bytes(self.resolve(enc.get("O")) or b"")
+        u_entry = bytes(self.resolve(enc.get("U")) or b"")
+        self._enc_exempt = {enc_ref.num} if isinstance(enc_ref, Ref) else set()
+        self._enc_algo = "rc4"
+        if v == 5 or r in (5, 6):
+            ue = bytes(self.resolve(enc.get("UE")) or b"")
+            oe = bytes(self.resolve(enc.get("OE")) or b"")
+            key = _aes256_file_key(password, r, u_entry, o_entry, ue, oe)
+            if key is None:
+                raise ValueError("incorrect password (AES-256)")
+            self._enc_key = key
+            self._enc_algo = "aes256"
+            return
         if v not in (1, 2, 4):
-            return  # V5/AES-256 unsupported offline
+            return  # unknown scheme: leave undecrypted
         if v == 4:
             cf = self.resolve(enc.get("CF")) or {}
             stdcf = self.resolve(cf.get("StdCF")) or {}
-            if str(self.resolve(stdcf.get("CFM"))) != "V2":
-                return  # AESV2 unsupported (needs an AES impl)
+            cfm = str(self.resolve(stdcf.get("CFM")))
+            if cfm == "AESV2":
+                self._enc_algo = "aes128"
+            elif cfm != "V2":
+                return  # e.g. Identity / custom filter: leave undecrypted
         length = int(self.resolve(enc.get("Length", 40)) or 40) // 8
-        o_entry = bytes(self.resolve(enc.get("O")) or b"")
         p = int(self.resolve(enc.get("P", -1)) or -1)
         ids = self.resolve(self.trailer.get("ID")) or [b""]
         id0 = bytes(self.resolve(ids[0]) or b"")
         em = self.resolve(enc.get("EncryptMetadata", True))
-        self._enc_key = _std_key(
-            password, o_entry, p, id0, r, length,
-            encrypt_metadata=bool(em if em is not None else True),
-        )
-        self._enc_exempt = {enc_ref.num} if isinstance(enc_ref, Ref) else set()
+        em = bool(em if em is not None else True)
+        key = _std_key(password, o_entry, p, id0, r, length,
+                       encrypt_metadata=em)
+        if u_entry and _std_user_check(key, r, id0)[:16] != u_entry[:16]:
+            # user password failed: try as owner password (Algorithm 7)
+            user_pw = _owner_to_user_password(password, o_entry, r, length)
+            key = _std_key(user_pw, o_entry, p, id0, r, length,
+                           encrypt_metadata=em)
+            if _std_user_check(key, r, id0)[:16] != u_entry[:16]:
+                raise ValueError("incorrect password")
+        self._enc_key = key
 
-    def _obj_rc4_key(self, num: int, gen: int) -> bytes:
+    def _obj_rc4_key(self, num: int, gen: int, aes: bool = False) -> bytes:
         import hashlib as _hl
 
         k = self._enc_key
         h = _hl.md5(
             k + (num & 0xFFFFFF).to_bytes(3, "little")
             + (gen & 0xFFFF).to_bytes(2, "little")
+            + (b"sAlT" if aes else b"")  # ISO 32000 §7.6.2 AESV2 salt
         ).digest()
         return h[: min(len(k) + 5, 16)]
+
+    def _decrypt_bytes(self, data: bytes, num: int, gen: int) -> bytes:
+        algo = getattr(self, "_enc_algo", "rc4")
+        if algo == "rc4":
+            return _rc4(self._obj_rc4_key(num, gen), data)
+        from .aes import cbc_decrypt
+
+        if algo == "aes128":
+            return cbc_decrypt(self._obj_rc4_key(num, gen, aes=True), data)
+        # aes256: the file key encrypts every object directly (AESV3)
+        return cbc_decrypt(self._enc_key, data)
 
     def _decrypt_obj(self, obj, num: int, gen: int, depth: int = 0):
         if depth > 32:
             return obj
         if isinstance(obj, StreamObj):
-            key = self._obj_rc4_key(num, gen)
             return StreamObj(
                 self._decrypt_obj(obj.attrs, num, gen, depth + 1),
-                _rc4(key, obj.raw),
+                self._decrypt_bytes(obj.raw, num, gen),
             )
         if isinstance(obj, (bytes, bytearray)):
-            return _rc4(self._obj_rc4_key(num, gen), bytes(obj))
+            return self._decrypt_bytes(bytes(obj), num, gen)
         if isinstance(obj, dict):
             return {
                 k: self._decrypt_obj(v, num, gen, depth + 1)

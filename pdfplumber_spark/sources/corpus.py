@@ -24,7 +24,7 @@ from typing import Iterator, List, Tuple
 from ..kernel.pdfgen import glyph_width, make_pdf
 
 # bump when generated content changes — cache paths embed this
-CORPUS_VERSION = 4
+CORPUS_VERSION = 5
 
 LOREM = (
     "the quick brown fox jumps over a lazy dog while bright vixens watch "
@@ -197,13 +197,14 @@ def generate_rows(
     """Yield pages-table rows. Family mix is deterministic in doc index."""
     base_ts = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
     families = [
-        ("pdf/basic", 0.26),
+        ("pdf/basic", 0.24),
         ("pdf/layout", 0.14),
         ("pdf/table-lattice", 0.14),
         ("pdf/table-stream", 0.09),
         ("pdf/dupchars", 0.05),
         ("pdf/rotated", 0.04),
         ("pdf/ligatures", 0.04),
+        ("pdf/encrypted", 0.06),  # empty-user-password AES/RC4 (crawl-common)
         ("html/news", 0.19),
         ("broken", 0.05),
     ]
@@ -234,6 +235,14 @@ def generate_rows(
             payload = _pdf_rotated(rng)
         elif fam == "pdf/ligatures":
             payload = _pdf_ligatures(rng)
+        elif fam == "pdf/encrypted":
+            from ..kernel.pdfcrypt import encrypt_pdf
+
+            method = rng.choice(["rc4", "aes128", "aes256"])
+            payload = encrypt_pdf(
+                _pdf_basic(rng, 1), user_pw="", owner_pw="owner",
+                method=method, seed=b"corpus-%d" % i,
+            )
         elif fam == "html/news":
             payload, _ = _html_news(rng)
         else:  # broken
