@@ -425,6 +425,14 @@ def q_hyperlinks(spark, sf_dir):
     )
 
 
+def q_metadata(spark, sf_dir):
+    """Document Info dict as (url, key, value) rows (pdf.py:28-63
+    .metadata; SURVEY §2.1)."""
+    from pdfplumber_spark.plans.extract import extract_metadata
+
+    return extract_metadata(_pages(spark, sf_dir), num_partitions=8)
+
+
 def q_structure(spark, sf_dir):
     """Tagged-PDF structure tree as JSON column (structure.py analogue).
     Rows-only (synthetic corpus PDFs are untagged -> empty trees, but the
@@ -477,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_dedupe": q_extract_text_dedupe,
         "extract_text_salted": q_extract_text_salted,
         "hyperlinks": q_hyperlinks,
+        "metadata": q_metadata,
         "structure": q_structure,
         "image_metadata": q_image_metadata,
     }

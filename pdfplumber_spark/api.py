@@ -332,6 +332,7 @@ class PDF:
 
         self._data = data
         self._password = password
+        self._pages_subset = pages
         self.metadata = PDFDocument(data, password=password).metadata()
         interps = parse_pdf(data, password=password)
         self.pages: List[Page] = []
@@ -388,6 +389,7 @@ class PDF:
         return StructTree(
             PDFDocument(self._data, password=self._password),
             page_number=page_number,
+            pages=self._pages_subset if page_number is None else None,
         )
 
     @property

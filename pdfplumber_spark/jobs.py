@@ -30,9 +30,21 @@ def _session(args):
     return SparkSession.builder.appName(f"pdfplumber-spark-{args.cmd}").getOrCreate()
 
 
+def parse_page_spec(p_str: str):
+    """Reference cli.py:12-17: '3' or '2-5' -> page-number list."""
+    if "-" in p_str:
+        start, end = map(int, p_str.split("-"))
+        return list(range(start, end + 1))
+    return [int(p_str)]
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="pdfplumber_spark.jobs")
-    ap.add_argument("cmd", choices=["extract", "objects", "words", "tables"])
+    ap.add_argument(
+        "cmd",
+        choices=["extract", "objects", "words", "tables", "structure",
+                 "structure-text", "metadata"],
+    )
     ap.add_argument("--input", required=True, help="pages table path (parquet/iceberg)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--format", default="parquet", choices=["parquet", "json", "csv"])
@@ -44,13 +56,42 @@ def main(argv=None) -> int:
                     help="local[N] session (0 = cluster session from spark-submit)")
     ap.add_argument("--vertical-strategy", default="lines")
     ap.add_argument("--horizontal-strategy", default="lines")
+    # reference cli.py:40-66 flag parity
+    ap.add_argument("--types", nargs="+", default=None,
+                    help="object kinds to keep (objects cmd), e.g. char rect")
+    ap.add_argument("--include-attrs", nargs="+", default=None,
+                    help="include *only* these object attributes in output")
+    ap.add_argument("--exclude-attrs", nargs="+", default=None,
+                    help="exclude these object attributes from output")
+    ap.add_argument("--precision", type=int, default=None,
+                    help="round float columns to N decimal places")
+    ap.add_argument("--pages", nargs="+", type=parse_page_spec, default=None,
+                    help="page numbers / ranges to keep, e.g. --pages 1-3 7")
     args = ap.parse_args(argv)
+    if args.pages is not None:
+        args.pages = sorted({p for spec in args.pages for p in spec})
 
     spark = _session(args)
     from .plans import extract as X
 
     pages = X.read_pages(spark, args.input)
 
+    if args.cmd in ("structure", "structure-text"):
+        out = X.extract_structure(
+            pages,
+            num_partitions=args.partitions,
+            with_text=args.cmd == "structure-text",
+        )
+        _write(out, args)
+        print(json.dumps({"cmd": args.cmd, "output": args.output,
+                          "rows": out.count()}))
+        return 0
+    if args.cmd == "metadata":
+        out = X.extract_metadata(pages, num_partitions=args.partitions)
+        _write(out, args)
+        print(json.dumps({"cmd": args.cmd, "output": args.output,
+                          "rows": out.count()}))
+        return 0
     if args.cmd == "extract":
         if args.buckets:
             from .plans.checkpoint import run_extraction_checkpointed
@@ -74,6 +115,40 @@ def main(argv=None) -> int:
             horizontal_strategy=args.horizontal_strategy,
         )
 
+    out = _apply_row_col_filters(out, args)
+    _write(out, args)
+    print(json.dumps({"cmd": args.cmd, "output": args.output, "rows": out.count()}))
+    return 0
+
+
+_ALWAYS_COLS = ("url", "page_number", "object_type")
+
+
+def _apply_row_col_filters(out, args):
+    """--types / --pages / --include-attrs / --exclude-attrs / --precision
+    (reference cli.py:40-66 + convert.py serialization knobs)."""
+    from pyspark.sql import functions as F, types as T
+
+    if args.types and "object_type" in out.columns:
+        out = out.where(F.col("object_type").isin(list(args.types)))
+    if args.pages and "page_number" in out.columns:
+        out = out.where(F.col("page_number").isin(args.pages))
+    if args.include_attrs:
+        keep = [c for c in out.columns
+                if c in args.include_attrs or c in _ALWAYS_COLS]
+        out = out.select(*keep)
+    if args.exclude_attrs:
+        keep = [c for c in out.columns
+                if c not in args.exclude_attrs or c in _ALWAYS_COLS]
+        out = out.select(*keep)
+    if args.precision is not None:
+        for f_ in out.schema.fields:
+            if isinstance(f_.dataType, T.DoubleType):
+                out = out.withColumn(f_.name, F.round(f_.name, args.precision))
+    return out
+
+
+def _write(out, args):
     writer = out.write.mode("overwrite")
     if args.format == "parquet":
         writer.parquet(args.output)
@@ -88,8 +163,6 @@ def main(argv=None) -> int:
             if isinstance(f_.dataType, (T.ArrayType, T.StructType, T.MapType)):
                 flat = flat.withColumn(f_.name, F.to_json(f_.name))
         flat.write.mode("overwrite").option("header", True).csv(args.output)
-    print(json.dumps({"cmd": args.cmd, "output": args.output, "rows": out.count()}))
-    return 0
 
 
 if __name__ == "__main__":

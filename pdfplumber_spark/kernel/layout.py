@@ -180,10 +180,12 @@ def assemble_text_layout(
     total_len = 0  # chars emitted so far (to test "last char is newline")
     last_char = ""
 
+    line_pos_vals = words[line_pos_col].to_numpy(np.float64)
+    char_pos_vals = words[char_pos_col].to_numpy(np.float64)
+
     for i, grp in enumerate(line_groups):
-        first_word = words.iloc[grp[0]]
         y_dist = (
-            (first_word[line_pos_col] - (y_origin + y_shift)) * y_adj / y_density
+            (line_pos_vals[grp[0]] - (y_origin + y_shift)) * y_adj / y_density
         )
         prepend = max(int(i > 0), round(y_dist) - num_newlines)
         for _ in range(prepend):
@@ -208,8 +210,9 @@ def assemble_text_layout(
             word_order = np.asarray(grp)[np.lexsort((k2, k1))]
 
         for wi in word_order:
-            w = words.iloc[wi]
-            x_dist = (w[char_pos_col] - (x_origin + x_shift)) * x_adj / x_density
+            x_dist = (
+                (char_pos_vals[wi] - (x_origin + x_shift)) * x_adj / x_density
+            )
             n_spaces = max(min(1, line_len), round(x_dist) - line_len)
             if n_spaces:
                 emit(" " * n_spaces)
@@ -217,8 +220,11 @@ def assemble_text_layout(
                 last_char = " "
             line_len += n_spaces
             wc = word_chars[wi]
-            txts = wc["text"].to_numpy(dtype=object)
-            rows = wc["_row"].to_numpy(dtype=np.int64)
+            if isinstance(wc, tuple):  # array-native fast path
+                txts, rows = wc
+            else:
+                txts = wc["text"].to_numpy(dtype=object)
+                rows = wc["_row"].to_numpy(dtype=np.int64)
             pieces = []
             prow = []
             for t, r in zip(txts, rows):
@@ -339,6 +345,65 @@ def page_text(
         presorted=True,
         use_text_flow=s.use_text_flow,
         expand_ligatures=s.expand_ligatures,
+    )
+    return text
+
+
+def build_word_char_arrays(
+    ca_text: np.ndarray,
+    char_word_id: np.ndarray,
+    char_word_pos: np.ndarray,
+    n_words: int,
+) -> list:
+    """Array-native ``build_word_chars``: per-word (texts, rows) tuples in
+    word order, chars within each word in assignment order — no per-word
+    pandas frames (the layout fast path's unlock)."""
+    kept = np.flatnonzero(char_word_id >= 0)
+    order = kept[np.lexsort((char_word_pos[kept], char_word_id[kept]))]
+    wids = char_word_id[order]
+    empty = (np.empty(0, dtype=object), np.empty(0, dtype=np.int64))
+    out = [empty] * n_words
+    if len(order) == 0:
+        return out
+    bounds = np.flatnonzero(np.r_[True, wids[1:] != wids[:-1]])
+    bounds = np.append(bounds, len(order))
+    for bi in range(len(bounds) - 1):
+        sl = order[bounds[bi]:bounds[bi + 1]]
+        out[int(wids[bounds[bi]])] = (ca_text[sl], sl.astype(np.int64))
+    return out
+
+
+def page_text_layout_ca(
+    ca,
+    settings: Optional[WordSettings] = None,
+    layout_bbox: Optional[Tuple[float, float, float, float]] = None,
+    layout_width: float = 0,
+    layout_height: float = 0,
+    **layout_kwargs,
+) -> str:
+    """layout=True extract_text straight from CharArrays (parser buffers) —
+    the layout-branch fast path (byte-identical to ``page_text(layout=True)``,
+    pinned by tests/test_kernel_layout.py)."""
+    from .words import extract_words_ca
+
+    s = settings or WordSettings()
+    if ca.n == 0:
+        return ""
+    words, cwid, cwpos = extract_words_ca(ca, s)
+    word_chars = build_word_char_arrays(ca.text, cwid, cwpos, len(words))
+    text, _ = assemble_text_layout(
+        words,
+        word_chars,
+        layout_bbox=layout_bbox,
+        layout_width=layout_width,
+        layout_height=layout_height,
+        y_tolerance=s.y_tolerance,
+        line_dir=s.line_dir,
+        char_dir=s.char_dir,
+        presorted=True,
+        use_text_flow=s.use_text_flow,
+        expand_ligatures=s.expand_ligatures,
+        **layout_kwargs,
     )
     return text
 

@@ -108,8 +108,11 @@ def _content_stream(page: Dict) -> bytes:
     return "\n".join(parts).encode("latin-1")
 
 
-def make_pdf(pages: List[Dict]) -> bytes:
-    """Serialize page specs to deterministic PDF bytes."""
+def make_pdf(pages: List[Dict], info: dict = None) -> bytes:
+    """Serialize page specs to deterministic PDF bytes.
+
+    ``info``: document Info dict (/Title etc.); by default a deterministic
+    one derived from the content is written (metadata-plan fixture)."""
     objects: List[bytes] = []  # 1-indexed
 
     def add(obj: bytes) -> int:
@@ -221,6 +224,27 @@ def make_pdf(pages: List[Dict]) -> bytes:
         root_body += b"/StructTreeRoot %d 0 R/MarkInfo<</Marked true>>" % struct_root_num
     root = add(root_body + b">>")
 
+    # document Info dict (reference pdf.py:28-63 reads it as .metadata)
+    if info is None:
+        import hashlib as _hl
+
+        content_id = _hl.md5(b"".join(objects)).hexdigest()[:10]
+        info = {
+            "Title": "synthetic doc %s" % content_id,
+            "Producer": "pdfplumber-spark synth",
+            "CreationDate": "D:20260101000000Z",
+        }
+    info_num = None
+    if info:
+        body = b"<<"
+        for k, v in info.items():
+            body += b"/" + str(k).encode("latin-1")
+            if isinstance(v, (int, float)):
+                body += b" " + (b"%g" % v)
+            else:
+                body += b"(" + _esc(str(v)) + b")"
+        info_num = add(body + b">>")
+
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
     for i, obj in enumerate(objects, start=1):
@@ -234,8 +258,9 @@ def make_pdf(pages: List[Dict]) -> bytes:
     out += b"0000000000 65535 f \n"
     for off in offsets[1:]:
         out += b"%010d 00000 n \n" % off
+    info_part = b"/Info %d 0 R" % info_num if info_num else b""
     out += (
-        b"trailer\n<</Size %d/Root %d 0 R>>\nstartxref\n%d\n%%%%EOF\n"
-        % (n, root, xref_pos)
+        b"trailer\n<</Size %d/Root %d 0 R%s>>\nstartxref\n%d\n%%%%EOF\n"
+        % (n, root, info_part, xref_pos)
     )
     return bytes(out)

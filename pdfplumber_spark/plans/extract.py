@@ -58,11 +58,12 @@ def _payload_to_text_rows(url: str, payload, layout: bool, dedupe: bool = False)
     data = bytes(payload)
     try:
         if data[:5] == b"%PDF-":
-            if not layout and not dedupe:
+            if not dedupe:
                 # fast path: parser buffers -> CharArrays, no pandas
+                # (both plain and layout=True branches)
                 import numpy as np
 
-                from ..kernel.layout import page_text_ca
+                from ..kernel.layout import page_text_ca, page_text_layout_ca
                 from ..kernel.pdfparse import parse_pdf
                 from ..kernel.words import CharArrays
 
@@ -76,10 +77,16 @@ def _payload_to_text_rows(url: str, payload, layout: bool, dedupe: bool = False)
                         nums = np.frombuffer(
                             it.ch_num, dtype=np.float64
                         ).reshape(n, 12)
-                        txt = page_text_ca(
-                            CharArrays.from_arrays(it.ch_text, nums),
-                            WordSettings(),
-                        )
+                        ca = CharArrays.from_arrays(it.ch_text, nums)
+                        if layout:
+                            w, h = float(it.width), float(it.height)
+                            txt = page_text_layout_ca(
+                                ca, WordSettings(),
+                                layout_bbox=(0.0, 0.0, w, h),
+                                layout_width=w, layout_height=h,
+                            )
+                        else:
+                            txt = page_text_ca(ca, WordSettings())
                     else:
                         txt = ""
                     rows.append(
@@ -488,10 +495,12 @@ def extract_text_salted(
 
 
 def extract_structure(
-    pages: DataFrame, num_partitions: Optional[int] = None
+    pages: DataFrame, num_partitions: Optional[int] = None,
+    with_text: bool = False,
 ) -> DataFrame:
     """pages -> (url, structure_json) — the Tagged-PDF tree as a JSON
-    column (SURVEY §1.2: Spark has no recursive StructType)."""
+    column (SURVEY §1.2: Spark has no recursive StructType). ``with_text``
+    is the CLI --structure-text form (cli.py:75-93)."""
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -510,7 +519,9 @@ def extract_structure(
                 if payload is None or bytes(payload)[:5] != b"%PDF-":
                     continue
                 try:
-                    rows.append((url, tree_to_json(bytes(payload))))
+                    rows.append(
+                        (url, tree_to_json(bytes(payload), with_text=with_text))
+                    )
                 except Exception:  # noqa: BLE001
                     rows.append((url, None))
             yield pd.DataFrame(rows, columns=["url", "structure_json"])
@@ -577,6 +588,53 @@ def with_doc_doctop(df: DataFrame, page_meta: DataFrame) -> DataFrame:
     return df.join(offsets, ["url", "page_number"], "left").withColumn(
         "doctop", F.col("top") + F.coalesce("initial_doctop", F.lit(0.0))
     ).drop("initial_doctop")
+
+
+# --- document metadata (Info dict) -------------------------------------------
+
+def _payload_to_metadata_rows(url: str, payload) -> list:
+    """Per-payload (url, key, value) metadata rows (reference pdf.py:28-63
+    .metadata) — shared by the Spark plan and the single-process oracle.
+    Values are stringified for a fixed schema; None stays NULL."""
+    from ..kernel.pdfparse import PDFDocument
+
+    if payload is None or bytes(payload)[:5] != b"%PDF-":
+        return []
+    try:
+        meta = PDFDocument(bytes(payload)).metadata()
+    except Exception:  # noqa: BLE001
+        return []
+    return [
+        (url, str(k), None if v is None else str(v))
+        for k, v in sorted(meta.items(), key=lambda kv: str(kv[0]))
+    ]
+
+
+def extract_metadata(
+    pages: DataFrame, num_partitions: Optional[int] = None
+) -> DataFrame:
+    """pages -> (url, key, value) document-metadata rows. The MapType form
+    is ``F.map_from_entries`` over this (SURVEY §2.1); the exploded form is
+    the join/SQL-friendly one."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("key", T.StringType(), False),
+            T.StructField("value", T.StringType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for url, payload in zip(batch["url"], batch["html"]):
+                rows.extend(_payload_to_metadata_rows(url, payload))
+            yield pd.DataFrame(rows, columns=["url", "key", "value"])
+
+    src = partition_by_url(pages.select("url", "html"), num_partitions)
+    return src.mapInPandas(run, schema=schema)
 
 
 # --- annots / hyperlinks -----------------------------------------------------

@@ -40,7 +40,7 @@ import pandas as pd
 from .corpus import CORPUS_VERSION, corpus_path_for_sf
 
 # bump when any expected-result computation changes
-EXPECTED_VERSION = 1
+EXPECTED_VERSION = 2
 
 
 # ---------------------------------------------------------------------------
@@ -204,6 +204,15 @@ def _b_hyperlinks(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame(columns=ANNOT_COLS)
     out = pd.concat(outs, ignore_index=True)
     return out[out["uri"].notna()].reset_index(drop=True)[ANNOT_COLS]
+
+
+def _b_metadata(sf_dir: str) -> pd.DataFrame:
+    from ..plans.extract import _payload_to_metadata_rows
+
+    rows = []
+    for url, payload in _read_corpus(sf_dir):
+        rows.extend(_payload_to_metadata_rows(url, payload))
+    return pd.DataFrame(rows, columns=["url", "key", "value"])
 
 
 def _b_structure(sf_dir: str) -> pd.DataFrame:
@@ -375,6 +384,7 @@ _BUILDERS = {
     "search": _b_search,
     "text_lines": _b_text_lines,
     "hyperlinks": _b_hyperlinks,
+    "metadata": _b_metadata,
     "structure": _b_structure,
     "image_metadata": _b_image_metadata,
     "minhash_pairs": _b_minhash_pairs,

@@ -143,3 +143,22 @@ def test_mcid_marked_content():
     assert grouped[0] == "Test of figures"
     assert grouped[2] == "1 ligne"
     assert set(t for t in ch.tag if t is not None) == {"P", "Standard"}
+
+
+def test_issue_461_and_842_cp936_fontnames():
+    # reference tests/test_issues.py:199-222 expectations, verbatim
+    from pdfplumber_spark.kernel.pdfparse import normalize_fontname
+
+    assert (
+        normalize_fontname(b"RGJSAP+\xcb\xce\xcc\xe5".decode("latin-1"))
+        == "RGJSAP+SimSun,Regular"
+    )
+    assert (
+        normalize_fontname(b"\xcb\xce\xcc\xe5".decode("latin-1"))
+        == "SimSun,Regular"
+    )
+    for fix in ("issue-461-example.pdf", "issue-842-example.pdf"):
+        with pdfplumber.open(f"{PDFS}/{fix}") as pdf:
+            page = pdf.pages[0]
+            assert all(isinstance(c["fontname"], str) for c in page.chars)
+            page.dedupe_chars()

@@ -119,3 +119,37 @@ def test_search_differential(seed):
         assert got["top"].iloc[i] == pytest.approx(e["top"])
         assert got["x1"].iloc[i] == pytest.approx(e["x1"])
         assert got["bottom"].iloc[i] == pytest.approx(e["bottom"])
+
+
+def test_layout_fast_path_byte_identical():
+    """page_text_layout_ca (CharArrays fast path) must be byte-identical to
+    page_text(layout=True) — including the scotus reference golden."""
+    import numpy as np
+
+    from pdfplumber_spark.kernel.layout import page_text, page_text_layout_ca
+    from pdfplumber_spark.kernel.pdfparse import parse_pdf, pdf_to_frames
+    from pdfplumber_spark.kernel.words import CharArrays, WordSettings
+
+    data = open(
+        "/root/reference/tests/pdfs/scotus-transcript-p1.pdf", "rb"
+    ).read()
+    frames = pdf_to_frames(data, style=False)
+    chars = frames["chars"]
+    meta = frames["pages"].iloc[0]
+    slow = page_text(
+        chars[chars["page_number"] == 1], WordSettings(), layout=True,
+        layout_bbox=(0, 0, float(meta.width), float(meta.height)),
+        layout_width=float(meta.width), layout_height=float(meta.height),
+    )
+    it = parse_pdf(data, style=False)[0]
+    nums = np.frombuffer(it.ch_num, dtype=np.float64).reshape(it.n_chars, 12)
+    fast = page_text_layout_ca(
+        CharArrays.from_arrays(it.ch_text, nums), WordSettings(),
+        layout_bbox=(0, 0, float(it.width), float(it.height)),
+        layout_width=float(it.width), layout_height=float(it.height),
+    )
+    assert fast == slow
+    golden = open(
+        "/root/reference/tests/comparisons/scotus-transcript-p1.txt"
+    ).read().strip("\n")
+    assert fast == golden

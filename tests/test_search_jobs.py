@@ -60,3 +60,61 @@ def test_jobs_cli_roundtrip(corpus, tmp_path):
     summary = json.loads(res.stdout.strip().splitlines()[-1])
     assert summary["buckets_done"] == 2
     assert summary["pages_ok"] > 0
+
+
+def test_jobs_cli_flag_parity(corpus, tmp_path):
+    """Reference cli.py:23-66 flag surface on the Spark jobs CLI:
+    --types/--pages/--include-attrs/--exclude-attrs/--precision + the
+    structure sink."""
+    import pandas as pd
+
+    out = str(tmp_path / "objs")
+    res = subprocess.run(
+        [sys.executable, "-m", "pdfplumber_spark.jobs", "objects",
+         "--input", corpus, "--output", out, "--local-cores", "2",
+         "--types", "char", "rect", "--pages", "1",
+         "--include-attrs", "text", "x0", "top", "--precision", "2"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    df = pd.read_parquet(out)
+    assert set(df["object_type"]) <= {"char", "rect"}
+    assert set(df["page_number"]) == {1}
+    assert sorted(df.columns) == sorted(
+        ["url", "page_number", "object_type", "text", "x0", "top"]
+    )
+    # --precision 2: no more than 2 decimals survive
+    assert (df["x0"].dropna() == df["x0"].dropna().round(2)).all()
+
+    out2 = str(tmp_path / "struct")
+    res = subprocess.run(
+        [sys.executable, "-m", "pdfplumber_spark.jobs", "structure-text",
+         "--input", corpus, "--output", out2, "--local-cores", "2",
+         "--format", "json"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["rows"] > 0
+    # at least one tagged doc should carry mcid text contents
+    rows = []
+    for fn in os.listdir(out2):
+        if fn.endswith(".json"):
+            rows += [json.loads(x) for x in open(os.path.join(out2, fn))
+                     if x.strip()]
+    trees = [json.loads(r["structure_json"]) for r in rows
+             if r.get("structure_json")]
+    texts = [
+        el.get("text") for t in trees for el in _walk(t) if el.get("text")
+    ]
+    assert texts and any("".join(x).strip() for x in texts)
+
+
+def _walk(elements):
+    queue = list(elements)
+    while queue:
+        el = queue.pop(0)
+        yield el
+        queue.extend(el.get("children", []))

@@ -84,3 +84,116 @@ def test_tree_to_json_and_spark_plan(spark, tmp_path):
     out = extract_structure(read_pages(spark, p), num_partitions=2).toPandas()
     assert len(out) == 1
     assert json.loads(out["structure_json"].iloc[0])[0]["type"]
+
+
+# --- full parity against the reference's own expected trees -----------------
+# The constants (TREE, PVSTRUCT, ...) are the reference's test expectations,
+# extracted by ast from tests/test_structure.py — data, not code.
+
+def _ref_constants():
+    import ast
+
+    src = open("/root/reference/tests/test_structure.py").read()
+    consts = {}
+    for node in ast.parse(src).body:
+        if (
+            isinstance(node, ast.Assign)
+            and len(node.targets) == 1
+            and isinstance(node.targets[0], ast.Name)
+            and node.targets[0].id.isupper()
+        ):
+            try:
+                consts[node.targets[0].id] = ast.literal_eval(node.value)
+            except ValueError:
+                pass
+    return consts
+
+
+REFC = _ref_constants()
+
+
+def _tree(fn, page_number=None, pages=None):
+    doc = PDFDocument(open(f"{PDFS}/{fn}", "rb").read())
+    t = StructTree(doc, page_number=page_number, pages=pages)
+    return [el.to_dict() for el in t.children]
+
+
+def test_pdf_structure_page_scoped_matches_reference():
+    # reference test_structure.py:335-336
+    assert _tree("pdf_structure.pdf", page_number=1) == REFC["TREE"]
+
+
+def test_pdf_structure_doc_level_adds_page_numbers():
+    # reference test_structure.py:337-344
+    import copy
+    from collections import deque
+
+    exp = copy.deepcopy(REFC["TREE"])
+    d = deque(exp)
+    while d:
+        el = d.popleft()
+        el["page_number"] = 1
+        d.extend(el.get("children", []))
+    assert _tree("pdf_structure.pdf") == exp
+
+
+def test_pv_doc_and_page_trees():
+    # reference test_structure.py:993-998 (doc + ParentTree page scope)
+    assert _tree("2023-06-20-PV.pdf") == REFC["PVSTRUCT"]
+    assert _tree("2023-06-20-PV.pdf", page_number=2) == REFC["PVSTRUCT1"]
+
+
+def test_pv_missing_parenttree_fallback():
+    # reference test_structure.py:1000-1006: same page tree without ParentTree
+    doc = PDFDocument(open(f"{PDFS}/2023-06-20-PV.pdf", "rb").read())
+    root = doc.resolve(doc.trailer.get("Root"))
+    st_root = doc.resolve(root.get("StructTreeRoot"))
+    del st_root["ParentTree"]
+    t = StructTree(doc, page_number=2)
+    assert [el.to_dict() for el in t.children] == REFC["PVSTRUCT1"]
+
+
+def test_pv_pages_subset():
+    # reference test_structure.py:971-974: open(pages=[2]) doc-level tree
+    assert _tree("2023-06-20-PV.pdf", pages=[2]) == REFC["PVSTRUCT2"]
+
+
+def test_word365_and_image_trees():
+    # reference test_structure.py:986-990, 1008-1013
+    assert _tree("word365_structure.pdf", page_number=1) == REFC["WORD365"]
+    assert _tree("image_structure.pdf", page_number=1) == REFC["IMAGESTRUCT"]
+
+
+def test_scotus_attribute_classes():
+    # reference test_structure.py:1033-1036 ("actually has attribute classes")
+    assert _tree("scotus-transcript-p1.pdf") == REFC["SCOTUS"]
+
+
+def test_hello_corner_cases():
+    # reference test_structure.py:1068-1075
+    assert _tree("hello_structure.pdf") == REFC["HELLO"]
+    assert _tree("hello_structure.pdf", page_number=1) == REFC["HELLO1P"]
+    assert _tree("hello_structure.pdf", pages=[1]) == REFC["HELLO1"]
+
+
+def test_no_structure_gives_empty():
+    # reference test_structure.py:980-984 (pdffill-demo has no struct tree)
+    assert _tree("pdffill-demo.pdf") == []
+    assert _tree("pdffill-demo.pdf", page_number=1) == []
+
+
+def test_figure_mcids():
+    # reference test_structure.py:1015-1031
+    from collections import deque
+
+    doc = PDFDocument(open(f"{PDFS}/figure_structure.pdf", "rb").read())
+    t = StructTree(doc, page_number=1)
+    d = deque(el.to_dict() for el in t.children)
+    el = None
+    while d:
+        el = d.popleft()
+        if el["type"] == "Figure":
+            break
+        d.extend(el.get("children", []))
+    assert el["type"] == "Figure"
+    assert el["mcids"] == [1, 14]
