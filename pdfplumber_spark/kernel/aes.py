@@ -82,25 +82,84 @@ def _round_keys(key: bytes) -> list:
     return [b"".join(w[4 * r:4 * r + 4]) for r in range(len(w) // 4)]
 
 
-def encrypt_block(block: bytes, rk: list) -> bytes:
-    nr = len(rk) - 1
-    s = bytes(a ^ b for a, b in zip(block, rk[0]))
-    for rnd in range(1, nr):
-        # SubBytes + ShiftRows
-        t = bytes(
-            _SBOX[s[(i + 4 * (i % 4)) % 16]] for i in range(16)
+# T-tables (classic public optimization: one u32 lookup folds SubBytes +
+# ShiftRows + MixColumns per byte) — encrypt is the hot path via the R6
+# password hash (Algorithm 2.B runs AES-128-CBC over ~KBs x 64+ rounds).
+def _build_te():
+    te0 = [0] * 256
+    for x in range(256):
+        s = _SBOX[x]
+        te0[x] = (_M2[s] << 24) | (s << 16) | (s << 8) | _M3[s]
+    rotr8 = lambda v: ((v >> 8) | ((v & 0xFF) << 24)) & 0xFFFFFFFF  # noqa: E731
+    te1 = [rotr8(v) for v in te0]
+    te2 = [rotr8(v) for v in te1]
+    te3 = [rotr8(v) for v in te2]
+    return te0, te1, te2, te3
+
+
+_TE0, _TE1, _TE2, _TE3 = _build_te()
+
+
+def _rk_words(rk: list) -> list:
+    """Round keys as per-round 4-tuples of big-endian u32 column words."""
+    out = []
+    for k in rk:
+        out.append(
+            (
+                int.from_bytes(k[0:4], "big"),
+                int.from_bytes(k[4:8], "big"),
+                int.from_bytes(k[8:12], "big"),
+                int.from_bytes(k[12:16], "big"),
+            )
         )
-        # MixColumns
-        m = bytearray(16)
-        for c in range(4):
-            a0, a1, a2, a3 = t[4 * c:4 * c + 4]
-            m[4 * c + 0] = _M2[a0] ^ _M3[a1] ^ a2 ^ a3
-            m[4 * c + 1] = a0 ^ _M2[a1] ^ _M3[a2] ^ a3
-            m[4 * c + 2] = a0 ^ a1 ^ _M2[a2] ^ _M3[a3]
-            m[4 * c + 3] = _M3[a0] ^ a1 ^ a2 ^ _M2[a3]
-        s = bytes(a ^ b for a, b in zip(m, rk[rnd]))
-    t = bytes(_SBOX[s[(i + 4 * (i % 4)) % 16]] for i in range(16))
-    return bytes(a ^ b for a, b in zip(t, rk[nr]))
+    return out
+
+
+def encrypt_block(block: bytes, rk: list) -> bytes:
+    kw = rk[-1] if isinstance(rk[-1], list) else None
+    words = _rk_words(rk) if kw is None else rk
+    return _encrypt_block_words(
+        (
+            int.from_bytes(block[0:4], "big"),
+            int.from_bytes(block[4:8], "big"),
+            int.from_bytes(block[8:12], "big"),
+            int.from_bytes(block[12:16], "big"),
+        ),
+        words,
+        len(rk) - 1,
+    ).to_bytes(16, "big")
+
+
+def _encrypt_block_words(cols, kwords, nr) -> int:
+    """AES encrypt on 4 u32 column words; returns the 128-bit result int."""
+    te0, te1, te2, te3 = _TE0, _TE1, _TE2, _TE3
+    k = kwords[0]
+    w0 = cols[0] ^ k[0]
+    w1 = cols[1] ^ k[1]
+    w2 = cols[2] ^ k[2]
+    w3 = cols[3] ^ k[3]
+    for r in range(1, nr):
+        k = kwords[r]
+        t0 = (te0[w0 >> 24] ^ te1[(w1 >> 16) & 0xFF]
+              ^ te2[(w2 >> 8) & 0xFF] ^ te3[w3 & 0xFF] ^ k[0])
+        t1 = (te0[w1 >> 24] ^ te1[(w2 >> 16) & 0xFF]
+              ^ te2[(w3 >> 8) & 0xFF] ^ te3[w0 & 0xFF] ^ k[1])
+        t2 = (te0[w2 >> 24] ^ te1[(w3 >> 16) & 0xFF]
+              ^ te2[(w0 >> 8) & 0xFF] ^ te3[w1 & 0xFF] ^ k[2])
+        t3 = (te0[w3 >> 24] ^ te1[(w0 >> 16) & 0xFF]
+              ^ te2[(w1 >> 8) & 0xFF] ^ te3[w2 & 0xFF] ^ k[3])
+        w0, w1, w2, w3 = t0, t1, t2, t3
+    k = kwords[nr]
+    sb = _SBOX
+    o0 = ((sb[w0 >> 24] << 24) | (sb[(w1 >> 16) & 0xFF] << 16)
+          | (sb[(w2 >> 8) & 0xFF] << 8) | sb[w3 & 0xFF]) ^ k[0]
+    o1 = ((sb[w1 >> 24] << 24) | (sb[(w2 >> 16) & 0xFF] << 16)
+          | (sb[(w3 >> 8) & 0xFF] << 8) | sb[w0 & 0xFF]) ^ k[1]
+    o2 = ((sb[w2 >> 24] << 24) | (sb[(w3 >> 16) & 0xFF] << 16)
+          | (sb[(w0 >> 8) & 0xFF] << 8) | sb[w1 & 0xFF]) ^ k[2]
+    o3 = ((sb[w3 >> 24] << 24) | (sb[(w0 >> 16) & 0xFF] << 16)
+          | (sb[(w1 >> 8) & 0xFF] << 8) | sb[w2 & 0xFF]) ^ k[3]
+    return (o0 << 96) | (o1 << 64) | (o2 << 32) | o3
 
 
 def decrypt_block(block: bytes, rk: list) -> bytes:
@@ -156,12 +215,17 @@ def cbc_encrypt(key: bytes, data: bytes, iv: bytes, pad: bool = True) -> bytes:
     if pad:
         p = 16 - (len(data) % 16)
         data = data + bytes([p]) * p
-    rk = _round_keys(key)
+    kwords = _rk_words(_round_keys(key))
+    nr = len(kwords) - 1
     out = bytearray()
-    prev = iv
+    prev = int.from_bytes(iv, "big")
+    mask32 = 0xFFFFFFFF
     for i in range(0, len(data), 16):
-        blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
-        enc = encrypt_block(blk, rk)
-        out += enc
-        prev = enc
+        x = int.from_bytes(data[i:i + 16], "big") ^ prev
+        prev = _encrypt_block_words(
+            (x >> 96, (x >> 64) & mask32, (x >> 32) & mask32, x & mask32),
+            kwords,
+            nr,
+        )
+        out += prev.to_bytes(16, "big")
     return bytes(out)

@@ -146,8 +146,10 @@ def encrypt_pdf(
     """Rewrite ``data`` encrypted with the standard security handler.
 
     ``method``: 'rc4' (V2/R3, 128-bit), 'aes128' (V4/R4 AESV2),
-    'aes256' (V5/R6 AESV3)."""
-    assert method in ("rc4", "aes128", "aes256")
+    'aes256' (V5/R6 AESV3), 'aes256r5' (V5/R5 — legacy Adobe rev 5, cheap
+    SHA-256 password hash; corpus generation favors it because the R6
+    hardened hash costs ~0.5 s/call even with T-table AES)."""
+    assert method in ("rc4", "aes128", "aes256", "aes256r5")
     upw = user_pw.encode("latin-1", "replace")
     opw = (owner_pw if owner_pw is not None else user_pw).encode(
         "latin-1", "replace"
@@ -155,7 +157,8 @@ def encrypt_pdf(
     doc = PDFDocument(data)
     id0 = hashlib.md5(data + seed).digest()
 
-    if method == "aes256":
+    if method in ("aes256", "aes256r5"):
+        r5 = method == "aes256r5"
         h = hashlib.sha256(seed)
         file_key = h.digest()
         uvs = hashlib.sha256(seed + b"uvs").digest()[:8]
@@ -164,11 +167,15 @@ def encrypt_pdf(
         oks = hashlib.sha256(seed + b"oks").digest()[:8]
         upw256 = upw[:127]
         opw256 = opw[:127]
-        u_entry = _hash_2b(upw256, uvs) + uvs + uks
-        ue = cbc_encrypt(_hash_2b(upw256, uks), file_key, iv=b"\x00" * 16,
+        if r5:
+            uhash = lambda p, s, u=b"": hashlib.sha256(p + s + u).digest()  # noqa: E731
+        else:
+            uhash = _hash_2b
+        u_entry = uhash(upw256, uvs) + uvs + uks
+        ue = cbc_encrypt(uhash(upw256, uks), file_key, iv=b"\x00" * 16,
                          pad=False)
-        o_entry = _hash_2b(opw256, ovs, u_entry[:48]) + ovs + oks
-        oe = cbc_encrypt(_hash_2b(opw256, oks, u_entry[:48]), file_key,
+        o_entry = uhash(opw256, ovs, u_entry[:48]) + ovs + oks
+        oe = cbc_encrypt(uhash(opw256, oks, u_entry[:48]), file_key,
                          iv=b"\x00" * 16, pad=False)
         perms_plain = (
             (p & 0xFFFFFFFF).to_bytes(4, "little") + b"\xff\xff\xff\xff"
@@ -177,7 +184,7 @@ def encrypt_pdf(
         perms = encrypt_block(perms_plain, _round_keys(file_key))
         enc_dict = {
             Name("Filter"): Name("Standard"),
-            Name("V"): 5, Name("R"): 6, Name("Length"): 256,
+            Name("V"): 5, Name("R"): 5 if r5 else 6, Name("Length"): 256,
             Name("P"): p,
             Name("CF"): {Name("StdCF"): {
                 Name("CFM"): Name("AESV3"),

@@ -315,7 +315,23 @@ class Font:
             # fallback: deterministic base table (ASCII)
             self.widths = {32 + i: float(w) for i, w in enumerate(WIDTHS)}
         self.to_unicode = self._parse_tounicode(doc, spec.get("ToUnicode"))
-        self.multibyte = str(doc.resolve(spec.get("Subtype", ""))) == "Type0"
+        subtype = str(doc.resolve(spec.get("Subtype", "")))
+        # Type3: widths live in glyph space, scaled by FontMatrix (pdfminer
+        # PDFType3Font: hscale/vscale = apply_matrix_norm(matrix, (1,1)))
+        self.hscale = 0.001
+        if subtype == "Type3":
+            fm = doc.resolve(spec.get("FontMatrix")) or [0.001, 0, 0, 0.001, 0, 0]
+            fm = [float(doc.resolve(x) or 0) for x in fm]
+            self.hscale = fm[0] + fm[2]
+            vscale = fm[1] + fm[3]
+            bbox = [
+                float(doc.resolve(x) or 0)
+                for x in (doc.resolve(spec.get("FontBBox")) or (0, 0, 0, 0))
+            ]
+            if bbox != [0.0, 0.0, 0.0, 0.0]:
+                self.descent = bbox[1] * vscale * 1000.0
+                self.ascent = bbox[3] * vscale * 1000.0
+        self.multibyte = subtype == "Type0"
         self.cid_widths: Dict[int, float] = {}
         self.cid_default = 1000.0
         if self.multibyte:
@@ -400,7 +416,7 @@ class Font:
             w = np.array(
                 [self.widths.get(c, self.default_width) for c in range(256)],
                 dtype=np.float64,
-            ) * 0.001
+            ) * self.hscale
             u = [self.to_unichr(c) for c in range(256)]
             tbl = self._byte_tables = (w, u)
         return tbl
@@ -408,7 +424,7 @@ class Font:
     def char_width(self, cid: int) -> float:
         if self.multibyte:
             return self.cid_widths.get(cid, self.cid_default) * 0.001
-        return self.widths.get(cid, self.default_width) * 0.001
+        return self.widths.get(cid, self.default_width) * self.hscale
 
     def to_unichr(self, cid: int) -> str:
         if cid in self.to_unicode:

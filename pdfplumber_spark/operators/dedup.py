@@ -258,13 +258,21 @@ def jaccard_pairs(
     dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
     filtered = toks.join(
         dfreq.where(F.col("df") <= max_doc_freq).select("token"), "token"
-    )
+    ).join(sizes, "doc_id")
     a, b = filtered.alias("a"), filtered.alias("b")
+    # size-ratio prefilter (lossless): jaccard(A,B) <= min|.|/max|.|, so a
+    # pair whose size ratio is already below threshold can never pass — this
+    # prunes the O(sum df^2) pair blowup before the expensive co-count
+    size_ok = (
+        F.least(F.col("a.set_size"), F.col("b.set_size"))
+        >= F.lit(threshold) * F.greatest(F.col("a.set_size"), F.col("b.set_size"))
+    )
     inter = (
         a.join(
             b,
             (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & size_ok,
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")

@@ -24,7 +24,7 @@ from typing import Iterator, List, Tuple
 from ..kernel.pdfgen import glyph_width, make_pdf
 
 # bump when generated content changes — cache paths embed this
-CORPUS_VERSION = 6
+CORPUS_VERSION = 7
 
 LOREM = (
     "the quick brown fox jumps over a lazy dog while bright vixens watch "
@@ -238,7 +238,10 @@ def generate_rows(
         elif fam == "pdf/encrypted":
             from ..kernel.pdfcrypt import encrypt_pdf
 
-            method = rng.choice(["rc4", "aes128", "aes256"])
+            # R5 for the corpus: R6's hardened hash costs ~0.5s per doc at
+            # both generation and parse; R6 parity is pinned in
+            # tests/test_encryption.py instead
+            method = rng.choice(["rc4", "aes128", "aes256r5"])
             payload = encrypt_pdf(
                 _pdf_basic(rng, 1), user_pw="", owner_pw="owner",
                 method=method, seed=b"corpus-%d" % i,

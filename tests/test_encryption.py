@@ -28,7 +28,7 @@ PLAIN = _plain_pdf()
 F0 = pdf_to_frames(PLAIN)
 
 
-@pytest.mark.parametrize("method", ["rc4", "aes128", "aes256"])
+@pytest.mark.parametrize("method", ["rc4", "aes128", "aes256", "aes256r5"])
 @pytest.mark.parametrize("pw", ["", "s3cret"])
 def test_roundtrip_byte_identical(method, pw):
     enc = encrypt_pdf(PLAIN, user_pw=pw, method=method)
