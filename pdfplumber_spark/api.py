@@ -105,6 +105,68 @@ class Page:
     def curves(self) -> List[dict]:
         return self._curves.to_dict("records")
 
+    # --- LAParams layout analysis (reference page.py:269-277,
+    # tests/test_laparams.py; kernel/laparams.py reimplements pdfminer's
+    # group_objects/group_textlines) --------------------------------------
+
+    def _layout_objects(self):
+        lap = getattr(self.pdf, "laparams", None)
+        if lap is None:
+            return None
+        cached = getattr(self, "_la_cache", None)
+        if cached is None:
+            from .kernel.laparams import analyze
+
+            cached = self._la_cache = analyze(self._chars, lap)
+        return cached
+
+    def _la_kind(self, kind: str) -> List[dict]:
+        la = self._layout_objects()
+        if la is None:
+            return []
+        lines, boxes = la
+        src = boxes if kind.startswith("textbox") else lines
+        out = []
+        for o in src:
+            if o["object_type"] == kind:
+                d = dict(o)
+                d["page_number"] = self.page_number
+                out.append(d)
+        return out
+
+    @property
+    def textboxhorizontals(self) -> List[dict]:
+        return self._la_kind("textboxhorizontal")
+
+    @property
+    def textboxverticals(self) -> List[dict]:
+        return self._la_kind("textboxvertical")
+
+    @property
+    def textlinehorizontals(self) -> List[dict]:
+        return self._la_kind("textlinehorizontal")
+
+    @property
+    def textlineverticals(self) -> List[dict]:
+        return self._la_kind("textlinevertical")
+
+    @property
+    def objects(self) -> dict:
+        out = {}
+        for kind, rows in (
+            ("char", self.chars), ("line", self.lines),
+            ("rect", self.rects), ("curve", self.curves),
+        ):
+            if rows:
+                out[kind] = rows
+        if getattr(self.pdf, "laparams", None) is not None:
+            for kind in ("textboxhorizontal", "textboxvertical",
+                         "textlinehorizontal", "textlinevertical"):
+                rows = self._la_kind(kind)
+                if rows:
+                    out[kind] = rows
+        return out
+
     @property
     def images(self) -> List[dict]:
         cols = ["name", "x0", "x1", "y0", "y1", "top", "bottom", "doctop",
@@ -327,12 +389,15 @@ class Table:
 
 
 class PDF:
-    def __init__(self, data: bytes, pages: Optional[List[int]] = None, password: str = ""):
+    def __init__(self, data: bytes, pages: Optional[List[int]] = None,
+                 password: str = "", laparams=None):
+        from .kernel.laparams import LAParams
         from .kernel.pdfparse import PDFDocument
 
         self._data = data
         self._password = password
         self._pages_subset = pages
+        self.laparams = LAParams.resolve(laparams)
         self.metadata = PDFDocument(data, password=password).metadata()
         interps = parse_pdf(data, password=password)
         self.pages: List[Page] = []
@@ -415,7 +480,8 @@ class PDF:
         self.close()
 
 
-def open(path_or_fp: Union[str, bytes, io.IOBase], pages=None, password: str = "") -> PDF:  # noqa: A001
+def open(path_or_fp: Union[str, bytes, io.IOBase], pages=None,
+         password: str = "", laparams=None) -> PDF:  # noqa: A001
     """pdfplumber.open analogue (``pdf.py:65-108``): path / file-like /
     raw bytes; ``pages`` subsets 1-based page numbers."""
     if isinstance(path_or_fp, (bytes, bytearray)):
@@ -427,4 +493,4 @@ def open(path_or_fp: Union[str, bytes, io.IOBase], pages=None, password: str = "
 
         with builtins.open(path_or_fp, "rb") as f:
             data = f.read()
-    return PDF(data, pages=pages, password=password)
+    return PDF(data, pages=pages, password=password, laparams=laparams)
