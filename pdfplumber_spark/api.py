@@ -20,7 +20,8 @@ executors run — SURVEY §1.3: the corpus-scale path is the DataFrame API in
 from __future__ import annotations
 
 import io
-from typing import List, Optional, Union
+import math
+from typing import List, NamedTuple, Optional, Union
 
 import pandas as pd
 
@@ -51,6 +52,41 @@ from .kernel.words import (
     dedupe_chars_frame,
     extract_words_frame,
 )
+
+class CTM(NamedTuple):
+    """Current transformation matrix accessors (reference ctm.py:8-38)."""
+
+    a: float
+    b: float
+    c: float
+    d: float
+    e: float
+    f: float
+
+    @property
+    def scale_x(self) -> float:
+        return math.sqrt(self.a ** 2 + self.b ** 2)
+
+    @property
+    def scale_y(self) -> float:
+        return math.sqrt(self.c ** 2 + self.d ** 2)
+
+    @property
+    def skew_x(self) -> float:
+        return (math.atan2(self.d, self.c) * 180 / math.pi) - 90
+
+    @property
+    def skew_y(self) -> float:
+        return math.atan2(self.b, self.a) * 180 / math.pi
+
+    @property
+    def translation_x(self) -> float:
+        return self.e
+
+    @property
+    def translation_y(self) -> float:
+        return self.f
+
 
 _WS_FIELDS = set(WordSettings.__dataclass_fields__)
 
@@ -156,6 +192,7 @@ class Page:
         for kind, rows in (
             ("char", self.chars), ("line", self.lines),
             ("rect", self.rects), ("curve", self.curves),
+            ("image", self.images),
         ):
             if rows:
                 out[kind] = rows
@@ -283,6 +320,34 @@ class Page:
 
     def extract_tables(self, table_settings: Optional[dict] = None):
         return [t.extract() for t in self.find_tables(table_settings)]
+
+    def debug_tablefinder(self, table_settings: Optional[dict] = None):
+        """Text-mode TableFinder debug surface (reference page.py:427-431
+        returns a TableFinder; no display libs offline, so this exposes the
+        same intermediate state — edges / intersections / cells / tables —
+        as a namespace object)."""
+        from types import SimpleNamespace
+
+        ts = dict(table_settings or {})
+        text_settings = {
+            k[5:]: ts.pop(k) for k in list(ts) if k.startswith("text_")
+        }
+        words = None
+        if "text" in (ts.get("vertical_strategy", "lines"),
+                      ts.get("horizontal_strategy", "lines")):
+            settings, _ = _split_kwargs(text_settings)
+            words, _, _ = extract_words_frame(self._chars, settings)
+        dbg = find_tables_frame(
+            self._edges_frame(), words=words, page_bbox=self.bbox,
+            debug=True, **ts
+        )
+        return SimpleNamespace(
+            edges=dbg["edges"],
+            intersections=dbg["intersections"],
+            cells=dbg["cells"],
+            tables=[Table(self, cells, text_settings)
+                    for cells in dbg["tables"]],
+        )
 
     def extract_table(self, table_settings: Optional[dict] = None):
         tables = self.find_tables(table_settings)
@@ -428,6 +493,16 @@ class PDF:
                 )
                 chars["upright"] = chars["upright"].astype(int)
                 chars["object_type"] = "char"
+                if len(interp.ch_style) == n:
+                    chars["matrix"] = [
+                        tuple(s[0]) for s in interp.ch_style
+                    ]
+                    chars["stroking_color"] = [
+                        tuple(s[1]) for s in interp.ch_style
+                    ]
+                    chars["non_stroking_color"] = [
+                        tuple(s[2]) for s in interp.ch_style
+                    ]
             else:
                 chars = pd.DataFrame(
                     columns=["char_index", "text", "fontname", "size", "adv",
@@ -463,12 +538,14 @@ class PDF:
 
     @property
     def objects(self):
-        return {
+        out = {
             "char": self.chars,
             "line": [o for p in self.pages for o in p.lines],
             "rect": [o for p in self.pages for o in p.rects],
             "curve": [o for p in self.pages for o in p.curves],
+            "image": [o for p in self.pages for o in p.images],
         }
+        return {k: v for k, v in out.items() if v}
 
     def close(self):
         pass

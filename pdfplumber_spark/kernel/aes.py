@@ -184,24 +184,68 @@ def decrypt_block(block: bytes, rk: list) -> bytes:
     return bytes(a ^ b for a, b in zip(t, rk[0]))
 
 
+def _decrypt_blocks_np(data: bytes, key: bytes):
+    """Vectorized AES-ECB decrypt of all 16-byte blocks at once (numpy).
+
+    Unlike CBC *encryption*, CBC *decryption* is block-parallel:
+    P_i = D(C_i) XOR C_{i-1} — so D runs batched over every block."""
+    import numpy as np
+
+    global _NP_TABLES
+    if _NP_TABLES is None:
+        inv_sbox = np.frombuffer(_INV_SBOX, dtype=np.uint8)
+        m9 = np.frombuffer(_M9, dtype=np.uint8)
+        m11 = np.frombuffer(_M11, dtype=np.uint8)
+        m13 = np.frombuffer(_M13, dtype=np.uint8)
+        m14 = np.frombuffer(_M14, dtype=np.uint8)
+        # InvShiftRows gather index: out[4c+r] = s[4*((c-r)%4)+r]
+        ishift = np.array(
+            [(4 * ((i // 4 - i % 4) % 4) + i % 4) for i in range(16)],
+            dtype=np.intp,
+        )
+        _NP_TABLES = (inv_sbox, m9, m11, m13, m14, ishift)
+    inv_sbox, m9, m11, m13, m14, ishift = _NP_TABLES
+
+    rk = _round_keys(key)
+    nr = len(rk) - 1
+    rks = [np.frombuffer(k, dtype=np.uint8) for k in rk]
+    s = np.frombuffer(data, dtype=np.uint8).reshape(-1, 16).copy()
+    s ^= rks[nr]
+    for rnd in range(nr - 1, 0, -1):
+        s = inv_sbox[s[:, ishift]]
+        s ^= rks[rnd]
+        # InvMixColumns on the 4 columns (axis-1 groups of 4)
+        a = s.reshape(-1, 4, 4)
+        a0, a1, a2, a3 = a[:, :, 0], a[:, :, 1], a[:, :, 2], a[:, :, 3]
+        m = np.empty_like(a)
+        m[:, :, 0] = m14[a0] ^ m11[a1] ^ m13[a2] ^ m9[a3]
+        m[:, :, 1] = m9[a0] ^ m14[a1] ^ m11[a2] ^ m13[a3]
+        m[:, :, 2] = m13[a0] ^ m9[a1] ^ m14[a2] ^ m11[a3]
+        m[:, :, 3] = m11[a0] ^ m13[a1] ^ m9[a2] ^ m14[a3]
+        s = m.reshape(-1, 16)
+    s = inv_sbox[s[:, ishift]]
+    s ^= rks[0]
+    return s
+
+
+_NP_TABLES = None
+
+
 def cbc_decrypt(key: bytes, data: bytes, iv: bytes = None,
                 unpad: bool = True) -> bytes:
     """AES-CBC decrypt. If ``iv`` is None the first 16 bytes of ``data`` are
     the IV (the PDF stream layout). ``unpad`` strips PKCS#5/7 padding."""
+    import numpy as np
+
     if iv is None:
         iv, data = data[:16], data[16:]
     n = len(data) - (len(data) % 16)
     data = data[:n]
     if not data:
         return b""
-    rk = _round_keys(key)
-    out = bytearray()
-    prev = iv
-    for i in range(0, n, 16):
-        blk = data[i:i + 16]
-        dec = decrypt_block(blk, rk)
-        out += bytes(a ^ b for a, b in zip(dec, prev))
-        prev = blk
+    dec = _decrypt_blocks_np(data, key)
+    prev = np.frombuffer(iv + data[:-16], dtype=np.uint8).reshape(-1, 16)
+    out = bytearray((dec ^ prev).tobytes())
     if unpad and out:
         pad = out[-1]
         if 1 <= pad <= 16:

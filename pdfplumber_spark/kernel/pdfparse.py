@@ -1059,35 +1059,38 @@ class PDFDocument:
 
     # -- metadata -------------------------------------------------------------
 
+    def _meta_value(self, v, depth: int = 0):
+        """Recursive metadata value decode (pdf.py:47-63 resolve_and_decode:
+        nested dicts/lists get the same text decoding — issue-316)."""
+        v = self.resolve(v)
+        if isinstance(v, (bytes, bytearray)):
+            b = bytes(v)
+            if b[:2] in (b"\xfe\xff", b"\xff\xfe"):
+                try:
+                    return b.decode("utf-16")
+                except UnicodeDecodeError:
+                    pass
+            return b.decode("latin-1")
+        if isinstance(v, (int, float, bool)) or v is None:
+            return v
+        if depth > 8:
+            return str(v)
+        if isinstance(v, list):
+            return [self._meta_value(x, depth + 1) for x in v]
+        if isinstance(v, dict):
+            return {
+                str(k): self._meta_value(x, depth + 1) for k, x in v.items()
+            }
+        return str(v)
+
     def metadata(self) -> dict:
         """Resolved+decoded Info dict (``pdf.py:47-63`` semantics):
-        PDFDocEncoding/UTF-16 text decode, ints/floats kept native."""
+        PDFDocEncoding/UTF-16 text decode, ints/floats kept native, nested
+        dicts/lists decoded recursively."""
         info = self.resolve(self.trailer.get("Info"))
-        out = {}
         if not isinstance(info, dict):
-            return out
-        for k, v in info.items():
-            v = self.resolve(v)
-            if isinstance(v, (bytes, bytearray)):
-                b = bytes(v)
-                if b[:2] in (b"\xfe\xff", b"\xff\xfe"):
-                    try:
-                        out[k] = b.decode("utf-16")
-                        continue
-                    except UnicodeDecodeError:
-                        pass
-                out[k] = b.decode("latin-1")
-            elif isinstance(v, (int, float, bool)) or v is None:
-                out[k] = v
-            elif isinstance(v, list):
-                out[k] = [
-                    self.resolve(x) if not isinstance(x, (bytes, bytearray))
-                    else bytes(x).decode("latin-1")
-                    for x in v
-                ]
-            else:
-                out[k] = str(v)
-        return out
+            return {}
+        return {str(k): self._meta_value(v) for k, v in info.items()}
 
     # -- page tree -----------------------------------------------------------
 

@@ -473,6 +473,7 @@ def find_tables_frame(
     intersection_tolerance: float = 3,
     intersection_x_tolerance: Optional[float] = None,
     intersection_y_tolerance: Optional[float] = None,
+    debug: bool = False,
 ) -> List[List[Tuple[float, float, float, float]]]:
     """The TableFinder pipeline (``table.py:566-671``): strategy matrix ->
     merge_edges -> min-length filter -> intersections -> cells -> tables.
@@ -538,4 +539,14 @@ def find_tables_frame(
     final = filter_edges_frame(merged, min_length=edge_min_length)
     vertices = find_intersections(final, int_x, int_y)
     cells = intersections_to_cells(vertices)
-    return cells_to_tables(cells)
+    tables = cells_to_tables(cells)
+    if debug:
+        # TableFinder debug surface (reference page.py:427-431: the
+        # intermediate pipeline state for inspection)
+        return {
+            "edges": final.to_dict("records"),
+            "intersections": vertices,
+            "cells": cells,
+            "tables": tables,
+        }
+    return tables

@@ -162,3 +162,68 @@ def test_issue_461_and_842_cp936_fontnames():
             page = pdf.pages[0]
             assert all(isinstance(c["fontname"], str) for c in page.chars)
             page.dedupe_chars()
+
+
+def test_list_metadata_load():
+    # reference tests/test_list_metadata.py:14-17
+    with pdfplumber.open(f"{PDFS}/cupertino_usd_4-6-16.pdf") as pdf:
+        assert len(pdf.metadata)
+
+
+def test_ctm_pdffill_demo():
+    # reference tests/test_ctm.py:13-37, verbatim expectations
+    from pdfplumber_spark.api import CTM
+
+    with pdfplumber.open(f"{PDFS}/pdffill-demo.pdf") as pdf:
+        left_r = pdf.pages[3].chars[97]
+        right_r = pdf.pages[3].chars[105]
+        left_ctm = CTM(*left_r["matrix"])
+        right_ctm = CTM(*right_r["matrix"])
+        assert round(left_ctm.translation_x) == 126
+        assert round(right_ctm.translation_x) == 372
+        assert round(left_ctm.translation_y) == 519
+        assert round(right_ctm.translation_y) == 562
+        assert left_ctm.skew_x == 45
+        assert right_ctm.skew_x == -45
+        assert left_ctm.skew_y == 45
+        assert right_ctm.skew_y == -45
+        assert round(left_ctm.scale_x, 3) == 1
+        assert round(right_ctm.scale_x, 3) == 1
+        assert round(left_ctm.scale_y, 3) == 1
+        assert round(right_ctm.scale_y, 3) == 1
+
+
+def test_issue_14_21_203_objects_nonempty():
+    # reference test_issues.py:92-100, 157-160 (incl. image-only pages)
+    for fix in ("cupertino_usd_4-6-16.pdf", "150109DSP-Milw-505-90D.pdf",
+                "issue-203-decimalize.pdf"):
+        with pdfplumber.open(f"{PDFS}/{fix}") as pdf:
+            assert len(pdf.objects), fix
+
+
+def test_pr_88_word_count():
+    # reference test_issues.py:117-123
+    with pdfplumber.open(f"{PDFS}/pr-88-example.pdf") as pdf:
+        assert len(pdf.pages[0].extract_words()) == 25
+
+
+def test_issue_90_and_pr_136_extract_words():
+    # reference test_issues.py:125-135 (no-crash contracts)
+    for fix in ("issue-90-example.pdf", "pr-136-example.pdf"):
+        with pdfplumber.open(f"{PDFS}/{fix}") as pdf:
+            assert pdf.pages[0].extract_words()
+
+
+def test_issue_297_int_metadata():
+    # reference test_issues.py:172-178
+    with pdfplumber.open(f"{PDFS}/issue-297-example.pdf") as pdf:
+        assert isinstance(pdf.metadata["Copies"], int)
+
+
+def test_issue_316_invalid_metadata():
+    # reference test_issues.py:180-188 (nested metadata decode)
+    with pdfplumber.open(f"{PDFS}/issue-316-example.pdf") as pdf:
+        assert (
+            pdf.metadata["Changes"][0]["CreationDate"]
+            == "D:20061207105020Z00'00'"
+        )

@@ -105,3 +105,19 @@ def test_table_curves():
         t = tables[0]
         assert t[-2][-2] == "Uncommon"
         assert len(page.extract_tables({"vertical_strategy": "lines_strict"})) == 0
+
+
+def test_debug_tablefinder_warn_anchors():
+    """debug_tablefinder (SURVEY §2.1 promised text-mode equivalent of
+    reference page.py:427-431) exposes the pipeline state; counts pinned to
+    the reference WARN anchors (304 intersections, 46 merged edges)."""
+    import pdfplumber_spark.api as pdfplumber
+
+    with pdfplumber.open(
+        "/root/reference/tests/pdfs/WARN-Report-for-7-1-2015-to-03-25-2016.pdf"
+    ) as pdf:
+        tf = pdf.pages[0].debug_tablefinder()
+        assert len(tf.edges) == 46
+        assert len(tf.intersections) == 304
+        assert len(tf.tables) == 1
+        assert len(tf.tables[0].rows) > 0
