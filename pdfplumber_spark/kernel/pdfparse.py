@@ -72,6 +72,49 @@ class Ref:
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 
+_NAME_CACHE: Dict[bytes, "Name"] = {}
+_KW_CACHE: Dict[str, tuple] = {}
+
+
+def _intern_name(raw: bytes) -> "Name":
+    """Names repeat heavily (/Tf /F1 /Length ...) — memoize decode+alloc."""
+    nm = _NAME_CACHE.get(raw)
+    if nm is None:
+        if b"#" in raw:
+            dec = re.sub(
+                rb"#([0-9A-Fa-f]{2})",
+                lambda m: bytes([int(m.group(1), 16)]), raw,
+            )
+        else:
+            dec = raw
+        nm = Name(dec.decode("latin-1"))
+        if len(_NAME_CACHE) < 8192:
+            _NAME_CACHE[raw] = nm
+    return nm
+
+
+def _intern_kw(op: str) -> tuple:
+    kw = _KW_CACHE.get(op)
+    if kw is None:
+        kw = ("kw", op)
+        if len(_KW_CACHE) < 4096:
+            _KW_CACHE[op] = kw
+    return kw
+
+
+# one-shot lexer regex: leading ws/comments + the common token kinds.
+# Strings '(', hex '<..>', bare '>' fall through to the slow path.
+_LEX_RE = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"
+    rb"(?:(?P<name>/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|(?P<num>[+\-.0-9][0-9.+\-Ee]*)"
+    rb"|(?P<dopen><<)"
+    rb"|(?P<dclose>>>)"
+    rb"|(?P<brk>[\[\]{}])"
+    rb"|(?P<kw>[^\x00\t\n\x0c\r ()<>\[\]{}/%]+)"
+    rb")"
+)
+
 
 class Lexer:
     """Tokenizer for PDF object syntax."""
@@ -94,6 +137,33 @@ class Lexer:
                 return
 
     def next_token(self):
+        # fast path: one C-engine regex match covers ws/comments + the
+        # common token kinds (names, numbers, dict/array delims, keywords)
+        m = _LEX_RE.match(self.data, self.pos)
+        if m is not None:
+            g = m.lastgroup
+            self.pos = m.end()
+            if g == "num":
+                tok = m.group("num")
+                try:
+                    if b"." in tok or b"e" in tok or b"E" in tok:
+                        return float(tok)
+                    return int(tok)
+                except ValueError:
+                    return 0
+            if g == "name":
+                return _intern_name(m.group("name")[1:])
+            if g == "kw":
+                return _intern_kw(m.group("kw").decode("latin-1"))
+            if g == "dopen":
+                return "<<"
+            if g == "dclose":
+                return ">>"
+            return m.group(g).decode("latin-1")  # [ ] { }
+        return self._next_token_slow()
+
+    def _next_token_slow(self):
+        """Strings, hex strings, bare '>' and EOF (the uncommon tokens)."""
         self._skip_ws()
         d = self.data
         n = len(d)
@@ -1176,14 +1246,7 @@ def tokenize_content(data: bytes):
             tok = m.group("num")
             yield float(tok) if b"." in tok else int(tok)
         elif g == "name":
-            raw = m.group("name")
-            if b"#" in raw:
-                raw = re.sub(
-                    rb"#([0-9A-Fa-f]{2})",
-                    lambda mm: bytes([int(mm.group(1), 16)]),
-                    raw,
-                )
-            yield Name(raw.decode("latin-1"))
+            yield _intern_name(m.group("name"))
         elif g == "op":
             op = m.group("op").decode("latin-1")
             if op == "BI":
@@ -1191,7 +1254,7 @@ def tokenize_content(data: bytes):
                 end = data.find(b"EI", pos)
                 pos = n if end == -1 else end + 2
                 continue
-            yield ("kw", op)
+            yield _intern_kw(op)
         else:  # delim: ( < << [
             d = m.group("delim")
             if d == b"(":

@@ -203,24 +203,44 @@ def char_sort_keys(df: pd.DataFrame, char_dir: str) -> Tuple[np.ndarray, np.ndar
     return -df["x1"].to_numpy(np.float64), -df["x0"].to_numpy(np.float64)
 
 
-def _page_char_flags(ca: CharArrays, s: WordSettings):
-    """(is_blank, is_punct) for the whole page, computed once.
+def _page_text_tables(ca: CharArrays, s: WordSettings):
+    """(is_blank, is_punct, etext) for the whole page in ONE memoized pass.
+
+    Char text values are drawn from tiny per-font tables, so a dict memo
+    turns three per-char Python passes (isspace, punct-set, ligature
+    expansion) into one cached-lookup loop — a hot-path allocation saver.
 
     NB: `"" in punct` is True for ANY punct string (incl. ""), so
     empty-text chars always split as single-char words — a reference
     quirk (text.py:621: `text in self.split_at_punctuation`)."""
-    if s.keep_blank_chars:
-        is_blank = np.zeros(ca.n, dtype=bool)
-    else:
-        is_blank = np.fromiter(
-            (bool(t) and str(t).isspace() for t in ca.text), bool, count=ca.n
-        )
+    n = ca.n
+    keep_blank = s.keep_blank_chars
     punct = s._punct
-    is_punct = np.fromiter(
-        (str(t) in punct for t in ca.text), bool, count=ca.n
-    )
-    is_punct &= ~is_blank
-    return is_blank, is_punct
+    exp = s._expansions
+    is_blank = np.empty(n, dtype=bool)
+    is_punct = np.empty(n, dtype=bool)
+    etext = np.empty(n, dtype=object) if exp else ca.text
+    memo: dict = {}
+    text = ca.text
+    for i in range(n):
+        t = text[i]
+        r = memo.get(t)
+        if r is None:
+            ts = str(t)
+            b = (not keep_blank) and bool(t) and ts.isspace()
+            p = (ts in punct) and not b
+            e = exp.get(t, t) if exp else t
+            r = memo[t] = (b, p, e)
+        is_blank[i] = r[0]
+        is_punct[i] = r[1]
+        if exp:
+            etext[i] = r[2]
+    return is_blank, is_punct, etext
+
+
+def _page_char_flags(ca: CharArrays, s: WordSettings):
+    b, p, _ = _page_text_tables(ca, s)
+    return b, p
 
 
 def _boundary_word_ids(
@@ -332,16 +352,9 @@ def extract_words_ca(ca: CharArrays, settings: Optional[WordSettings] = None):
     if n == 0:
         return pd.DataFrame(columns=cols), char_word_id, char_word_pos
 
-    # expanded text (ligatures) computed once for the whole page
-    if s._expansions:
-        exp = s._expansions
-        etext = np.fromiter(
-            (exp.get(t, t) for t in ca.text), dtype=object, count=ca.n
-        )
-    else:
-        etext = ca.text
-
-    page_flags = _page_char_flags(ca, s)
+    # blank/punct flags + ligature expansion in one memoized pass
+    is_blank, is_punct, etext = _page_text_tables(ca, s)
+    page_flags = (is_blank, is_punct)
 
     # 1. adjacent grouping by (upright, *extra_attrs)
     change = np.zeros(n, dtype=bool)
