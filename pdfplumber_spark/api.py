@@ -113,6 +113,9 @@ class Page:
 
         self.bbox = (0.0, 0.0, interp.width, interp.height)
 
+    def __repr__(self) -> str:
+        return f"<Page:{self.page_number}>"
+
     @property
     def width(self) -> float:
         """Derived from bbox so cropped pages report crop dims
@@ -127,6 +130,16 @@ class Page:
 
     @property
     def chars(self) -> List[dict]:
+        la = self._layout_objects()
+        if la is not None:
+            # laparams: page objects rebuild in reading order (pdfminer
+            # LTPage._objs = textboxes + ... ; reference test_basics.py:172)
+            order = la[2]
+            recs = self._chars.to_dict("records")
+            ordered = [recs[i] for i in order if i < len(recs)]
+            seen = set(order)
+            ordered += [r for i, r in enumerate(recs) if i not in seen]
+            return ordered
         return self._chars.to_dict("records")
 
     @property
@@ -160,7 +173,7 @@ class Page:
         la = self._layout_objects()
         if la is None:
             return []
-        lines, boxes = la
+        lines, boxes, _ = la
         src = boxes if kind.startswith("textbox") else lines
         out = []
         for o in src:
@@ -535,6 +548,14 @@ class PDF:
     @property
     def chars(self):
         return [c for p in self.pages for c in p.chars]
+
+    @property
+    def annots(self):
+        return [a for p in self.pages for a in p.annots]
+
+    @property
+    def hyperlinks(self):
+        return [a for p in self.pages for a in p.hyperlinks]
 
     @property
     def objects(self):

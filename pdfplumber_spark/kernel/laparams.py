@@ -259,7 +259,7 @@ def analyze(chars: pd.DataFrame, laparams: LAParams):
     """chars (rendering order) -> (textlines, textboxes) dict lists with
     pdfplumber-style keys (x0/x1/top/bottom/text/object_type)."""
     if len(chars) == 0:
-        return [], []
+        return [], [], []
     ch = {
         "x0": chars["x0"].to_numpy(np.float64),
         "x1": chars["x1"].to_numpy(np.float64),
@@ -279,7 +279,13 @@ def analyze(chars: pd.DataFrame, laparams: LAParams):
     empties = [ln for ln in all_lines
                if ln.is_empty() and not ln.is_geom_empty()]
     boxes = _group_textlines(grouped, laparams)
-    textlines = grouped + empties
+    # reading order (boxes_flow approximation of pdfminer's
+    # group_textboxes + IndexAssigner): top-to-bottom, then left-to-right —
+    # pinned by reference test_basics.py:167-172 (first char top 66.384)
+    boxes.sort(key=lambda b: (-(b["bbox"][3]), b["bbox"][0]))
+    ordered_line_ids = [j for b in boxes for j in b["lines"]]
+    textlines = [grouped[j] for j in ordered_line_ids] + empties
+    char_order = [i for ln in textlines for i in ln.chars]
 
     def mk(obj_type, x0, y0, x1, y1, text):
         d = {
@@ -300,6 +306,6 @@ def analyze(chars: pd.DataFrame, laparams: LAParams):
     box_rows = []
     for b in boxes:
         kind = "textboxvertical" if b["vertical"] else "textboxhorizontal"
-        text = "".join(textlines[j].get_text() for j in b["lines"])
+        text = "".join(grouped[j].get_text() for j in b["lines"])
         box_rows.append(mk(kind, *b["bbox"], text))
-    return line_rows, box_rows
+    return line_rows, box_rows, char_order

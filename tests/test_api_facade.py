@@ -208,3 +208,37 @@ def test_relative_and_strict_crop(scotus):
         p.crop((-700, 0, -600, 10))
     with pytest.raises(ValueError, match="not fully within"):
         p.crop((0, 0, p.width + 100, 100))
+
+
+def test_basics_ports():
+    """Reference tests/test_basics.py expectations (verbatim values)."""
+    P = "/root/reference/tests/pdfs"
+    with pdfplumber.open(f"{P}/nics-background-checks-2015-11.pdf") as pdf:
+        assert isinstance(pdf.metadata["Producer"], str)
+        assert len(pdf.pages) == 1
+        assert pdf.pages[0].page_number == 1
+        assert str(pdf.pages[0]) == "<Page:1>"
+        # test_rotation: /Rotate 90 landscape
+        assert pdf.pages[0].width == 1008
+        assert pdf.pages[0].height == 612
+        # test_colors / test_text_colors
+        assert tuple(pdf.pages[0].rects[0]["non_stroking_color"]) == (0.8, 1, 1)
+        assert tuple(pdf.pages[0].chars[3358]["non_stroking_color"]) == (1, 0, 0)
+    with pdfplumber.open(f"{P}/pdffill-demo.pdf") as pdf2:
+        # test_annots + test_objects
+        assert len(pdf2.annots)
+        assert len(pdf2.hyperlinks) == 17
+        assert pdf2.hyperlinks[0]["uri"] == "http://www.pdfill.com/pdf_drawing.html"
+        assert sum(len(p.curves) for p in pdf2.pages) == 125
+    with pdfplumber.open(f"{P}/annotations.pdf") as pa:
+        assert len(pa.annots)
+
+
+def test_basics_custom_laparams_reading_order():
+    # reference test_basics.py:167-172 (issue-168): with laparams, page
+    # chars rebuild in reading order from the textbox tree
+    P = "/root/reference/tests/pdfs"
+    with pdfplumber.open(
+        f"{P}/cupertino_usd_4-6-16.pdf", laparams=dict(line_margin=0.2)
+    ) as pdf:
+        assert round(pdf.pages[0].chars[0]["top"], 3) == 66.384
