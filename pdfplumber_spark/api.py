@@ -53,6 +53,122 @@ from .kernel.words import (
     extract_words_frame,
 )
 
+def _attr_filter(include_attrs=None, exclude_attrs=None):
+    """convert.py:33-56 semantics."""
+    if include_attrs is not None and exclude_attrs is not None:
+        raise ValueError(
+            "Cannot specify `include_attrs` and `exclude_attrs` "
+            "at the same time."
+        )
+    if include_attrs is not None:
+        incl = {"object_type", *include_attrs}
+        return lambda a: a in incl
+    if exclude_attrs is not None:
+        if "object_type" in exclude_attrs:
+            raise ValueError(
+                "Cannot exclude these required properties: ['object_type']"
+            )
+        excl = set(exclude_attrs)
+        return lambda a: a not in excl
+    return lambda a: True
+
+
+class _Serializer:
+    """Single-doc Serializer (reference convert.py:62-127): float rounding,
+    bytes -> base64, attr filtering, recursion through containers."""
+
+    def __init__(self, precision=None, include_attrs=None, exclude_attrs=None):
+        self.precision = precision
+        self.attr_filter = _attr_filter(include_attrs, exclude_attrs)
+
+    def serialize(self, obj):
+        if obj is None:
+            return None
+        if isinstance(obj, bool):
+            return int(obj)  # convert.py do_bool
+        if isinstance(obj, float):
+            return obj if self.precision is None else round(obj, self.precision)
+        if isinstance(obj, (int, str)):
+            return obj
+        if isinstance(obj, (bytes, bytearray)):
+            # convert.py do_bytes: decode, not base64
+            for e in ("utf-8", "latin-1", "utf-16", "utf-16le"):
+                try:
+                    return bytes(obj).decode(e)
+                except UnicodeDecodeError:
+                    continue
+            return None
+        if isinstance(obj, dict):
+            # attr filter applies only to object rows (convert.py do_dict)
+            if "object_type" in obj:
+                return {
+                    k: self.serialize(v)
+                    for k, v in obj.items()
+                    if self.attr_filter(k)
+                }
+            return {k: self.serialize(v) for k, v in obj.items()}
+        if isinstance(obj, tuple):
+            return tuple(self.serialize(v) for v in obj)
+        if isinstance(obj, list):
+            return [self.serialize(v) for v in obj]
+        try:
+            import numpy as _np
+
+            if isinstance(obj, _np.floating):
+                x = float(obj)
+                return x if self.precision is None else round(x, self.precision)
+            if isinstance(obj, _np.integer):
+                return int(obj)
+        except ImportError:  # pragma: no cover
+            pass
+        return str(obj)
+
+
+_CSV_COLS_REQUIRED = ["object_type"]
+_CSV_COLS_TO_PREPEND = [
+    "page_number", "x0", "x1", "y0", "y1", "doctop", "top", "bottom",
+    "width", "height",
+]
+
+
+def _pages_to_csv(pages, stream, object_types, precision,
+                  include_attrs, exclude_attrs):
+    """container.py:130-179: union-of-fields CSV over page objects."""
+    import csv
+    import io as _io
+
+    to_string = stream is None
+    if to_string:
+        stream = _io.StringIO()
+    ser = _Serializer(precision, include_attrs, exclude_attrs)
+    serialized = []
+    fields = set()
+    for page in pages:
+        kinds = (
+            list(page.objects.keys()) + ["annot"]
+            if object_types is None
+            else object_types
+        )
+        for t in kinds:
+            objs = getattr(page, t + "s", [])
+            if len(objs):
+                serialized += [ser.serialize(o) for o in objs]
+                fields |= {
+                    k for k, v in objs[0].items() if not isinstance(v, dict)
+                }
+    non_req = _CSV_COLS_TO_PREPEND + sorted(
+        fields - set(_CSV_COLS_REQUIRED + _CSV_COLS_TO_PREPEND)
+    )
+    cols = _CSV_COLS_REQUIRED + list(filter(ser.attr_filter, non_req))
+    w = csv.DictWriter(stream, fieldnames=cols, extrasaction="ignore")
+    w.writeheader()
+    w.writerows(serialized)
+    if to_string:
+        stream.seek(0)
+        return stream.read()
+    return None
+
+
 class CTM(NamedTuple):
     """Current transformation matrix accessors (reference ctm.py:8-38)."""
 
@@ -128,6 +244,12 @@ class Page:
 
     # --- object accessors (reference: container.py:32-66) -------------------
 
+    def _records(self, frame: pd.DataFrame) -> List[dict]:
+        recs = frame.to_dict("records")
+        for r in recs:  # reference process_object adds page_number
+            r["page_number"] = self.page_number
+        return recs
+
     @property
     def chars(self) -> List[dict]:
         la = self._layout_objects()
@@ -135,24 +257,24 @@ class Page:
             # laparams: page objects rebuild in reading order (pdfminer
             # LTPage._objs = textboxes + ... ; reference test_basics.py:172)
             order = la[2]
-            recs = self._chars.to_dict("records")
+            recs = self._records(self._chars)
             ordered = [recs[i] for i in order if i < len(recs)]
             seen = set(order)
             ordered += [r for i, r in enumerate(recs) if i not in seen]
             return ordered
-        return self._chars.to_dict("records")
+        return self._records(self._chars)
 
     @property
     def lines(self) -> List[dict]:
-        return self._lines.to_dict("records")
+        return self._records(self._lines)
 
     @property
     def rects(self) -> List[dict]:
-        return self._rects.to_dict("records")
+        return self._records(self._rects)
 
     @property
     def curves(self) -> List[dict]:
-        return self._curves.to_dict("records")
+        return self._records(self._curves)
 
     # --- LAParams layout analysis (reference page.py:269-277,
     # tests/test_laparams.py; kernel/laparams.py reimplements pdfminer's
@@ -401,6 +523,44 @@ class Page:
 
         return self._derive(f)
 
+    # --- serialization (reference container.py:106-179 single-doc form) ---
+
+    def to_dict(self, object_types: Optional[List[str]] = None) -> dict:
+        kinds = (
+            list(self.objects.keys()) + ["annot"]
+            if object_types is None
+            else object_types
+        )
+        d = {
+            "page_number": self.page_number,
+            "initial_doctop": self.initial_doctop,
+            "rotation": self.rotation,
+            "cropbox": self.bbox,
+            "mediabox": (0.0, 0.0, self._interp.width, self._interp.height),
+            "bbox": self.bbox,
+            "width": self.width,
+            "height": self.height,
+        }
+        for t in kinds:
+            d[t + "s"] = getattr(self, t + "s", [])
+        return d
+
+    def to_json(self, stream=None, object_types=None, include_attrs=None,
+                exclude_attrs=None, precision=None, indent=None):
+        import json as _json
+
+        ser = _Serializer(precision, include_attrs, exclude_attrs)
+        data = ser.serialize(self.to_dict(object_types))
+        if stream is None:
+            return _json.dumps(data, indent=indent)
+        _json.dump(data, stream, indent=indent)
+        return None
+
+    def to_csv(self, stream=None, object_types=None, precision=None,
+               include_attrs=None, exclude_attrs=None):
+        return _pages_to_csv([self], stream, object_types, precision,
+                             include_attrs, exclude_attrs)
+
     def dedupe_chars(self, **kwargs) -> "Page":
         out = Page(self.pdf, self._interp, dedupe_chars_frame(self._chars, **kwargs),
                    self._lines, self._rects, self._curves)
@@ -548,6 +708,29 @@ class PDF:
     @property
     def chars(self):
         return [c for p in self.pages for c in p.chars]
+
+    def to_dict(self, object_types: Optional[List[str]] = None) -> dict:
+        """Reference pdf.py:176-180."""
+        return {
+            "metadata": self.metadata,
+            "pages": [p.to_dict(object_types) for p in self.pages],
+        }
+
+    def to_json(self, stream=None, object_types=None, include_attrs=None,
+                exclude_attrs=None, precision=None, indent=None):
+        import json as _json
+
+        ser = _Serializer(precision, include_attrs, exclude_attrs)
+        data = ser.serialize(self.to_dict(object_types))
+        if stream is None:
+            return _json.dumps(data, indent=indent)
+        _json.dump(data, stream, indent=indent)
+        return None
+
+    def to_csv(self, stream=None, object_types=None, precision=None,
+               include_attrs=None, exclude_attrs=None):
+        return _pages_to_csv(self.pages, stream, object_types, precision,
+                             include_attrs, exclude_attrs)
 
     @property
     def annots(self):

