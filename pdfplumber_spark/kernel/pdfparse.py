@@ -1358,7 +1358,13 @@ class PageInterpreter:
 
         self.ch_text: List[str] = []
         self.ch_font: List[str] = []
-        self.ch_num = array("d")  # 12 doubles per char (see _CH_NUM_FIELDS)
+        # 12 doubles per char (_CH_NUM_FIELDS): fast-path string runs land
+        # as whole (n,12) blocks with NO intermediate copy; slow-path chars
+        # buffer as tuples and flush to a block on demand. `ch_num` exposes
+        # the concatenated C-contiguous buffer (np.frombuffer-compatible).
+        self._num_blocks: List[np.ndarray] = []
+        self._num_slow: List[tuple] = []
+        self._ch_num_cache = None
         self.ch_style: List[tuple] = []  # (matrix, stroke, fill) if style
         # marked-content runs: (chars_emitted_before_change, mcid, tag)
         # (page.py:128-176 semantics, recorded as spans not per-char)
@@ -1380,6 +1386,26 @@ class PageInterpreter:
     @property
     def n_chars(self) -> int:
         return len(self.ch_text)
+
+    def _flush_slow_nums(self) -> None:
+        if self._num_slow:
+            self._num_blocks.append(
+                np.array(self._num_slow, dtype=np.float64).reshape(-1, 12)
+            )
+            self._num_slow = []
+
+    @property
+    def ch_num(self) -> np.ndarray:
+        if self._ch_num_cache is None:
+            self._flush_slow_nums()
+            blocks = self._num_blocks
+            if not blocks:
+                self._ch_num_cache = np.empty((0, 12), dtype=np.float64)
+            elif len(blocks) == 1:
+                self._ch_num_cache = np.ascontiguousarray(blocks[0])
+            else:
+                self._ch_num_cache = np.concatenate(blocks)
+        return self._ch_num_cache
 
     def _load_content(self, page_spec) -> bytes:
         c = self.doc.resolve(page_spec.get("Contents"))
@@ -1827,7 +1853,9 @@ class PageInterpreter:
         block[:, 9] = self.initial_doctop + top
         block[:, 10] = x1d - x0d
         block[:, 11] = y1d - y0d
-        self.ch_num.frombytes(block.tobytes())
+        self._flush_slow_nums()
+        self._num_blocks.append(block)
+        self._ch_num_cache = None
         return x_end
 
     def _emit_char(self, matrix, font, fontsize, scaling, rise, cid,
@@ -1847,10 +1875,11 @@ class PageInterpreter:
         bottom = self._flip(y0d)
         self.ch_text.append(text)
         self.ch_font.append(font.basefont)
-        self.ch_num.extend(
+        self._num_slow.append(
             (size, adv, float(upright), x0d, x1d, y0d, y1d, top, bottom,
              self.initial_doctop + top, x1d - x0d, y1d - y0d)
         )
+        self._ch_num_cache = None
         if self.style:
             self.ch_style.append(
                 (list(matrix), list(stroke_color), list(fill_color))
