@@ -121,3 +121,118 @@ def test_debug_tablefinder_warn_anchors():
         assert len(tf.intersections) == 304
         assert len(tf.tables) == 1
         assert len(tf.tables[0].rows) > 0
+
+
+def test_table_curves_discussion_808():
+    """Reference test_table.py:215-226 — curve-ruled table (the VERDICT r1
+    curve-edge fix's real-world anchor): curves feed the edge set; the
+    lines_strict strategy excludes them."""
+    import pdfplumber_spark.api as pdfplumber
+
+    with pdfplumber.open(
+        "/root/reference/tests/pdfs/table-curves-example.pdf"
+    ) as pdf:
+        page = pdf.pages[0]
+        assert len(page.curves)
+        tables = page.extract_tables()
+        assert len(tables) == 1
+        assert tables[0][-2][-2] == "Uncommon"
+        assert len(
+            page.extract_tables({"vertical_strategy": "lines_strict"})
+        ) == 0
+
+
+def test_issue_466_mixed_strategy():
+    # reference test_table.py:162-189
+    import pdfplumber_spark.api as pdfplumber
+
+    with pdfplumber.open(
+        "/root/reference/tests/pdfs/issue-466-example.pdf"
+    ) as pdf:
+        tables = pdf.pages[0].extract_tables(
+            {
+                "vertical_strategy": "lines",
+                "horizontal_strategy": "text",
+                "snap_tolerance": 8,
+                "intersection_tolerance": 4,
+            }
+        )
+        for t in tables:
+            assert len(t) == 4
+            assert len(t[0]) == 3
+            for cell in t[3]:
+                assert "last" in cell
+
+
+def test_discussion_539_full_settings():
+    # reference test_table.py:191-213 (the full explicit settings dict)
+    import pdfplumber_spark.api as pdfplumber
+
+    with pdfplumber.open(
+        "/root/reference/tests/pdfs/nics-background-checks-2015-11.pdf"
+    ) as pdf:
+        page = pdf.pages[0]
+        table_settings = {
+            "vertical_strategy": "lines",
+            "horizontal_strategy": "lines",
+            "explicit_vertical_lines": [],
+            "explicit_horizontal_lines": [],
+            "snap_tolerance": 3,
+            "join_tolerance": 3,
+            "edge_min_length": 3,
+            "min_words_vertical": 3,
+            "min_words_horizontal": 1,
+            "text_keep_blank_chars": False,
+            "text_tolerance": 3,
+            "intersection_tolerance": 3,
+        }
+        assert page.extract_table(table_settings)
+        assert page.extract_tables(table_settings)
+
+
+def test_edges_strict_golden():
+    # reference test_table.py:54-74
+    import pdfplumber_spark.api as pdfplumber
+
+    with pdfplumber.open(
+        "/root/reference/tests/pdfs/issue-140-example.pdf"
+    ) as pdf:
+        t = pdf.pages[0].extract_table(
+            {"vertical_strategy": "lines_strict",
+             "horizontal_strategy": "lines_strict"}
+        )
+    assert t[-1] == [
+        "", "0085648100300", "CENTRAL KMA", "LILYS 55% DARK CHOC BAR",
+        "415", "$ 0.61", "$ 253.15", "0.0000", "",
+    ]
+
+
+def test_text_tolerance_golden():
+    # reference test_table.py:91-135
+    import pdfplumber_spark.api as pdfplumber
+
+    with pdfplumber.open(
+        "/root/reference/tests/pdfs/senate-expenditures.pdf"
+    ) as pdf:
+        cropped = pdf.pages[0].crop((70.332, 130.986, 420, 509.106))
+        t = cropped.extract_table(
+            {"horizontal_strategy": "text", "vertical_strategy": "text",
+             "min_words_vertical": 20}
+        )
+        t_tol = cropped.extract_table(
+            {"horizontal_strategy": "text", "vertical_strategy": "text",
+             "min_words_vertical": 20, "text_x_tolerance": 1}
+        )
+        t_tol_from_tables = cropped.extract_tables(
+            {"horizontal_strategy": "text", "vertical_strategy": "text",
+             "min_words_vertical": 20, "text_x_tolerance": 1}
+        )[0]
+    assert t[-1] == [
+        "DHAW20190070", "09/09/2019", "CITIBANK-TRAVELCBACARD",
+        "08/12/2019", "08/14/2019",
+    ]
+    assert t_tol[-1] == [
+        "DHAW20190070", "09/09/2019", "CITIBANK - TRAVEL CBA CARD",
+        "08/12/2019", "08/14/2019",
+    ]
+    assert t_tol[-1] == t_tol_from_tables[-1]
