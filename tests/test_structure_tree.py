@@ -197,3 +197,32 @@ def test_figure_mcids():
         d.extend(el.get("children", []))
     assert el["type"] == "Figure"
     assert el["mcids"] == [1, 14]
+
+
+def test_chelsea_pdta_objr_mcr():
+    # reference test_structure.py:1038-1066 (OBJR + MCR content items,
+    # pages with and without structure)
+    from collections import deque
+
+    doc = PDFDocument(open(f"{PDFS}/chelsea_pdta.pdf", "rb").read())
+
+    def tree(page=None, pages=None):
+        t = StructTree(doc, page_number=page, pages=pages)
+        return [el.to_dict() for el in t.children]
+
+    assert tree(page=8) == []      # page with no structure
+    assert tree(pages=[8]) == []   # doc-level, pages subset
+    assert tree(page=4) == []      # empty page
+    tree1 = tree(page=3)           # has OBJR and MCR elements
+    assert tree1
+    tree2 = tree(pages=[3])
+    assert tree2
+    d = deque(zip(tree1, tree2))
+    while d:
+        el1, el2 = d.popleft()
+        if "page_number" in el1:
+            assert el1["page_number"] == 3
+            assert el1 == el2
+        if "children" in el1:
+            assert len(el1["children"]) == len(el2.get("children", []))
+            d.extend(zip(el1["children"], el2["children"]))
