@@ -589,9 +589,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cumsum": """
             SELECT user_id, event_id,
-                   SUM(CAST(ROUND(value * 1000) AS BIGINT)) OVER (
+                   CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) OVER (
                        PARTITION BY user_id ORDER BY event_id
-                       ROWS UNBOUNDED PRECEDING) AS running_mv
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_mv
             FROM events
         """,
         "topk_per_group": """

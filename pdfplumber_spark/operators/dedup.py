@@ -173,10 +173,49 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(id_col, text_col).mapInPandas(run, schema=schema)
 
 
-def simhash_near_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Candidate pairs within hamming distance via 4x16-bit band blocking
-    (any pair with distance <= 3 shares at least one of 4 bands)."""
-    bands = hashes.select(
+def simhash_band_bounds(max_hamming: int, n_bands: int = 4) -> list[tuple[int, int]]:
+    """(shift, width) per band for multi-index hashing. Generalized
+    pigeonhole: a pair differing in <= max_hamming bits has per-band distance
+    <= floor(max_hamming / n_bands) in at least one of the n_bands disjoint
+    bands (else total >= n_bands * (floor+1) > max_hamming)."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    if not 1 <= n_bands <= 64:
+        raise ValueError(f"n_bands must be in [1, 64], got {n_bands}")
+    bounds = [i * 64 // n_bands for i in range(n_bands + 1)]
+    return [(lo, hi - lo) for lo, hi in zip(bounds, bounds[1:])]
+
+
+def _hamming_ball_masks(width: int, radius: int) -> list[int]:
+    """All XOR masks of popcount <= radius over `width` bits (the hamming
+    ball around 0); C(width,0..radius) masks."""
+    import itertools
+
+    out = [0]
+    for r in range(1, radius + 1):
+        for bits in itertools.combinations(range(width), r):
+            m = 0
+            for bit in bits:
+                m |= 1 << bit
+            out.append(m)
+    return out
+
+
+def simhash_near_pairs(
+    hashes: DataFrame, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Exact near-pairs within hamming distance via multi-index hashing
+    (Norouzi/Punjani/Fleet, CVPR'12): block on n_bands wide disjoint bands,
+    expanding the PROBE side's band key to its hamming ball of radius
+    floor(max_hamming / n_bands). Recall is total for the requested radius
+    (generalized pigeonhole), while bucket keys stay wide (16-bit for the
+    default 4 bands -> 65k buckets/band), so per-bucket fan-out stays tiny at
+    web scale — unlike max_hamming+1 narrow exact bands, whose ~9-bit keys
+    collapse to 512 buckets and go quadratic. Probe-side blow-up is
+    sum(C(width, 0..t)) keys per band (17 for width=16, t=1)."""
+    per_band_radius = max_hamming // n_bands
+    bands = simhash_band_bounds(max_hamming, n_bands)
+    exact = hashes.select(
         "doc_id",
         "simhash",
         F.explode(
@@ -184,16 +223,29 @@ def simhash_near_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned("simhash", 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("simhash", shift)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("key"),
                     )
-                    for i in range(4)
+                    for i, (shift, width) in enumerate(bands)
                 ]
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.key")
-    a, b = bands.alias("a"), bands.alias("b")
+    if per_band_radius == 0:
+        probe = exact
+    else:
+        masks_by_band = {
+            i: _hamming_ball_masks(width, per_band_radius)
+            for i, (_, width) in enumerate(bands)
+        }
+        probe = exact.select(
+            "doc_id",
+            "simhash",
+            "band",
+            F.explode(_chained_band_masks(masks_by_band)).alias("key"),
+        )
+    a, b = probe.alias("a"), exact.alias("b")
     pairs = (
         a.join(
             b,
@@ -209,12 +261,24 @@ def simhash_near_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long")
     return (
         pairs.withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def _chained_band_masks(masks_by_band: dict[int, list[int]]):
+    """CASE band WHEN i THEN array(key ^ m...) — one array literal per band
+    (band widths can differ when n_bands doesn't divide 64)."""
+    expr = None
+    for i, masks in masks_by_band.items():
+        arr = F.array(*[F.col("key").bitwiseXOR(F.lit(m)) for m in masks])
+        expr = F.when(F.col("band") == i, arr) if expr is None else expr.when(
+            F.col("band") == i, arr
+        )
+    return expr
 
 
 # --- n-gram Jaccard ----------------------------------------------------------

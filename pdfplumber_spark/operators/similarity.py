@@ -49,25 +49,20 @@ def cosine_topk(
     broadcast — the join is a map-side nested loop over candidate batches,
     no shuffle of the big side.
     """
+    # cast + norm once per VECTOR before the join (O(dim) per row), not per
+    # joined PAIR (O(3*dim) per candidate at 10^12 candidates)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
+        F.col(id_col).alias("query_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("qv"),
+    ).withColumn("qn", _norm(F.col("qv")))
     c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            _dot(
-                F.transform("qv", lambda x: x.cast("double")),
-                F.transform("cv", lambda x: x.cast("double")),
-            )
-            / (
-                _norm(F.transform("qv", lambda x: x.cast("double")))
-                * _norm(F.transform("cv", lambda x: x.cast("double")))
-            ),
-        )
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("cv"),
+    ).withColumn("cn", _norm(F.col("cv")))
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).withColumn(
+        "cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.col("neighbor_id")
@@ -141,30 +136,31 @@ def lsh_topk(
     # explicit returnType (postponed annotations break signature inference)
     bucket_keys = pandas_udf(_bucket_keys, T.ArrayType(T.LongType()))
 
-    def bucketed(df, idc, vc, out_id, out_vec):
-        keyed = df.select(
+    def bucketed(df, idc, vc, out_id, out_vec, out_norm):
+        # cast + norm once per VECTOR, before the table explode and the join;
+        # the per-pair re-rank below then costs one O(dim) dot instead of two
+        # casts + two norm folds
+        v = df.select(
             F.col(idc).alias(out_id),
-            F.col(vc).alias(out_vec),
-            F.posexplode(bucket_keys(F.col(vc))).alias("table_id", "key"),
+            F.transform(vc, lambda x: x.cast("double")).alias(out_vec),
+            bucket_keys(F.col(vc)).alias("keys"),
+        ).withColumn(out_norm, _norm(F.col(out_vec)))
+        return v.select(
+            out_id,
+            out_vec,
+            out_norm,
+            F.posexplode("keys").alias("table_id", "key"),
         )
-        return keyed
 
-    c = bucketed(embeddings, id_col, vec_col, "neighbor_id", "cv")
-    q = bucketed(queries, id_col, vec_col, "query_id", "qv")
+    c = bucketed(embeddings, id_col, vec_col, "neighbor_id", "cv", "cn")
+    q = bucketed(queries, id_col, vec_col, "query_id", "qv", "qn")
     scored = (
         c.join(F.broadcast(q), ["table_id", "key"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn(
             "cosine",
-            _dot(
-                F.transform("qv", lambda x: x.cast("double")),
-                F.transform("cv", lambda x: x.cast("double")),
-            )
-            / (
-                _norm(F.transform("qv", lambda x: x.cast("double")))
-                * _norm(F.transform("cv", lambda x: x.cast("double")))
-            ),
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

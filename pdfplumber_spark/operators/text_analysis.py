@@ -18,23 +18,33 @@ from ..kernel.textstats import LANG_PROFILES, TOKEN_RE
 TOKEN_PATTERN = TOKEN_RE.pattern
 
 
+def _ws_token_count(t) -> "F.Column":
+    """Count of whitespace-separated tokens with split() semantics:
+    split(trim(x), '\\s+') yields [""] (size 1) for empty input, and
+    regexp_count of non-space runs matches it everywhere else — so counting
+    avoids materializing the token array in the hot path."""
+    return F.greatest(F.regexp_count(F.trim(t), F.lit(r"\S+")), F.lit(1))
+
+
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """BPE-ish token count + whitespace token count — pure column exprs."""
+    """BPE-ish token count + whitespace token count — pure column exprs.
+    regexp_count counts matches without allocating the match array that
+    size(regexp_extract_all(...)) would build per row."""
+    t = F.col(text_col)
     return df.withColumn(
-        "n_tokens", F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), F.lit(0)))
-    ).withColumn(
-        "n_ws_tokens",
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")),
-    )
+        "n_tokens", F.regexp_count(t, F.lit(TOKEN_PATTERN))
+    ).withColumn("n_ws_tokens", _ws_token_count(t))
 
 
 def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Shallow quality features (Gopher/C4-style), codegen-friendly."""
     t = F.col(text_col)
     n_chars = F.length(t)
-    n_words = F.size(F.split(F.trim(t), r"\s+"))
-    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
-    punct = F.length(F.regexp_replace(t, r"[\w\s]", ""))
+    n_words = _ws_token_count(t)
+    # single-char classes: match count == chars remaining after the
+    # equivalent regexp_replace-delete, without building the stripped string
+    alpha = F.regexp_count(t, F.lit("[A-Za-z]"))
+    punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
     return (
         df.withColumn("n_chars", n_chars)
         .withColumn("n_words", n_words)
@@ -51,7 +61,7 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _stop_hits(text_col, words) -> "F.Column":
     pat = r"\b(?:" + "|".join(sorted(words)) + r")\b"
-    return F.size(F.regexp_extract_all(F.lower(text_col), F.lit(pat), F.lit(0)))
+    return F.regexp_count(F.lower(text_col), F.lit(pat))
 
 
 def with_language(df: DataFrame, text_col: str = "text") -> DataFrame:

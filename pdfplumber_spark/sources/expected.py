@@ -40,7 +40,7 @@ import pandas as pd
 from .corpus import CORPUS_VERSION, corpus_path_for_sf
 
 # bump when any expected-result computation changes
-EXPECTED_VERSION = 2
+EXPECTED_VERSION = 3
 
 
 # ---------------------------------------------------------------------------
@@ -294,8 +294,10 @@ def _b_minhash_pairs(sf_dir: str) -> pd.DataFrame:
 
 
 def _b_simhash_pairs(sf_dir: str) -> pd.DataFrame:
-    """Brute-force simhash_near_pairs: pairs sharing >=1 of 4 16-bit bands
-    with exact hamming <= 6."""
+    """Banding-free brute-force oracle: ALL pairs with exact hamming <= 6.
+    Deliberately does NOT replicate the distributed plan's band blocking —
+    the plan derives max_hamming+1 bands so its recall must be total; any
+    banding recall gap shows up here as a row-count mismatch."""
     from ..kernel.textstats import simhash64
 
     docs = _read_documents(sf_dir, max_id=300)
@@ -303,17 +305,11 @@ def _b_simhash_pairs(sf_dir: str) -> pd.DataFrame:
     hashes = np.array(
         [simhash64(t or "") for t in docs["text"]], dtype=np.int64
     ).view(np.uint64)
-    bands = np.stack(
-        [(hashes >> np.uint64(16 * i)) & np.uint64(0xFFFF) for i in range(4)],
-        axis=1,
-    )  # (n, 4)
     n = len(ids)
     out_rows = []
     for a in range(n):
         for b in range(a + 1, n):
             i, j = (a, b) if ids[a] < ids[b] else (b, a)
-            if not (bands[i] == bands[j]).any():
-                continue
             ham = int(bin(int(hashes[i] ^ hashes[j])).count("1"))
             if ham <= 6:
                 out_rows.append((int(ids[i]), int(ids[j]), ham))

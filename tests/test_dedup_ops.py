@@ -1,0 +1,91 @@
+"""Recall-contract tests for simhash near-pair blocking.
+
+The round-2 verdict found that 4x16-bit banding only guarantees recall for
+hamming <= 3 while the entry query asks for <= 6; the oracle replicated the
+banding so the board could not catch it. These tests pin the fixed contract:
+``simhash_near_pairs(max_hamming=h)`` must find EVERY pair within hamming h,
+verified against a banding-free brute force.
+"""
+
+import itertools
+import random
+
+import pytest
+
+from pdfplumber_spark.operators.dedup import (
+    simhash_band_bounds,
+    simhash_near_pairs,
+)
+
+
+def _pairs_df(spark, hashes):
+    return spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hashes)], "doc_id long, simhash long"
+    )
+
+
+def _signed(u):
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def test_band_bounds_partition_64_bits():
+    for n_bands in [1, 3, 4, 7, 16]:
+        bounds = simhash_band_bounds(6, n_bands)
+        assert len(bounds) == n_bands
+        covered = []
+        for shift, width in bounds:
+            assert width >= 1
+            covered.extend(range(shift, shift + width))
+        assert sorted(covered) == list(range(64))
+
+
+def test_band_bounds_rejects_out_of_range():
+    with pytest.raises(ValueError):
+        simhash_band_bounds(64)
+    with pytest.raises(ValueError):
+        simhash_band_bounds(-1)
+    with pytest.raises(ValueError):
+        simhash_band_bounds(6, 0)
+
+
+def test_adversarial_hamming5_spread_across_old_bands(spark):
+    """A pair at hamming 5 whose differing bits hit all four of the old
+    16-bit bands (bits 0, 16, 32, 48, 63). The old 4-band blocking missed
+    this pair entirely; the derived-band blocking must find it."""
+    base = 0x0123_4567_89AB_CDEF
+    flipped = base
+    for bit in (0, 16, 32, 48, 63):
+        flipped ^= 1 << bit
+    df = _pairs_df(spark, [_signed(base), _signed(flipped)])
+    got = simhash_near_pairs(df, max_hamming=6).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in got] == [(0, 1, 5)]
+    # also within radius 5 exactly
+    got5 = simhash_near_pairs(df, max_hamming=5).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in got5] == [(0, 1, 5)]
+
+
+def test_recall_matches_banding_free_bruteforce(spark):
+    """Randomized: every pair within the radius is found, none outside it."""
+    rng = random.Random(42)
+    seeds = [rng.getrandbits(64) for _ in range(8)]
+    hashes = list(seeds)
+    # add near-neighbours of each seed at hamming 1..7 with random bit spread
+    for s in seeds:
+        for d in range(1, 8):
+            bits = rng.sample(range(64), d)
+            h = s
+            for b in bits:
+                h ^= 1 << b
+            hashes.append(h)
+    for max_h in (3, 6):
+        expected = sorted(
+            (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+            for a, b in itertools.combinations(range(len(hashes)), 2)
+            if bin(hashes[a] ^ hashes[b]).count("1") <= max_h
+        )
+        df = _pairs_df(spark, [_signed(h) for h in hashes])
+        got = sorted(
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_near_pairs(df, max_hamming=max_h).collect()
+        )
+        assert got == expected, f"max_hamming={max_h}"
