@@ -65,6 +65,10 @@ def main(argv=None) -> int:
                     help="exclude these object attributes from output")
     ap.add_argument("--precision", type=int, default=None,
                     help="round float columns to N decimal places")
+    ap.add_argument("--laparams", type=json.loads, default=None,
+                    help="pdfminer LAParams dict as JSON (objects cmd: adds "
+                         "textline*/textbox* rows, reading-order char index; "
+                         "reference cli.py:56)")
     ap.add_argument("--pages", nargs="+", type=parse_page_spec, default=None,
                     help="page numbers / ranges to keep, e.g. --pages 1-3 7")
     args = ap.parse_args(argv)
@@ -104,7 +108,9 @@ def main(argv=None) -> int:
             return 0
         out = X.extract_text(pages, layout=args.layout, num_partitions=args.partitions)
     elif args.cmd == "objects":
-        out = X.extract_objects(pages, num_partitions=args.partitions)
+        out = X.extract_objects(
+            pages, num_partitions=args.partitions, laparams=args.laparams
+        )
     elif args.cmd == "words":
         out = X.extract_words(pages, num_partitions=args.partitions)
     else:  # tables

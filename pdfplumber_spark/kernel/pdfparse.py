@@ -379,6 +379,13 @@ class Font:
                 self.widths[self.first_char + i] = float(doc.resolve(w) or 0)
         desc = doc.resolve(spec.get("FontDescriptor")) or {}
         self.descent = float(doc.resolve(desc.get("Descent", FONT_DESCENT)) or FONT_DESCENT)
+        # PDF RM 9.8.1: /Descent must be negative. PScript5.dll emits a
+        # positive value; pdfminer (pdffont.py PDFFont.__init__) forces it
+        # negative, and the reference's laparams line grouping on
+        # issue-192 depends on that correction — char y-extents of mixed
+        # font sizes shift otherwise.
+        if self.descent > 0:
+            self.descent = -self.descent
         self.ascent = float(doc.resolve(desc.get("Ascent", FONT_ASCENT)) or FONT_ASCENT)
         self.default_width = float(doc.resolve(desc.get("MissingWidth", 556)) or 556)
         if not self.widths:
@@ -430,6 +437,8 @@ class Font:
                     break
             desc = doc.resolve(df.get("FontDescriptor")) or {}
             self.descent = float(doc.resolve(desc.get("Descent", self.descent)) or self.descent)
+            if self.descent > 0:  # same RM 9.8.1 correction as simple fonts
+                self.descent = -self.descent
 
     @staticmethod
     def _parse_tounicode(doc, ref) -> Dict[int, str]:

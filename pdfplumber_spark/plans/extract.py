@@ -220,7 +220,52 @@ def _frames_to_objects(url: str, frames) -> pd.DataFrame:
     return out[_OBJ_COLS]
 
 
-def _payload_to_objects(url: str, payload) -> Optional[pd.DataFrame]:
+def _laparams_objects(url: str, frames, laparams) -> Optional[pd.DataFrame]:
+    """LAParams layout analysis over the objects output (reference
+    cli.py:56 ``--laparams`` + page.py:269-277): adds textline*/textbox*
+    rows and renumbers char ``obj_index`` to pdfminer reading order so
+    ``ORDER BY url, page_number, object_type, obj_index`` reproduces the
+    reference CSV row order."""
+    from ..kernel.laparams import LAParams, analyze
+
+    lap = LAParams.resolve(laparams)
+    out = _frames_to_objects(url, frames)
+    chars = frames["chars"]
+    extra_rows: list = []
+    for pn, sub in chars.groupby("page_number", sort=True):
+        lines, boxes, char_order = analyze(sub, lap)
+        n = len(sub)
+        # reading rank per rendering-order position (unseen chars go last,
+        # matching the api.Page.chars ordering rule)
+        rank = {}
+        for i in char_order:
+            if i < n and i not in rank:
+                rank[i] = len(rank)
+        for i in range(n):
+            if i not in rank:
+                rank[i] = len(rank)
+        mask = (out["object_type"] == "char") & (out["page_number"] == pn)
+        idx = out.index[mask]
+        if len(idx) == n:
+            out.loc[idx, "obj_index"] = [rank[i] for i in range(n)]
+        counters: dict = {}
+        for o in lines + boxes:
+            d = dict(o)
+            d["url"] = url
+            d["page_number"] = int(pn)
+            k = d["object_type"]
+            d["obj_index"] = counters[k] = counters.get(k, -1) + 1
+            extra_rows.append(d)
+    if not extra_rows:
+        return out
+    extra = pd.DataFrame(extra_rows)
+    for c in _OBJ_COLS:
+        if c not in extra.columns:
+            extra[c] = None
+    return pd.concat([out, extra[_OBJ_COLS]], ignore_index=True)
+
+
+def _payload_to_objects(url: str, payload, laparams=None) -> Optional[pd.DataFrame]:
     """Per-payload unified objects frame — shared by the Spark plan and the
     materialized single-process oracle."""
     if payload is None:
@@ -232,19 +277,23 @@ def _payload_to_objects(url: str, payload) -> Optional[pd.DataFrame]:
         frames = pdf_to_frames(data)
     except Exception:  # noqa: BLE001
         return None
+    if laparams is not None:
+        return _laparams_objects(url, frames, laparams)
     return _frames_to_objects(url, frames)
 
 
 def extract_objects(
-    pages: DataFrame, num_partitions: Optional[int] = None
+    pages: DataFrame, num_partitions: Optional[int] = None, laparams=None
 ) -> DataFrame:
-    """pages -> unified objects DataFrame (char/line/rect/curve rows)."""
+    """pages -> unified objects DataFrame (char/line/rect/curve rows;
+    plus textline*/textbox* rows and reading-order char indices when
+    ``laparams`` is given — reference cli.py:56)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             outs = []
             for url, payload in zip(batch["url"], batch["html"]):
-                obj = _payload_to_objects(url, payload)
+                obj = _payload_to_objects(url, payload, laparams=laparams)
                 if obj is not None:
                     outs.append(obj)
             yield (

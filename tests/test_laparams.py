@@ -31,11 +31,20 @@ def test_with_laparams():
 def test_vertical_texts():
     # reference test_laparams.py:35-46. detect_vertical parity is exact
     # (11 vertical lines / 6 vertical boxes, matching pdfminer). The
-    # horizontal counts on this fixture deviate from pdfminer's (142 lines /
-    # 74 boxes there): pdfminer merges ~15 more line pairs, which traces to
-    # char-level geometry differences on this CID-font fixture, not the
-    # grouping algorithm (issue-13 horizontal counts match exactly). The
-    # current values are pinned below so a regression is visible.
+    # horizontal counts still deviate from pdfminer's pins (142 lines /
+    # 74 boxes). Round-3 investigation narrowed the cause:
+    #   - char stream parity verified: counts, texts, widths (raw /W arrays
+    #     checked byte-level), word extraction (all reference issue-192 word
+    #     pins pass), rotated-text handling (all 193 rotated chars group
+    #     into the exact 11/6 vertical lines/boxes);
+    #   - the PScript5 positive-/Descent quirk is now corrected like
+    #     pdfminer pdffont.py does (RM 9.8.1), which moved boxes 135 -> 132;
+    #   - our sequential grouping has ZERO pairs that satisfy pdfminer's
+    #     merge predicate yet split (checked programmatically), and no
+    #     char_margin/line_overlap/neighbor-rule variation reaches 142/74
+    #     without breaking the exact issue-13 79/27 pins.
+    # The residual delta needs a live pdfminer to diff per-line; pinned
+    # here so any regression or improvement is visible.
     path = f"{PDFS}/issue-192-example.pdf"
     laparams = {"detect_vertical": True}
     with pdfplumber.open(path, laparams=laparams) as pdf:
@@ -45,7 +54,7 @@ def test_vertical_texts():
         assert "text" in page.textboxverticals[0]
         assert "text" in page.textlineverticals[0]
         assert len(page.textlinehorizontals) == 157  # pdfminer: 142
-        assert len(page.textboxhorizontals) == 135  # pdfminer: 74
+        assert len(page.textboxhorizontals) == 132  # pdfminer: 74
 
 
 def test_issue_383():

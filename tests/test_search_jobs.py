@@ -118,3 +118,51 @@ def _walk(elements):
         el = queue.pop(0)
         yield el
         queue.extend(el.get("children", []))
+
+
+def test_jobs_cli_laparams(corpus, tmp_path, spark):
+    """Reference cli.py:56 --laparams: objects output gains textline*/
+    textbox* rows and char obj_index becomes pdfminer reading order,
+    matching the api facade's laparams analysis per page."""
+    import pandas as pd
+
+    out = str(tmp_path / "lap")
+    res = subprocess.run(
+        [sys.executable, "-m", "pdfplumber_spark.jobs", "objects",
+         "--input", corpus, "--output", out, "--local-cores", "2",
+         "--laparams", "{}"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    df = pd.read_parquet(out)
+    kinds = set(df["object_type"])
+    assert "textlinehorizontal" in kinds
+    assert "textboxhorizontal" in kinds
+
+    # facade parity on one document
+    import pdfplumber_spark.api as P
+
+    src = pd.read_parquet(corpus)
+    url = df[df["object_type"] == "textboxhorizontal"]["url"].iloc[0]
+    payload = src[src["url"] == url]["html"].iloc[0]
+    pdf = P.open(bytes(payload), laparams={})
+    page = pdf.pages[0]
+    got = (
+        df[(df["url"] == url) & (df["page_number"] == 1)
+           & (df["object_type"] == "textboxhorizontal")]
+        .sort_values("obj_index")
+    )
+    exp = page.textboxhorizontals
+    assert len(got) == len(exp)
+    for (_, g), e in zip(got.iterrows(), exp):
+        assert abs(g["x0"] - e["x0"]) < 1e-9
+        assert g["text"] == e["text"]
+    # char reading order == facade page.chars order
+    got_chars = (
+        df[(df["url"] == url) & (df["page_number"] == 1)
+           & (df["object_type"] == "char")]
+        .sort_values("obj_index")["text"].tolist()
+    )
+    exp_chars = [c["text"] for c in page.chars]
+    assert got_chars == exp_chars
