@@ -197,27 +197,53 @@ def make_pdf(pages: List[Dict], info: dict = None) -> bytes:
     )
     assert ptn == pages_tree_num
 
-    # optional Tagged-PDF structure tree: one /P StructElem per tagged text
+    # optional Tagged-PDF structure tree. ``tagged: True`` -> flat
+    # Document/P per text. ``tagged: "rich"`` -> Document/Sect nesting with
+    # the first text role-mapped (/Heading via /RoleMap -> /H1), exercising
+    # the RoleMap + nested-K paths of the structure reader distributed.
     struct_root_num = None
+    rich = any(p.get("tagged") == "rich" for p in pages)
     if any(p.get("tagged") for p in pages):
-        elem_nums = []
+        doc_kids = []
         for i, p in enumerate(pages):
             if not p.get("tagged"):
                 continue
-            for mcid in range(len(p.get("texts", []))):
-                elem_nums.append(
+            n_texts = len(p.get("texts", []))
+            if p.get("tagged") == "rich" and n_texts:
+                head = add(
+                    b"<</Type/StructElem/S/Heading/Pg %d 0 R/K 0>>"
+                    % page_nums[i]
+                )
+                body = [
                     add(
                         b"<</Type/StructElem/S/P/Pg %d 0 R/K %d>>"
                         % (page_nums[i], mcid)
                     )
+                    for mcid in range(1, n_texts)
+                ]
+                doc_kids.append(
+                    add(
+                        b"<</Type/StructElem/S/Sect/K["
+                        + b" ".join(b"%d 0 R" % n for n in [head] + body)
+                        + b"]>>"
+                    )
+                )
+            else:
+                doc_kids.extend(
+                    add(
+                        b"<</Type/StructElem/S/P/Pg %d 0 R/K %d>>"
+                        % (page_nums[i], mcid)
+                    )
+                    for mcid in range(n_texts)
                 )
         doc_elem = add(
             b"<</Type/StructElem/S/Document/K["
-            + b" ".join(b"%d 0 R" % n for n in elem_nums)
+            + b" ".join(b"%d 0 R" % n for n in doc_kids)
             + b"]>>"
         )
+        rolemap = b"/RoleMap<</Heading/H1>>" if rich else b""
         struct_root_num = add(
-            b"<</Type/StructTreeRoot/K %d 0 R>>" % doc_elem
+            b"<</Type/StructTreeRoot%s/K %d 0 R>>" % (rolemap, doc_elem)
         )
     root_body = b"<</Type/Catalog/Pages %d 0 R" % pages_tree_num
     if struct_root_num:

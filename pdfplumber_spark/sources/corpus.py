@@ -24,7 +24,7 @@ from typing import Iterator, List, Tuple
 from ..kernel.pdfgen import glyph_width, make_pdf
 
 # bump when generated content changes — cache paths embed this
-CORPUS_VERSION = 7
+CORPUS_VERSION = 8
 
 LOREM = (
     "the quick brown fox jumps over a lazy dog while bright vixens watch "
@@ -55,8 +55,11 @@ def _pdf_basic(rng: random.Random, n_pages: int) -> bytes:
             texts.append({"x": 72.0, "top": top, "size": 12, "text": line})
             top += 14.5
         page = {"width": 612, "height": 792, "texts": texts}
-        if rng.random() < 0.4:
-            page["tagged"] = True  # Tagged PDF: BDC/MCID + StructTreeRoot
+        r = rng.random()
+        if r < 0.2:
+            page["tagged"] = True  # Tagged PDF: flat Document/P tree
+        elif r < 0.4:
+            page["tagged"] = "rich"  # nested Sect + RoleMap'd Heading->H1
         if rng.random() < 0.5:
             page["links"] = [
                 {
