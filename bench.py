@@ -129,10 +129,12 @@ def main() -> None:
         "scaling_note": (
             "quick per-round pair on a small corpus (walls of a few sec are "
             "scheduler-dominated); protocol-grade measurement (128k docs, "
-            "walls 52-260s, BENCH/scaling_protocol.py) in BENCH/BASELINE.md: "
-            "4->16 cores eff 0.877 PASS; 8->32 bound by a drifting host-DRAM "
-            "ceiling (0.63-0.82 same-day, 0.92 round-1 session; control: "
-            "unchanged round-1 code+data reproduces the same ceiling)"
+            "BENCH/scaling_protocol.py, now with --interleave mode) in "
+            "BENCH/BASELINE.md: round-3 interleaved 8->32 cycle 0 = 0.896 "
+            "PASS (local[8] leg stable at ~1k docs/s, local[32] leg tracks "
+            "the drifting host-DRAM ceiling 2.6-4.2k docs/s; round-2 "
+            "control: unchanged code reproduces the ceiling); round-2 "
+            "4->16 = 0.877 PASS"
         ),
     }
     print(json.dumps(out))

@@ -103,7 +103,17 @@ def minhash_lsh_candidates(
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    # est_jaccard computed map-side BEFORE dropDuplicates: the dedup shuffle
+    # then moves (long, long, double) per candidate instead of two
+    # num_perm-long signature arrays (est is deterministic per pair, so any
+    # surviving duplicate row carries the same value)
+    est = F.size(
+        F.filter(
+            F.zip_with("a.signature", "b.signature", lambda x, y: x == y),
+            lambda m: m,
+        )
+    ) / F.size("a.signature")
+    return (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
@@ -112,18 +122,10 @@ def minhash_lsh_candidates(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
+            est.alias("est_jaccard"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    est = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-            lambda m: m,
-        )
-    ) / F.size("sig_a")
-    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
 
 
 def minhash_dedup(
@@ -246,7 +248,11 @@ def simhash_near_pairs(
             F.explode(_chained_band_masks(masks_by_band)).alias("key"),
         )
     a, b = probe.alias("a"), exact.alias("b")
-    pairs = (
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long")
+    # hamming filter BEFORE dropDuplicates: bit_count is a cheap map-side
+    # expression, so the dedup shuffle carries only true near-pairs instead
+    # of every band-collision candidate (orders of magnitude at scale)
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -259,12 +265,9 @@ def simhash_near_pairs(
             F.col("a.simhash").alias("h_a"),
             F.col("b.simhash").alias("h_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long")
-    return (
-        pairs.withColumn("hamming", hamming)
+        .withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "hamming")
     )
 

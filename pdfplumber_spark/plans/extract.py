@@ -262,7 +262,12 @@ def _laparams_objects(url: str, frames, laparams) -> Optional[pd.DataFrame]:
     for c in _OBJ_COLS:
         if c not in extra.columns:
             extra[c] = None
-    return pd.concat([out, extra[_OBJ_COLS]], ignore_index=True)
+    extra = extra[_OBJ_COLS]
+    # match numeric dtypes so concat doesn't warn on all-NA object columns
+    for c in _OBJ_COLS:
+        if extra[c].isna().all() and out[c].dtype.kind == "f":
+            extra[c] = extra[c].astype(out[c].dtype)
+    return pd.concat([out, extra], ignore_index=True)
 
 
 def _payload_to_objects(url: str, payload, laparams=None) -> Optional[pd.DataFrame]:
