@@ -762,9 +762,12 @@ class PDF:
 
 
 def open(path_or_fp: Union[str, bytes, io.IOBase], pages=None,
-         password: str = "", laparams=None) -> PDF:  # noqa: A001
+         password: str = "", laparams=None, repair: bool = False,
+         gs_path=None) -> PDF:  # noqa: A001
     """pdfplumber.open analogue (``pdf.py:65-108``): path / file-like /
-    raw bytes; ``pages`` subsets 1-based page numbers."""
+    raw bytes; ``pages`` subsets 1-based page numbers. ``repair=True``
+    rebuilds the document first (reference pdf.py:79-85; offline rebuilder
+    in kernel/pdfrepair.py — the repaired doc carries no password)."""
     if isinstance(path_or_fp, (bytes, bytearray)):
         data = bytes(path_or_fp)
     elif hasattr(path_or_fp, "read"):
@@ -774,4 +777,11 @@ def open(path_or_fp: Union[str, bytes, io.IOBase], pages=None,
 
         with builtins.open(path_or_fp, "rb") as f:
             data = f.read()
+    if repair:
+        from .repair import _repair
+
+        data = _repair(data, password=password, gs_path=gs_path).read()
+        # reference pdf.py:81-85: the repaired version is decrypted — do
+        # not pass the password through
+        password = ""
     return PDF(data, pages=pages, password=password, laparams=laparams)

@@ -49,6 +49,10 @@ def main(argv=None) -> int:
     ap.add_argument("--output", required=True)
     ap.add_argument("--format", default="parquet", choices=["parquet", "json", "csv"])
     ap.add_argument("--layout", action="store_true", help="layout=True text")
+    ap.add_argument("--repair", action="store_true",
+                    help="retry failed PDFs through the structural "
+                         "rebuilder (extract cmd; PDF.open(repair=True) "
+                         "analogue)")
     ap.add_argument("--buckets", type=int, default=0,
                     help="checkpointed run with N url-hash buckets (resumable)")
     ap.add_argument("--partitions", type=int, default=None)
@@ -106,7 +110,9 @@ def main(argv=None) -> int:
             )
             print(json.dumps(summary))
             return 0
-        out = X.extract_text(pages, layout=args.layout, num_partitions=args.partitions)
+        out = X.extract_text(pages, layout=args.layout,
+                             num_partitions=args.partitions,
+                             repair=args.repair)
     elif args.cmd == "objects":
         out = X.extract_objects(
             pages, num_partitions=args.partitions, laparams=args.laparams

@@ -52,10 +52,42 @@ def partition_by_url(df: DataFrame, num_partitions: Optional[int] = None) -> Dat
 
 # --- single-pass text extraction -------------------------------------------
 
-def _payload_to_text_rows(url: str, payload, layout: bool, dedupe: bool = False) -> list:
+def _payload_to_text_rows(
+    url: str, payload, layout: bool, dedupe: bool = False,
+    repair: bool = False,
+) -> list:
     if payload is None:
         return [(url, 0, None, None, None, "error", "null payload")]
     data = bytes(payload)
+    if repair and data[:5] != b"%PDF-" and b"%PDF-" in data[:4096]:
+        # crawl artifact: junk prepended to a real PDF — without repair the
+        # payload would route to the HTML branch. Rebuild, then extract.
+        try:
+            from ..kernel.pdfrepair import repair_bytes
+
+            data = repair_bytes(data)
+        except Exception:  # noqa: BLE001 - fall through to normal handling
+            pass
+    rows = _payload_rows_inner(url, data, layout, dedupe)
+    if (
+        repair
+        and data[:5] == b"%PDF-"
+        and any(r[5] == "error" for r in rows)
+    ):
+        # parse failed outright (truncated tail, smashed xref): salvage
+        # whatever objects survive and retry once on the rebuilt bytes
+        try:
+            from ..kernel.pdfrepair import repair_bytes
+
+            rows2 = _payload_rows_inner(url, repair_bytes(data), layout, dedupe)
+            if not any(r[5] == "error" for r in rows2):
+                return rows2
+        except Exception:  # noqa: BLE001
+            pass
+    return rows
+
+
+def _payload_rows_inner(url: str, data: bytes, layout: bool, dedupe: bool) -> list:
     try:
         if data[:5] == b"%PDF-":
             if not dedupe:
@@ -138,18 +170,24 @@ def extract_text(
     layout: bool = False,
     dedupe: bool = False,
     num_partitions: Optional[int] = None,
+    repair: bool = False,
 ) -> DataFrame:
     """pages -> (url, page_number, text, n_chars, n_words, status, error).
 
     Single mapInPandas pass; zero shuffles after the url-hash repartition.
     ``dedupe`` applies dedupe_chars (text.py:784-804) before assembly.
+    ``repair`` retries failed payloads through the structural rebuilder
+    (reference PDF.open(repair=True), kernel/pdfrepair.py) — off by
+    default, matching the reference's opt-in semantics.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             out = []
             for url, payload in zip(batch["url"], batch["html"]):
-                out.extend(_payload_to_text_rows(url, payload, layout, dedupe))
+                out.extend(
+                    _payload_to_text_rows(url, payload, layout, dedupe, repair)
+                )
             yield pd.DataFrame(
                 out,
                 columns=[
