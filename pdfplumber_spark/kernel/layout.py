@@ -96,7 +96,7 @@ def assemble_text(
     tol = y_tolerance if ldr in ("ttb", "btt") else x_tolerance
     cids = assign_clusters(vals, tol)
     groups = group_rows_by_cluster(cids, preserve_order=preserve_order)
-    texts = words["text"].to_numpy(dtype=object)
+    texts = np.asarray(words["text"], dtype=object)
     base = "\n".join(" ".join(texts[i] for i in grp) for grp in groups)
     return render_directions(base, ldr, cdr)
 
@@ -149,6 +149,11 @@ def assemble_text_layout(
         layout_height_chars = int(round(layout_height / y_density))
 
     keep_input_order = presorted or use_text_flow
+    if not keep_input_order and not hasattr(words, "iloc"):
+        # reorder path needs row indexing — promote WordArrays to a frame
+        import pandas as pd
+
+        words = pd.DataFrame(dict(words))
     vals = word_line_key(words, line_dir)
     if not keep_input_order:
         order = np.argsort(vals, kind="stable")
@@ -180,8 +185,8 @@ def assemble_text_layout(
     total_len = 0  # chars emitted so far (to test "last char is newline")
     last_char = ""
 
-    line_pos_vals = words[line_pos_col].to_numpy(np.float64)
-    char_pos_vals = words[char_pos_col].to_numpy(np.float64)
+    line_pos_vals = np.asarray(words[line_pos_col], dtype=np.float64)
+    char_pos_vals = np.asarray(words[char_pos_col], dtype=np.float64)
 
     for i, grp in enumerate(line_groups):
         y_dist = (
@@ -389,7 +394,7 @@ def page_text_layout_ca(
     s = settings or WordSettings()
     if ca.n == 0:
         return ""
-    words, cwid, cwpos = extract_words_ca(ca, s)
+    words, cwid, cwpos = extract_words_ca(ca, s, as_frame=False)
     word_chars = build_word_char_arrays(ca.text, cwid, cwpos, len(words))
     text, _ = assemble_text_layout(
         words,
@@ -416,7 +421,7 @@ def page_text_ca(ca, settings: Optional[WordSettings] = None) -> str:
     s = settings or WordSettings()
     if ca.n == 0:
         return ""
-    words, _, _ = extract_words_ca(ca, s)
+    words, _, _ = extract_words_ca(ca, s, as_frame=False)
     return assemble_text(
         words,
         line_dir=s.line_dir,

@@ -180,27 +180,33 @@ def _char_key_arrays(
 
 
 # DataFrame-facing shims (used by layout.py and tests)
-def line_cluster_values(df: pd.DataFrame, line_dir: str) -> np.ndarray:
+def _f64(col) -> np.ndarray:
+    """Column -> float64 ndarray; accepts pandas Series AND the raw numpy
+    columns of WordArrays (the no-pandas fast path)."""
+    return np.asarray(col, dtype=np.float64)
+
+
+def line_cluster_values(df, line_dir: str) -> np.ndarray:
     if line_dir == "ttb":
-        return df["top"].to_numpy(np.float64)
+        return _f64(df["top"])
     if line_dir == "btt":
-        return -df["bottom"].to_numpy(np.float64)
+        return -_f64(df["bottom"])
     if line_dir == "ltr":
-        return df["x0"].to_numpy(np.float64)
-    return -df["x1"].to_numpy(np.float64)
+        return _f64(df["x0"])
+    return -_f64(df["x1"])
 
 
-def char_sort_keys(df: pd.DataFrame, char_dir: str) -> Tuple[np.ndarray, np.ndarray]:
+def char_sort_keys(df, char_dir: str) -> Tuple[np.ndarray, np.ndarray]:
     if char_dir == "ttb":
-        return df["top"].to_numpy(np.float64), df["bottom"].to_numpy(np.float64)
+        return _f64(df["top"]), _f64(df["bottom"])
     if char_dir == "btt":
-        t = df["top"].to_numpy(np.float64)
-        h = df["height"].to_numpy(np.float64)
+        t = _f64(df["top"])
+        h = _f64(df["height"])
         return -(t + h), -t
     if char_dir == "ltr":
-        x = df["x0"].to_numpy(np.float64)
+        x = _f64(df["x0"])
         return x, x
-    return -df["x1"].to_numpy(np.float64), -df["x0"].to_numpy(np.float64)
+    return -_f64(df["x1"]), -_f64(df["x0"])
 
 
 def _page_text_tables(ca: CharArrays, s: WordSettings):
@@ -340,9 +346,28 @@ def extract_words_frame(
     return extract_words_ca(ca, s)
 
 
-def extract_words_ca(ca: CharArrays, settings: Optional[WordSettings] = None):
+class WordArrays(dict):
+    """Column dict standing in for the words DataFrame on the no-pandas
+    fast path (``as_frame=False``): same ``words[col]`` access, but values
+    are raw numpy arrays / lists and ``len()`` counts ROWS like a frame.
+    Building a real pandas frame costs ~1.8 ms/page — ~15% of single-core
+    extraction — and the text-assembly consumers only read columns."""
+
+    __slots__ = ()
+
+    def __len__(self) -> int:  # noqa: D105 - rows, not keys
+        t = self.get("text")
+        return 0 if t is None else len(t)
+
+
+def extract_words_ca(
+    ca: CharArrays, settings: Optional[WordSettings] = None,
+    as_frame: bool = True,
+):
     """Array-native form of extract_words_frame (same returns); the
-    extraction fast path calls this straight from parser buffers."""
+    extraction fast path calls this straight from parser buffers.
+    ``as_frame=False`` skips the pandas DataFrame build and returns
+    :class:`WordArrays` (column-compatible for the assembly consumers)."""
     s = settings or WordSettings()
     cols = ["text", "x0", "x1", "top", "doctop", "bottom", "upright",
             "height", "width", "direction", *s.extra_attrs]
@@ -350,7 +375,12 @@ def extract_words_ca(ca: CharArrays, settings: Optional[WordSettings] = None):
     char_word_id = np.full(n, -1, dtype=np.int64)
     char_word_pos = np.full(n, -1, dtype=np.int64)
     if n == 0:
-        return pd.DataFrame(columns=cols), char_word_id, char_word_pos
+        empty = (
+            pd.DataFrame(columns=cols)
+            if as_frame
+            else WordArrays({c: [] for c in cols})
+        )
+        return empty, char_word_id, char_word_pos
 
     # blank/punct flags + ligature expansion in one memoized pass
     is_blank, is_punct, etext = _page_text_tables(ca, s)
@@ -435,7 +465,12 @@ def extract_words_ca(ca: CharArrays, settings: Optional[WordSettings] = None):
             next_word += n_words
 
     if not w_first:
-        return pd.DataFrame(columns=cols), char_word_id, char_word_pos
+        empty = (
+            pd.DataFrame(columns=cols)
+            if as_frame
+            else WordArrays({c: [] for c in cols})
+        )
+        return empty, char_word_id, char_word_pos
 
     x0 = np.concatenate(w_x0)
     x1 = np.concatenate(w_x1)
@@ -457,6 +492,8 @@ def extract_words_ca(ca: CharArrays, settings: Optional[WordSettings] = None):
     }
     for a in s.extra_attrs:
         data[a] = ca.extra[a][firsts]
+    if not as_frame:
+        return WordArrays(data), char_word_id, char_word_pos
     return pd.DataFrame(data, columns=cols), char_word_id, char_word_pos
 
 
