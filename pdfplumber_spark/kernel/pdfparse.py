@@ -1384,12 +1384,27 @@ class PageInterpreter:
         self.images: List[tuple] = []
 
     def _load_fonts(self, res: dict) -> Dict[str, Font]:
+        """Resource name -> Font. Font objects are cached per document by
+        their indirect ref: pages of the same doc share font dictionaries,
+        and re-parsing Widths/ToUnicode/CID-W per page is pure waste.
+        (Resource NAME can differ across pages for the same ref; Font.name
+        is only a BaseFont fallback, so sharing is safe.)"""
         fonts: Dict[str, Font] = {}
         fdict = self.doc.resolve(res.get("Font")) or {}
+        cache = getattr(self.doc, "_font_cache", None)
+        if cache is None:
+            cache = self.doc._font_cache = {}
         for fname, fref in fdict.items():
+            key = fref.num if isinstance(fref, Ref) else None
+            if key is not None and key in cache:
+                fonts[str(fname)] = cache[key]
+                continue
             spec = self.doc.resolve(fref)
             if isinstance(spec, dict):
-                fonts[str(fname)] = Font(self.doc, spec, str(fname))
+                f = Font(self.doc, spec, str(fname))
+                fonts[str(fname)] = f
+                if key is not None:
+                    cache[key] = f
         return fonts
 
     @property
