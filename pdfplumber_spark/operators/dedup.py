@@ -78,7 +78,12 @@ def minhash_lsh_candidates(
     buckets (every-doc-identical boilerplate) — dropped buckets are exact-dup
     territory handled by ``exact_dedup`` anyway.
     """
-    num_perm = None  # inferred below
+    # the banded table feeds both sides of the self-join; materialize so
+    # the signature kernel (full text scan upstream) runs once, not twice
+    # (same reasoning as simhash_near_pairs; spillable at corpus scale)
+    from pyspark import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     rows_per_band = F.floor(F.size("signature") / bands).cast("int")
     banded = sigs.select(
         "doc_id",
@@ -217,6 +222,14 @@ def simhash_near_pairs(
     sum(C(width, 0..t)) keys per band (17 for width=16, t=1)."""
     per_band_radius = max_hamming // n_bands
     bands = simhash_band_bounds(max_hamming, n_bands)
+    # both self-join branches consume `hashes`; without materialization the
+    # signature stage (a full text scan upstream) runs TWICE — the probe
+    # branch's explode makes the subplans non-identical, so ReusedExchange
+    # never applies and the broadcast side rebuilds from source. 16 B/doc
+    # cached vs re-scanning the corpus.
+    from pyspark import StorageLevel
+
+    hashes = hashes.persist(StorageLevel.MEMORY_AND_DISK)
     exact = hashes.select(
         "doc_id",
         "simhash",
