@@ -89,6 +89,7 @@ def main(argv=None) -> int:
             pages,
             num_partitions=args.partitions,
             with_text=args.cmd == "structure-text",
+            laparams=args.laparams,
         )
         _write(out, args)
         print(json.dumps({"cmd": args.cmd, "output": args.output,

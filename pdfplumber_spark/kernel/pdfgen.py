@@ -87,7 +87,7 @@ def _content_stream(page: Dict) -> bytes:
             size, t["x"], baseline_y, _esc(chunk).decode("latin-1"),
         )
         if tagged:
-            body = "/P <</MCID %d>> BDC %s EMC" % (i, body)
+            body = "/P <</MCID %d>> BDC %s EMC" % (t.get("mcid", i), body)
         parts.append(body)
     for r in page.get("rects", []):
         y = h - r["bottom"]
@@ -229,12 +229,18 @@ def make_pdf(pages: List[Dict], info: dict = None) -> bytes:
                     )
                 )
             else:
+                # one P per UNIQUE mcid (texts may share an mcid via the
+                # per-text "mcid" key), in first-appearance order
+                mcids = list(dict.fromkeys(
+                    t.get("mcid", j)
+                    for j, t in enumerate(p.get("texts", []))
+                ))
                 doc_kids.extend(
                     add(
                         b"<</Type/StructElem/S/P/Pg %d 0 R/K %d>>"
                         % (page_nums[i], mcid)
                     )
-                    for mcid in range(n_texts)
+                    for mcid in mcids
                 )
         doc_elem = add(
             b"<</Type/StructElem/S/Document/K["

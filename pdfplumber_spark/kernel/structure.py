@@ -438,10 +438,16 @@ class StructTree:
         return next(_find_all(self.children, matcher), None)
 
 
-def tree_to_json(data: bytes, password: str = "", with_text: bool = False) -> str:
+def tree_to_json(
+    data: bytes, password: str = "", with_text: bool = False, laparams=None
+) -> str:
     """Document structure tree as a JSON string (the Spark column form).
     ``with_text`` attaches per-MCID text like the reference CLI's
-    --structure-text (cli.py:75-93 add_text_to_mcids)."""
+    --structure-text (cli.py:75-93 add_text_to_mcids). ``laparams``
+    reorders each page's chars to pdfminer reading order first — the
+    reference concatenates ``page.chars`` which IS reading-ordered when
+    the PDF was opened with laparams (cli.py:29: --laparams honored for
+    --structure/--structure-text)."""
     doc = PDFDocument(data, password=password)
     tree = StructTree(doc)
     out = [el.to_dict() for el in tree.children]
@@ -449,6 +455,21 @@ def tree_to_json(data: bytes, password: str = "", with_text: bool = False) -> st
         from .pdfparse import pdf_to_frames
 
         chars = pdf_to_frames(data, style=True, password=password)["chars"]
+        if laparams is not None and len(chars):
+            import pandas as pd
+
+            from .laparams import LAParams, analyze
+
+            lap = LAParams.resolve(laparams)
+            parts = []
+            for _pn, sub in chars.groupby("page_number", sort=True):
+                _, _, order = analyze(sub, lap)
+                n = len(sub)
+                seen = set()
+                pos = [i for i in order if i < n and not (i in seen or seen.add(i))]
+                pos += [i for i in range(n) if i not in seen]
+                parts.append(sub.iloc[pos])
+            chars = pd.concat(parts, ignore_index=True)
         contents: dict = {}
         if "mcid" in chars.columns:
             sub = chars[chars["mcid"].notna()]

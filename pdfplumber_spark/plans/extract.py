@@ -588,11 +588,12 @@ def extract_text_salted(
 
 def extract_structure(
     pages: DataFrame, num_partitions: Optional[int] = None,
-    with_text: bool = False,
+    with_text: bool = False, laparams=None,
 ) -> DataFrame:
     """pages -> (url, structure_json) — the Tagged-PDF tree as a JSON
     column (SURVEY §1.2: Spark has no recursive StructType). ``with_text``
-    is the CLI --structure-text form (cli.py:75-93)."""
+    is the CLI --structure-text form (cli.py:75-93); ``laparams`` makes
+    mcid text concatenation follow pdfminer reading order (cli.py:29)."""
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -612,7 +613,9 @@ def extract_structure(
                     continue
                 try:
                     rows.append(
-                        (url, tree_to_json(bytes(payload), with_text=with_text))
+                        (url, tree_to_json(bytes(payload),
+                                           with_text=with_text,
+                                           laparams=laparams))
                     )
                 except Exception:  # noqa: BLE001
                     rows.append((url, None))

@@ -226,3 +226,38 @@ def test_chelsea_pdta_objr_mcr():
         if "children" in el1:
             assert len(el1["children"]) == len(el2.get("children", []))
             d.extend(zip(el1["children"], el2["children"]))
+
+
+def test_structure_text_laparams_reading_order():
+    """--structure-text --laparams parity (reference cli.py:29): mcid text
+    concatenation follows pdfminer READING order when laparams is given.
+    One MCID spans two text blocks rendered bottom-first; default (stream
+    order) concatenates "WORLD" before "hello", laparams flips to reading
+    order."""
+    import json
+
+    from pdfplumber_spark.kernel.pdfgen import make_pdf
+    from pdfplumber_spark.kernel.structure import tree_to_json
+
+    data = make_pdf([{
+        "width": 612, "height": 792, "tagged": True,
+        "texts": [
+            {"x": 72, "top": 300, "size": 12, "text": "WORLD", "mcid": 0},
+            {"x": 72, "top": 100, "size": 12, "text": "hello", "mcid": 0},
+        ],
+    }])
+
+    def mcid_texts(js):
+        out = {}
+        queue = json.loads(js)
+        while queue:
+            el = queue.pop(0)
+            queue.extend(el.get("children", []))
+            if "text" in el:
+                out[tuple(el.get("mcids", ()))] = el["text"]
+        return out
+
+    plain = mcid_texts(tree_to_json(data, with_text=True))
+    assert plain[(0,)] == ["WORLDhello"]  # content-stream order
+    ordered = mcid_texts(tree_to_json(data, with_text=True, laparams={}))
+    assert ordered[(0,)] == ["helloWORLD"]  # reading order (top first)
