@@ -279,6 +279,20 @@ def q_langid(spark, sf_dir):
     return with_language(docs, "text").select("doc_id", "lang_detected")
 
 
+def q_minhash_dedup(spark, sf_dir):
+    """End-to-end near-dup REMOVAL (minhash_dedup): survivors after
+    dropping the higher doc_id of every pair with est_jaccard >= 0.8. The
+    oracle composes the materialized pairs parquet with the drop rule in
+    pure SQL, so the anti-join logic itself is DuckDB-checked."""
+    from pdfplumber_spark.operators.dedup import minhash_dedup
+
+    docs = _tbl(spark, sf_dir, "documents").where("doc_id < 300")
+    return (
+        minhash_dedup(docs, "doc_id", "text", threshold=0.8)
+        .select("doc_id")
+    )
+
+
 def q_embedding_topk(spark, sf_dir):
     from pdfplumber_spark.operators.similarity import cosine_topk
 
@@ -471,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "embedding_topk": q_embedding_topk,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
         "extract_text": q_extract_text,
@@ -746,6 +761,16 @@ def oracle_sql() -> dict[str, str]:
             name: f"SELECT * FROM read_parquet('{path}')"
             for name, path in _expected_oracle_paths().items()
         },
+        # composes the materialized pairs parquet with REAL SQL: the
+        # greedy drop rule (lose the higher id of every >=0.8 pair) is
+        # DuckDB logic, so the distributed anti-join itself is checked
+        "minhash_dedup": f"""
+            SELECT doc_id FROM documents
+            WHERE doc_id < 300 AND doc_id NOT IN (
+                SELECT DISTINCT doc_b
+                FROM read_parquet('{_expected_oracle_paths()["minhash_pairs"]}')
+                WHERE est_jaccard >= 0.8)
+        """,
     }
 
 

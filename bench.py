@@ -90,7 +90,8 @@ def main() -> None:
         "extract_text_layout", "extract_words", "extract_tables",
         "cluster_1d", "interval_merge", "cumsum", "topk_per_group",
         "collate_line", "bbox_agg", "rect_edges", "edge_intersections",
-        "exact_dedup", "jaccard_pairs", "minhash_pairs", "simhash_pairs",
+        "exact_dedup", "jaccard_pairs", "minhash_pairs", "minhash_dedup",
+        "simhash_pairs",
         "token_count", "quality", "langid", "embedding_topk", "lsh_topk",
     ]
     for name in bench_queries:
