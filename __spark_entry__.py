@@ -279,6 +279,18 @@ def q_langid(spark, sf_dir):
     return with_language(docs, "text").select("doc_id", "lang_detected")
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF (k-means inverted-file) ANN — the second scale path next to
+    hyperplane LSH. Deterministic Lloyd's index (smallest-id init,
+    1e-6-rounded centroids) + nprobe-cluster candidate join + exact
+    cosine re-rank; oracle is a banding-free numpy re-derivation."""
+    from pdfplumber_spark.operators.similarity import ivf_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    queries = emb.where("vec_id < 5")
+    return ivf_topk(emb, queries, k=5).select("query_id", "neighbor_id", "rank")
+
+
 def q_minhash_dedup(spark, sf_dir):
     """End-to-end near-dup REMOVAL (minhash_dedup): survivors after
     dropping the higher doc_id of every pair with est_jaccard >= 0.8. The
@@ -488,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "extract_text": q_extract_text,
         "extract_text_layout": q_extract_text_layout,
         "document_text": q_document_text,

@@ -4,10 +4,15 @@
   Queries are broadcast (they are few); candidates stream; per-partition
   partial top-k via window rank. JVM-side arithmetic only
   (``aggregate``/``zip_with``), no Python in the hot path.
-- ``lsh_topk``: random-hyperplane LSH (Charikar 2002) — the scale path:
+- ``lsh_topk``: random-hyperplane LSH (Charikar 2002) — scale path #1:
   sign-bit bucketing with multiple tables, candidates only within matching
   buckets, exact re-rank of candidates. At 100 TB the bucket join replaces
   the full cross product.
+- ``ivf_topk``: inverted-file index (IVF) — scale path #2: a deterministic
+  Lloyd's k-means coarse quantizer partitions the corpus; each query probes
+  its ``nprobe`` nearest clusters only (~nprobe/n_clusters of the data).
+  Assignment is an Arrow-batched matmul; centroid updates are distributed
+  aggs with only the k x dim table collected per iteration.
 """
 
 from __future__ import annotations
@@ -161,6 +166,138 @@ def lsh_topk(
         .withColumn(
             "cosine",
             _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+# --- IVF (inverted-file) ANN — the k-means scale path ------------------------
+
+def _assign_clusters_udf(centroids: np.ndarray):
+    """pandas_udf: vector -> nearest-centroid id (squared euclidean, ties ->
+    lowest id via np.argmin). One numpy matmul per Arrow batch."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    c = centroids.astype(np.float64)
+    c_sq = (c * c).sum(axis=1)  # (k,)
+
+    # no type annotations: postponed-annotation strings break pandas_udf
+    # signature inference (same workaround as lsh_topk's bucket_keys)
+    def run(vecs):
+        m = np.asarray(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant per row
+        d = c_sq[None, :] - 2.0 * (m @ c.T)
+        return pd.Series(np.argmin(d, axis=1).astype(np.int64))
+
+    return pandas_udf(run, T.LongType())
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    iters: int = 3,
+    dim: int = 64,
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means over the distributed table.
+
+    Init = the vectors of the ``n_clusters`` smallest ids (no RNG). Each
+    iteration assigns clusters executor-side (Arrow matmul) and averages
+    per (cluster, position) via a distributed agg; only the k x dim
+    centroid table is collected per iteration — the one intentionally
+    driver-side step of the algorithm (it is O(k*dim), independent of
+    corpus size). Centroids are rounded to 1e-6 so the result is invariant
+    to float summation order (Spark partition order vs the single-process
+    oracle), making the whole index reproducible."""
+    first = (
+        embeddings.orderBy(id_col)
+        .limit(n_clusters)
+        .select(F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
+        .collect()
+    )
+    cents = np.round(np.array([r["v"] for r in first], dtype=np.float64), 6)
+    vecs = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    )
+    for _ in range(iters):
+        assigned = vecs.withColumn(
+            "cluster", _assign_clusters_udf(cents)(F.col("v"))
+        )
+        stats = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = cents.copy()  # empty clusters keep their previous centroid
+        for r in stats:
+            new[r["cluster"], r["pos"]] = r["m"]
+        cents = np.round(new, 6)
+    return cents
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k via an IVF index (coarse k-means quantizer).
+
+    Candidates = vectors whose cluster is among each query's ``nprobe``
+    nearest centroids; exact cosine re-rank within candidates. At corpus
+    scale the (query_cluster = vector_cluster) equi-join touches
+    nprobe/n_clusters of the corpus instead of all of it, and the
+    assignment column is computable incrementally for new vectors. The
+    query side (few rows by contract, same as cosine_topk) is broadcast."""
+    spark = embeddings.sparkSession
+    cents = ivf_train(embeddings, id_col, vec_col, n_clusters, iters, dim)
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("qv"),
+    ).collect()
+    c_sq = (cents * cents).sum(axis=1)
+    probe_rows = []
+    for r in q_rows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        d = c_sq - 2.0 * (cents @ qv)
+        order = np.lexsort((np.arange(len(d)), d))[:nprobe]
+        for cid in order:
+            probe_rows.append((r["query_id"], r["qv"], int(cid)))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, qv array<double>, cluster long"
+    ).withColumn("qn", _norm(F.col("qv")))
+
+    cands = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("cv"),
+    )
+    cands = cands.withColumn(
+        "cluster", _assign_clusters_udf(cents)(F.col("cv"))
+    ).withColumn("cn", _norm(F.col("cv")))
+
+    scored = (
+        cands.join(F.broadcast(probes), "cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -361,6 +361,55 @@ def _b_lsh_topk(sf_dir: str) -> pd.DataFrame:
                        "rank": "int64"})
 
 
+def _b_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    """Brute-force re-derivation of ivf_topk: deterministic Lloyd's
+    (init = smallest-id vectors, squared-euclidean argmin assignment,
+    per-cluster mean rounded to 1e-6 each iteration — the rounding that
+    makes Spark-partition-order sums and numpy sums agree), nprobe nearest
+    centroids per query, exact cosine re-rank with Spark's fold order."""
+    n_clusters, nprobe, iters, k = 16, 4, 3, 5
+    emb = _read_embeddings(sf_dir).sort_values("vec_id").reset_index(drop=True)
+    ids = emb["vec_id"].to_numpy()
+    m = np.asarray([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+
+    cents = np.round(m[:n_clusters].copy(), 6)
+
+    def assign(cmat):
+        c_sq = (cmat * cmat).sum(axis=1)
+        d = c_sq[None, :] - 2.0 * (m @ cmat.T)
+        return np.argmin(d, axis=1)
+
+    for _ in range(iters):
+        a = assign(cents)
+        new = cents.copy()
+        for cid in range(n_clusters):
+            members = m[a == cid]
+            if len(members):
+                new[cid] = members.mean(axis=0)
+        cents = np.round(new, 6)
+
+    final_assign = assign(cents)
+    c_sq = (cents * cents).sum(axis=1)
+    out_rows = []
+    for qi in np.where(ids < 5)[0]:
+        d = c_sq - 2.0 * (cents @ m[qi])
+        probe = set(np.lexsort((np.arange(len(d)), d))[:nprobe].tolist())
+        nq = np.sqrt(np.cumsum(m[qi] * m[qi])[-1])
+        scored = []
+        for ci in range(len(ids)):
+            if ids[ci] == ids[qi] or final_assign[ci] not in probe:
+                continue
+            nc = np.sqrt(np.cumsum(m[ci] * m[ci])[-1])
+            cos = _fold_dot(m[qi], m[ci]) / (nq * nc)
+            scored.append((cos, int(ids[ci])))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (_, nid) in enumerate(scored[:k], start=1):
+            out_rows.append((int(ids[qi]), nid, rank))
+    out = pd.DataFrame(out_rows, columns=["query_id", "neighbor_id", "rank"])
+    return out.astype({"query_id": "int64", "neighbor_id": "int64",
+                       "rank": "int64"})
+
+
 # ---------------------------------------------------------------------------
 # registry + materialization
 # ---------------------------------------------------------------------------
@@ -386,6 +435,7 @@ _BUILDERS = {
     "minhash_pairs": _b_minhash_pairs,
     "simhash_pairs": _b_simhash_pairs,
     "lsh_topk": _b_lsh_topk,
+    "ivf_topk": _b_ivf_topk,
 }
 
 
