@@ -279,6 +279,18 @@ def q_langid(spark, sf_dir):
     return with_language(docs, "text").select("doc_id", "lang_detected")
 
 
+def q_cosine_near_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact baseline; method='lsh' is
+    the bucketed scale path of the same operator). Oracle is pure ANSI
+    SQL via DuckDB list_cosine_similarity over DOUBLE lists."""
+    from pdfplumber_spark.operators.similarity import cosine_near_pairs
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return cosine_near_pairs(emb, threshold=0.40).select(
+        "doc_a", "doc_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF (k-means inverted-file) ANN — the second scale path next to
     hyperplane LSH. Deterministic Lloyd's index (smallest-id init,
@@ -501,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "cosine_near_pairs": q_cosine_near_pairs,
         "extract_text": q_extract_text,
         "extract_text_layout": q_extract_text_layout,
         "document_text": q_document_text,
@@ -747,6 +760,14 @@ def oracle_sql() -> dict[str, str]:
         "langid": f"""
             WITH h AS (SELECT doc_id, {hits_cols} FROM documents)
             SELECT doc_id, {case_chain} AS lang_detected FROM h
+        """,
+        "cosine_near_pairs": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings)
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.40
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -93,7 +93,7 @@ def main() -> None:
         "exact_dedup", "jaccard_pairs", "minhash_pairs", "minhash_dedup",
         "simhash_pairs",
         "token_count", "quality", "langid", "embedding_topk", "lsh_topk",
-        "ivf_topk",
+        "ivf_topk", "cosine_near_pairs",
     ]
     for name in bench_queries:
         t0 = time.time()

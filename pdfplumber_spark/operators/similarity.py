@@ -308,3 +308,87 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# --- embedding-cosine near-duplicate pairs -----------------------------------
+
+def cosine_near_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "exact",
+    n_planes: int = 4,
+    n_tables: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """All pairs (a < b) with cosine similarity >= threshold.
+
+    ``method="exact"`` is the all-pairs baseline (ANSI-SQL-checkable; fine
+    for verification SFs, quadratic at corpus scale). ``method="lsh"`` is
+    the scale path: candidates restricted to pairs colliding in >= 1 of
+    the multi-table hyperplane buckets (recall ~ 1-(1-p^b)^T, tunable via
+    n_planes/n_tables), then the same exact cosine filter — the bucket
+    equi-join replaces the cross product exactly as in ``lsh_topk``.
+    """
+    v = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+    ).withColumn("_n", _norm(F.col("_v")))
+    if method == "exact":
+        a = v.select(F.col("_id").alias("doc_a"), F.col("_v").alias("va"),
+                     F.col("_n").alias("na"))
+        b = v.select(F.col("_id").alias("doc_b"), F.col("_v").alias("vb"),
+                     F.col("_n").alias("nb"))
+        pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    elif method == "lsh":
+        import pandas as pd
+        from pyspark.sql import types as T
+        from pyspark.sql.functions import pandas_udf
+
+        all_planes = np.vstack(
+            [random_hyperplanes(dim, n_planes, seed=977 + t)
+             for t in range(n_tables)]
+        )
+        weights = np.array([1 << i for i in range(n_planes)], dtype=np.int64)
+
+        def _bucket_keys(vecs):
+            m = np.asarray(vecs.tolist(), dtype=np.float64)
+            signs = (m @ all_planes.T) >= 0
+            signs = signs.reshape(len(m), n_tables, n_planes)
+            return pd.Series(list((signs * weights).sum(axis=2)))
+
+        bucket_keys = pandas_udf(_bucket_keys, T.ArrayType(T.LongType()))
+        from pyspark import StorageLevel
+
+        keyed = v.withColumn("_k", bucket_keys(F.col("_v"))).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        banded = keyed.select(
+            "_id", "_v", "_n",
+            F.posexplode("_k").alias("table_id", "key"),
+        )
+        a = banded.alias("a")
+        b = banded.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.table_id") == F.col("b.table_id"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(
+                F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"),
+                F.col("a._v").alias("va"), F.col("b._v").alias("vb"),
+                F.col("a._n").alias("na"), F.col("b._n").alias("nb"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", F.round("cosine", 9).alias("cosine"))
+    )

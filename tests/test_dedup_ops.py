@@ -89,3 +89,25 @@ def test_recall_matches_banding_free_bruteforce(spark):
             for r in simhash_near_pairs(df, max_hamming=max_h).collect()
         )
         assert got == expected, f"max_hamming={max_h}"
+
+
+def test_cosine_near_pairs_lsh_subset_of_exact(spark):
+    """The LSH-bucketed scale method returns a SUBSET of the exact pairs
+    with identical cosines (it prunes candidates, never invents them), and
+    at these settings recalls the strong pairs."""
+    from pdfplumber_spark.operators.similarity import cosine_near_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in cosine_near_pairs(emb, threshold=0.40).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in cosine_near_pairs(emb, threshold=0.40, method="lsh").collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert abs(v - exact[k]) < 1e-12
+    if exact:
+        assert len(lsh) / len(exact) >= 0.5  # multi-table recall floor
