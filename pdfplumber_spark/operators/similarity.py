@@ -226,10 +226,12 @@ def ivf_train(
         .collect()
     )
     cents = np.round(np.array([r["v"] for r in first], dtype=np.float64), 6)
+    from pyspark import StorageLevel
+
     vecs = embeddings.select(
         F.col(id_col).alias("_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # re-read every Lloyd iteration
     for _ in range(iters):
         assigned = vecs.withColumn(
             "cluster", _assign_clusters_udf(cents)(F.col("v"))
@@ -324,23 +326,53 @@ def cosine_near_pairs(
 ) -> DataFrame:
     """All pairs (a < b) with cosine similarity >= threshold.
 
-    ``method="exact"`` is the all-pairs baseline (ANSI-SQL-checkable; fine
-    for verification SFs, quadratic at corpus scale). ``method="lsh"`` is
-    the scale path: candidates restricted to pairs colliding in >= 1 of
-    the multi-table hyperplane buckets (recall ~ 1-(1-p^b)^T, tunable via
-    n_planes/n_tables), then the same exact cosine filter — the bucket
-    equi-join replaces the cross product exactly as in ``lsh_topk``.
+    ``method="exact"`` is the all-pairs baseline: the full (normalized)
+    matrix is broadcast through the kernel closure and each Arrow batch of
+    rows does ONE BLAS matmul against it — vectorized brute force, for
+    verification/query scales where one side fits an executor (quadratic
+    compute by definition). ``method="lsh"`` is the scale path: candidates
+    restricted to pairs colliding in >= 1 of the multi-table hyperplane
+    buckets (recall ~ 1-(1-p^b)^T, tunable via n_planes/n_tables), then
+    the same exact cosine filter — the bucket equi-join replaces the cross
+    product exactly as in ``lsh_topk``.
     """
     v = embeddings.select(
         F.col(id_col).alias("_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
     ).withColumn("_n", _norm(F.col("_v")))
     if method == "exact":
-        a = v.select(F.col("_id").alias("doc_a"), F.col("_v").alias("va"),
-                     F.col("_n").alias("na"))
-        b = v.select(F.col("_id").alias("doc_b"), F.col("_v").alias("vb"),
-                     F.col("_n").alias("nb"))
-        pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        rows = v.collect()  # baseline method: one side held in memory
+        ids_all = np.array([r["_id"] for r in rows], dtype=np.int64)
+        mat = np.array([r["_v"] for r in rows], dtype=np.float64)
+        norms_all = np.array([r["_n"] for r in rows], dtype=np.float64)
+
+        schema = T.StructType([
+            T.StructField("doc_a", T.LongType(), False),
+            T.StructField("doc_b", T.LongType(), False),
+            T.StructField("cosine", T.DoubleType(), False),
+        ])
+
+        def run(batches):
+            for b in batches:
+                bm = np.asarray(b["_v"].tolist(), dtype=np.float64)
+                bn = b["_n"].to_numpy(dtype=np.float64)
+                bid = b["_id"].to_numpy(dtype=np.int64)
+                sims = (bm @ mat.T) / (bn[:, None] * norms_all[None, :])
+                ai, bi = np.nonzero(
+                    (sims >= threshold) & (bid[:, None] < ids_all[None, :])
+                )
+                yield pd.DataFrame({
+                    "doc_a": bid[ai], "doc_b": ids_all[bi],
+                    "cosine": sims[ai, bi],
+                })
+
+        out = v.mapInPandas(run, schema=schema)
+        return out.select(
+            "doc_a", "doc_b", F.round("cosine", 9).alias("cosine")
+        )
     elif method == "lsh":
         import pandas as pd
         from pyspark.sql import types as T
