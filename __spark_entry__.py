@@ -473,8 +473,9 @@ def q_metadata(spark, sf_dir):
 
 def q_structure(spark, sf_dir):
     """Tagged-PDF structure tree as JSON column (structure.py analogue).
-    Rows-only (synthetic corpus PDFs are untagged -> empty trees, but the
-    plumbing runs; real-fixture parity in tests/test_structure_tree.py)."""
+    Corpus v8+ tags ~40% of pdf/basic pages (20% flat Document/P, 20%
+    nested Sect + RoleMap'd Heading->H1), so the distributed row exercises
+    non-empty trees; real-fixture parity in tests/test_structure_tree.py."""
     from pdfplumber_spark.plans.extract import extract_structure
 
     return extract_structure(_pages(spark, sf_dir), num_partitions=8)
@@ -744,13 +745,13 @@ def oracle_sql() -> dict[str, str]:
         "token_count": f"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '{_TOKEN_PATTERN}')) AS n_tokens,
-                   len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens
+                   GREATEST(len(regexp_extract_all(text, '\\S+')), 1) AS n_ws_tokens
             FROM documents
         """,
         "quality": r"""
             SELECT doc_id,
                    length(text) AS n_chars,
-                   len(string_split_regex(trim(text), '\s+')) AS n_words,
+                   GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS n_words,
                    ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
                          / GREATEST(length(text), 1), 6) AS alpha_ratio,
                    ROUND(CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE)

@@ -19,11 +19,16 @@ TOKEN_PATTERN = TOKEN_RE.pattern
 
 
 def _ws_token_count(t) -> "F.Column":
-    """Count of whitespace-separated tokens with split() semantics:
-    split(trim(x), '\\s+') yields [""] (size 1) for empty input, and
-    regexp_count of non-space runs matches it everywhere else — so counting
-    avoids materializing the token array in the hot path."""
-    return F.greatest(F.regexp_count(F.trim(t), F.lit(r"\S+")), F.lit(1))
+    """Count of whitespace-separated tokens = number of ``\\S+`` runs,
+    floored at 1 (all-whitespace/empty text counts as one empty token so
+    ratio denominators never divide by zero). This is the DEFINED semantics
+    on both engines — the DuckDB oracle computes the identical
+    ``GREATEST(len(regexp_extract_all(text,'\\S+')), 1)`` — and, unlike
+    ``size(split(trim(x),'\\s+'))``, it does not count phantom tokens for
+    leading/trailing non-space whitespace (``'\\na b\\n'`` -> 2, not 4;
+    ``trim`` strips only 0x20). Counting via regexp_count avoids
+    materializing the token array in the hot path."""
+    return F.greatest(F.regexp_count(t, F.lit(r"\S+")), F.lit(1))
 
 
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1,0 +1,70 @@
+"""Text-analysis operator semantics, adversarially pinned against DuckDB.
+
+The board corpus (testdata documents) happens to contain no edge-whitespace
+text, so the driver's oracle gate alone would not catch a divergence there —
+these tests feed the nasty inputs directly (round-3 ADVICE finding: the old
+``size(split(trim(x),'\\s+'))`` emulation counted phantom tokens for
+leading/trailing non-space whitespace because trim() strips 0x20 only).
+"""
+
+import duckdb
+import pytest
+
+EDGE_TEXTS = [
+    "\na b\n",        # leading/trailing \n: old semantics said 4, truth is 2
+    "  a b  ",
+    "",
+    " ",
+    "\t\n ",
+    "a",
+    "a\tb\nc",
+    "x  y",
+    "one two  three\t",
+    "vertical tab lead",  # \v is \s in both engines
+]
+
+
+def _spark_counts(spark, texts):
+    from pdfplumber_spark.operators.text_analysis import (
+        with_quality,
+        with_token_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    tok = {
+        r["doc_id"]: r["n_ws_tokens"]
+        for r in with_token_counts(df, "text").collect()
+    }
+    words = {
+        r["doc_id"]: r["n_words"] for r in with_quality(df, "text").collect()
+    }
+    return tok, words
+
+
+def test_ws_token_count_edge_whitespace_matches_duckdb(spark):
+    tok, words = _spark_counts(spark, EDGE_TEXTS)
+    for i, t in enumerate(EDGE_TEXTS):
+        exp = duckdb.sql(
+            "SELECT GREATEST(len(regexp_extract_all($t$" + t + "$t$, "
+            r"'\S+')), 1)"
+        ).fetchone()[0]
+        assert tok[i] == exp, (i, repr(t), tok[i], exp)
+        assert words[i] == exp, (i, repr(t), words[i], exp)
+
+
+def test_ws_token_count_defined_values(spark):
+    """The defined semantics: number of \\S+ runs, floored at 1."""
+    tok, _ = _spark_counts(spark, EDGE_TEXTS)
+    expected = [2, 2, 1, 1, 1, 1, 3, 2, 3, 3]
+    assert [tok[i] for i in range(len(EDGE_TEXTS))] == expected
+
+
+def test_null_text_counts_as_one(spark):
+    from pdfplumber_spark.operators.text_analysis import with_token_counts
+
+    df = spark.createDataFrame([(0, None)], "doc_id long, text string")
+    row = with_token_counts(df, "text").collect()[0]
+    # greatest() skips the NULL regexp_count and returns the 1 floor
+    assert row["n_ws_tokens"] == 1
