@@ -95,6 +95,8 @@ def main() -> None:
         "token_count", "quality", "langid", "embedding_topk", "lsh_topk",
         "ivf_topk", "cosine_near_pairs",
     ]
+    import pdfplumber_spark
+
     for name in bench_queries:
         t0 = time.time()
         try:
@@ -103,6 +105,9 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             log(f"query {name} failed: {e}")
             timings[name] = -1.0
+        # evict operator caches after each terminal action (retention
+        # contract: operators/_cache.py) so queries don't inherit storage
+        pdfplumber_spark.unpersist_all()
     spark.stop()
 
     dps_small = None

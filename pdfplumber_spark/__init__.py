@@ -23,3 +23,14 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def unpersist_all(blocking: bool = False) -> int:
+    """Evict every operator-cached DataFrame (LSH signature tables etc.).
+
+    Call AFTER the terminal action on an operator's result — the lazy
+    result depends on the cache until then. Returns how many were evicted.
+    See ``operators/_cache.py`` for the retention contract."""
+    from .operators._cache import unpersist_all as _u
+
+    return _u(blocking=blocking)

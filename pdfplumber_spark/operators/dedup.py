@@ -80,10 +80,12 @@ def minhash_lsh_candidates(
     """
     # the banded table feeds both sides of the self-join; materialize so
     # the signature kernel (full text scan upstream) runs once, not twice
-    # (same reasoning as simhash_near_pairs; spillable at corpus scale)
-    from pyspark import StorageLevel
+    # (same reasoning as simhash_near_pairs; spillable at corpus scale).
+    # Registered for pdfplumber_spark.unpersist_all() — the lazy result
+    # still needs the cache, so eviction is the caller's post-action call.
+    from ._cache import persist_tracked
 
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = persist_tracked(sigs)
     rows_per_band = F.floor(F.size("signature") / bands).cast("int")
     banded = sigs.select(
         "doc_id",
@@ -226,10 +228,10 @@ def simhash_near_pairs(
     # signature stage (a full text scan upstream) runs TWICE — the probe
     # branch's explode makes the subplans non-identical, so ReusedExchange
     # never applies and the broadcast side rebuilds from source. 16 B/doc
-    # cached vs re-scanning the corpus.
-    from pyspark import StorageLevel
+    # cached vs re-scanning the corpus. Evict via unpersist_all().
+    from ._cache import persist_tracked
 
-    hashes = hashes.persist(StorageLevel.MEMORY_AND_DISK)
+    hashes = persist_tracked(hashes)
     exact = hashes.select(
         "doc_id",
         "simhash",
@@ -333,7 +335,10 @@ def jaccard_pairs(
     Inverted-index join; ``max_doc_freq`` drops stop-tokens whose posting
     lists would explode the join (at corpus scale this cap is essential).
     """
-    toks = token_sets(df, id_col, text_col, n=n).cache()
+    from ._cache import persist_tracked
+
+    # feeds sizes + dfreq + both join branches; evict via unpersist_all()
+    toks = persist_tracked(token_sets(df, id_col, text_col, n=n))
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
     filtered = toks.join(

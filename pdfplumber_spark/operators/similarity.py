@@ -212,13 +212,14 @@ def ivf_train(
     """Deterministic Lloyd's k-means over the distributed table.
 
     Init = the vectors of the ``n_clusters`` smallest ids (no RNG). Each
-    iteration assigns clusters executor-side (Arrow matmul) and averages
+    iteration assigns clusters executor-side (Arrow matmul) and reduces
     per (cluster, position) via a distributed agg; only the k x dim
     centroid table is collected per iteration — the one intentionally
     driver-side step of the algorithm (it is O(k*dim), independent of
-    corpus size). Centroids are rounded to 1e-6 so the result is invariant
-    to float summation order (Spark partition order vs the single-process
-    oracle), making the whole index reproducible."""
+    corpus size). The update aggregates exact int64 sums of 1e-6-quantized
+    values (integer addition commutes), so the centroids are BIT-identical
+    regardless of partition count/order — the index is reproducible and
+    matches the single-process oracle exactly."""
     first = (
         embeddings.orderBy(id_col)
         .limit(n_clusters)
@@ -232,20 +233,38 @@ def ivf_train(
         F.col(id_col).alias("_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
     ).persist(StorageLevel.MEMORY_AND_DISK)  # re-read every Lloyd iteration
-    for _ in range(iters):
-        assigned = vecs.withColumn(
-            "cluster", _assign_clusters_udf(cents)(F.col("v"))
-        )
-        stats = (
-            assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
-            .groupBy("cluster", "pos")
-            .agg(F.avg("val").alias("m"))
-            .collect()
-        )
-        new = cents.copy()  # empty clusters keep their previous centroid
-        for r in stats:
-            new[r["cluster"], r["pos"]] = r["m"]
-        cents = np.round(new, 6)
+    try:
+        for _ in range(iters):
+            assigned = vecs.withColumn(
+                "cluster", _assign_clusters_udf(cents)(F.col("v"))
+            )
+            # order-independent centroid update (round-3 ADVICE): aggregate
+            # EXACT int64 sums of 1e-6-quantized values + counts, divide on
+            # the driver. Integer addition commutes, so Spark's partition-
+            # order fold and the single-process oracle's sum are
+            # bit-identical — unlike F.avg's double fold, which could land
+            # on the other side of the later rounding boundary.
+            stats = (
+                assigned.select(
+                    "cluster", F.posexplode("v").alias("pos", "val")
+                )
+                .groupBy("cluster", "pos")
+                .agg(
+                    F.sum(
+                        F.floor(F.col("val") * 1e6 + F.lit(0.5)).cast("long")
+                    ).alias("qsum"),
+                    F.count("*").alias("n"),
+                )
+                .collect()
+            )
+            new = cents.copy()  # empty clusters keep their previous centroid
+            for r in stats:
+                new[r["cluster"], r["pos"]] = (r["qsum"] / r["n"]) / 1e6
+            cents = np.round(new, 6)
+    finally:
+        # training's terminal actions happen in-function; nothing returned
+        # depends on the cache, so evict here rather than via the registry
+        vecs.unpersist()
     return cents
 
 
@@ -391,11 +410,10 @@ def cosine_near_pairs(
             return pd.Series(list((signs * weights).sum(axis=2)))
 
         bucket_keys = pandas_udf(_bucket_keys, T.ArrayType(T.LongType()))
-        from pyspark import StorageLevel
+        from ._cache import persist_tracked
 
-        keyed = v.withColumn("_k", bucket_keys(F.col("_v"))).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        # feeds both self-join branches; evict via unpersist_all()
+        keyed = persist_tracked(v.withColumn("_k", bucket_keys(F.col("_v"))))
         banded = keyed.select(
             "_id", "_v", "_n",
             F.posexplode("_k").alias("table_id", "key"),

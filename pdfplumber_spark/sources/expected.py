@@ -40,7 +40,7 @@ import pandas as pd
 from .corpus import CORPUS_VERSION, corpus_path_for_sf
 
 # bump when any expected-result computation changes
-EXPECTED_VERSION = 3
+EXPECTED_VERSION = 4
 
 
 # ---------------------------------------------------------------------------
@@ -364,9 +364,10 @@ def _b_lsh_topk(sf_dir: str) -> pd.DataFrame:
 def _b_ivf_topk(sf_dir: str) -> pd.DataFrame:
     """Brute-force re-derivation of ivf_topk: deterministic Lloyd's
     (init = smallest-id vectors, squared-euclidean argmin assignment,
-    per-cluster mean rounded to 1e-6 each iteration — the rounding that
-    makes Spark-partition-order sums and numpy sums agree), nprobe nearest
-    centroids per query, exact cosine re-rank with Spark's fold order."""
+    centroid update = exact int64 sums of 1e-6-quantized values / count —
+    integer addition commutes, so Spark's partition-order agg and this
+    single-process sum are BIT-identical), nprobe nearest centroids per
+    query, exact cosine re-rank with Spark's fold order."""
     n_clusters, nprobe, iters, k = 16, 4, 3, 5
     emb = _read_embeddings(sf_dir).sort_values("vec_id").reset_index(drop=True)
     ids = emb["vec_id"].to_numpy()
@@ -385,7 +386,9 @@ def _b_ivf_topk(sf_dir: str) -> pd.DataFrame:
         for cid in range(n_clusters):
             members = m[a == cid]
             if len(members):
-                new[cid] = members.mean(axis=0)
+                # same IEEE ops as the engine's F.floor(val*1e6 + 0.5)
+                q = np.floor(members * 1e6 + 0.5).astype(np.int64)
+                new[cid] = (q.sum(axis=0) / len(members)) / 1e6
         cents = np.round(new, 6)
 
     final_assign = assign(cents)

@@ -1,0 +1,69 @@
+"""Persisted-intermediate hygiene (round-3 ADVICE): operator caches must be
+evictable after the terminal action — no persisted-RDD leak across queries.
+
+Covers every persist site: minhash signature table, simhash hash table,
+jaccard token table, cosine-LSH keyed table, and ivf_train's vector cache
+(which unpersists itself in-function because training's terminal actions
+are internal)."""
+
+import pytest
+
+import __spark_entry__ as E
+import pdfplumber_spark
+from conftest import SF_CORRECT
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+CACHING_QUERIES = [
+    "minhash_pairs",
+    "simhash_pairs",
+    "jaccard_pairs",
+    "cosine_near_pairs",
+    "lsh_topk",
+]
+
+
+@pytest.mark.parametrize("name", CACHING_QUERIES)
+def test_no_persisted_rdds_after_unpersist_all(spark, name):
+    # start clean (other session tests may have left caches)
+    pdfplumber_spark.unpersist_all(blocking=True)
+    spark.catalog.clearCache()
+    assert _n_persistent(spark) == 0
+
+    df = E.queries()[name](spark, SF_CORRECT)
+    df.count()  # terminal action
+    pdfplumber_spark.unpersist_all(blocking=True)
+    assert _n_persistent(spark) == 0, name
+
+
+def test_ivf_train_unpersists_its_vector_cache(spark):
+    from pyspark.sql import functions as F
+
+    from pdfplumber_spark.operators.similarity import ivf_train
+
+    pdfplumber_spark.unpersist_all(blocking=True)
+    spark.catalog.clearCache()
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    cents = ivf_train(emb, n_clusters=4, iters=2)
+    assert cents.shape == (4, 64)
+    # training evicts in-function (try/finally), no registry entry needed
+    assert _n_persistent(spark) == 0
+
+
+def test_unpersist_all_reports_count(spark):
+    from pdfplumber_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    pdfplumber_spark.unpersist_all(blocking=True)
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").where(
+        "doc_id < 50"
+    )
+    pairs = minhash_lsh_candidates(minhash_signatures(docs, "doc_id", "text"))
+    pairs.count()
+    assert pdfplumber_spark.unpersist_all(blocking=True) == 1
+    assert _n_persistent(spark) == 0
