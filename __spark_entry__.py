@@ -24,6 +24,18 @@ from pdfplumber_spark.kernel.textstats import LANG_PROFILES
 
 _TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
 
+# banding-free exact near-pair oracle; the comparison happens on the
+# ROUNDED-6 cosine on BOTH engines (round-3 ADVICE: no raw-vs-rounded
+# drift at the threshold)
+_COSINE_PAIRS_SQL = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.40
+"""
+
 
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -280,15 +292,31 @@ def q_langid(spark, sf_dir):
 
 
 def q_cosine_near_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact baseline; method='lsh' is
-    the bucketed scale path of the same operator). Oracle is pure ANSI
-    SQL via DuckDB list_cosine_similarity over DOUBLE lists."""
+    """Embedding-cosine near-dup pairs (exact baseline). Oracle is pure
+    ANSI SQL via DuckDB list_cosine_similarity over DOUBLE lists; both
+    sides compare ROUND(cosine, 6) >= t (no double rounding)."""
     from pdfplumber_spark.operators.similarity import cosine_near_pairs
 
     emb = _tbl(spark, sf_dir, "embeddings")
     return cosine_near_pairs(emb, threshold=0.40).select(
-        "doc_a", "doc_b", F.round("cosine", 6).alias("cosine")
+        "doc_a", "doc_b", "cosine"
     )
+
+
+def q_cosine_near_pairs_lsh(spark, sf_dir):
+    """The SCALE path of the same operator, oracle-checked against the
+    banding-free exact SQL: multi-table hyperplane LSH candidates + exact
+    rounded-6 cosine filter. At planes=3/tables=24 every >= 0.40 pair of
+    the board corpus collides in >= 2 tables (recall 1.0 with margin —
+    measured, and re-measured over randomized corpora with a pinned >=0.95
+    floor in tests/test_dedup_ops.py), so the LSH output must EQUAL the
+    exact output row-for-row; any recall loss fails the row count."""
+    from pdfplumber_spark.operators.similarity import cosine_near_pairs
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return cosine_near_pairs(
+        emb, threshold=0.40, method="lsh", n_planes=3, n_tables=24
+    ).select("doc_a", "doc_b", "cosine")
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -515,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "cosine_near_pairs": q_cosine_near_pairs,
+        "cosine_near_pairs_lsh": q_cosine_near_pairs_lsh,
         "extract_text": q_extract_text,
         "extract_text_layout": q_extract_text_layout,
         "document_text": q_document_text,
@@ -762,14 +791,11 @@ def oracle_sql() -> dict[str, str]:
             WITH h AS (SELECT doc_id, {hits_cols} FROM documents)
             SELECT doc_id, {case_chain} AS lang_detected FROM h
         """,
-        "cosine_near_pairs": """
-            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                       FROM embeddings)
-            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-                   ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.v, b.v) >= 0.40
-        """,
+        "cosine_near_pairs": _COSINE_PAIRS_SQL,
+        # the lsh scale path must reproduce the exact result on the board
+        # corpus (recall 1.0 with >=2-table margin at planes=3/tables=24),
+        # so it is checked against the SAME banding-free exact oracle
+        "cosine_near_pairs_lsh": _COSINE_PAIRS_SQL,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                        FROM embeddings WHERE vec_id < 5),

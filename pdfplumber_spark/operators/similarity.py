@@ -354,6 +354,14 @@ def cosine_near_pairs(
     buckets (recall ~ 1-(1-p^b)^T, tunable via n_planes/n_tables), then
     the same exact cosine filter — the bucket equi-join replaces the cross
     product exactly as in ``lsh_topk``.
+
+    Threshold discipline (round-3 ADVICE): BOTH methods compare the
+    ROUND(cosine, 6) value against the threshold and return that rounded
+    value, exactly like the DuckDB oracle's
+    ``ROUND(list_cosine_similarity(..), 6) >= t`` — no intermediate
+    round-to-9, no raw-vs-rounded comparison drift. Borderline safety on
+    the board corpus (min |cosine - 0.40| = 1.3e-4) is pinned in
+    tests/test_dedup_ops.py.
     """
     v = embeddings.select(
         F.col(id_col).alias("_id"),
@@ -380,18 +388,19 @@ def cosine_near_pairs(
                 bn = b["_n"].to_numpy(dtype=np.float64)
                 bid = b["_id"].to_numpy(dtype=np.int64)
                 sims = (bm @ mat.T) / (bn[:, None] * norms_all[None, :])
+                # kernel prefilter is conservative (threshold - 1e-6, i.e.
+                # wider than any round-6 promotion); the authoritative
+                # rounded-6 comparison happens in the Spark filter below
                 ai, bi = np.nonzero(
-                    (sims >= threshold) & (bid[:, None] < ids_all[None, :])
+                    (sims >= threshold - 1e-6)
+                    & (bid[:, None] < ids_all[None, :])
                 )
                 yield pd.DataFrame({
                     "doc_a": bid[ai], "doc_b": ids_all[bi],
                     "cosine": sims[ai, bi],
                 })
 
-        out = v.mapInPandas(run, schema=schema)
-        return out.select(
-            "doc_a", "doc_b", F.round("cosine", 9).alias("cosine")
-        )
+        pairs = v.mapInPandas(run, schema=schema)
     elif method == "lsh":
         import pandas as pd
         from pyspark.sql import types as T
@@ -434,11 +443,28 @@ def cosine_near_pairs(
             )
             .dropDuplicates(["doc_a", "doc_b"])
         )
+
+        # vectorized exact re-rank: one einsum per Arrow batch of candidate
+        # pairs. A JVM aggregate/zip_with fold here would be interpreted
+        # per-element (the same 30x trap the exact method's matmul replaced
+        # in round 3) — candidates ~ tables x bucket^2, so the re-rank is
+        # the hot loop of the lsh path.
+        def _pair_cos(va, vb):
+            a = np.asarray(va.tolist(), dtype=np.float64)
+            b_ = np.asarray(vb.tolist(), dtype=np.float64)
+            return pd.Series(np.einsum("ij,ij->i", a, b_))
+
+        pair_dot = pandas_udf(_pair_cos, T.DoubleType())
+        pairs = pairs.withColumn(
+            "cosine",
+            pair_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        ).select("doc_a", "doc_b", "cosine")
     else:
         raise ValueError(f"unknown method {method!r}")
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # authoritative comparison on the ROUNDED value, identical to the
+    # oracle's ROUND(list_cosine_similarity(..), 6) >= t
     return (
-        pairs.withColumn("cosine", cos)
+        pairs.withColumn("cosine", F.round("cosine", 6))
         .where(F.col("cosine") >= threshold)
-        .select("doc_a", "doc_b", F.round("cosine", 9).alias("cosine"))
+        .select("doc_a", "doc_b", "cosine")
     )
