@@ -345,6 +345,21 @@ def q_minhash_dedup(spark, sf_dir):
     )
 
 
+def q_minhash_dedup_cc(spark, sf_dir):
+    """Cluster-aware near-dup removal: survivors = exactly one doc (the
+    min id) per connected component of the >=0.8-est_jaccard pair graph.
+    Components come from distributed min-label propagation
+    (operators/dedup.py connected_components); the oracle recomputes them
+    with a RECURSIVE CTE over the materialized pairs parquet, so the
+    propagation loop itself is DuckDB-checked."""
+    from pdfplumber_spark.operators.dedup import minhash_dedup_cc
+
+    docs = _tbl(spark, sf_dir, "documents").where("doc_id < 300")
+    return minhash_dedup_cc(docs, "doc_id", "text", threshold=0.8).select(
+        "doc_id"
+    )
+
+
 def q_embedding_topk(spark, sf_dir):
     from pdfplumber_spark.operators.similarity import cosine_topk
 
@@ -539,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "minhash_pairs": q_minhash_pairs,
         "minhash_dedup": q_minhash_dedup,
+        "minhash_dedup_cc": q_minhash_dedup_cc,
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
@@ -831,6 +847,30 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT doc_b
                 FROM read_parquet('{_expected_oracle_paths()["minhash_pairs"]}')
                 WHERE est_jaccard >= 0.8)
+        """,
+        # connected components recomputed in PURE SQL (recursive CTE:
+        # labels reachable along edges; component = MIN reachable label) —
+        # checks the distributed min-label-propagation loop itself
+        "minhash_dedup_cc": f"""
+            WITH RECURSIVE hits AS (
+                SELECT doc_a, doc_b
+                FROM read_parquet('{_expected_oracle_paths()["minhash_pairs"]}')
+                WHERE est_jaccard >= 0.8
+            ), edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM hits
+                UNION ALL
+                SELECT doc_b AS src, doc_a AS dst FROM hits
+            ), reach(node, label) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, r.label FROM reach r JOIN edges e
+                    ON e.src = r.node
+            ), comp AS (
+                SELECT node, MIN(label) AS component FROM reach GROUP BY node
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id < 300 AND doc_id NOT IN (
+                SELECT node FROM comp WHERE node <> component)
         """,
     }
 

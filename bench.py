@@ -91,9 +91,9 @@ def main() -> None:
         "cluster_1d", "interval_merge", "cumsum", "topk_per_group",
         "collate_line", "bbox_agg", "rect_edges", "edge_intersections",
         "exact_dedup", "jaccard_pairs", "minhash_pairs", "minhash_dedup",
-        "simhash_pairs",
+        "minhash_dedup_cc", "simhash_pairs",
         "token_count", "quality", "langid", "embedding_topk", "lsh_topk",
-        "ivf_topk", "cosine_near_pairs",
+        "ivf_topk", "cosine_near_pairs", "cosine_near_pairs_lsh",
     ]
     import pdfplumber_spark
 

@@ -32,6 +32,11 @@ def persist_tracked(df, level=None):
     from pyspark import StorageLevel
 
     df = df.persist(level or StorageLevel.MEMORY_AND_DISK)
+    return track(df)
+
+
+def track(df):
+    """Register an already-persisted DataFrame for ``unpersist_all()``."""
     _TRACKED.append(df)
     return df
 

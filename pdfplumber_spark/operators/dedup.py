@@ -143,11 +143,14 @@ def minhash_dedup(
     num_perm: int = 64,
     bands: int = 16,
 ) -> DataFrame:
-    """Near-dup removal: drop the higher id of every pair above threshold.
+    """Near-dup removal, greedy pair-drop: drop the higher id of every pair
+    above threshold.
 
-    (Connected-component clustering is the full version; greedy pair-drop is
-    the standard first pass and is deterministic.)
-    """
+    Semantics note: greedy pair-drop keeps every doc that is never a
+    ``doc_b``; on a chain A~B~C it drops both B and C even though C's only
+    near-dup (B) was itself dropped. ``minhash_dedup_cc`` is the
+    cluster-aware upgrade (component_min keeps exactly one doc per
+    connected component; independent_set keeps C in that chain)."""
     sigs = minhash_signatures(df, id_col, text_col, num_perm=num_perm)
     pairs = minhash_lsh_candidates(sigs, bands=bands)
     losers = (
@@ -155,6 +158,136 @@ def minhash_dedup(
         .select(F.col("doc_b").alias(id_col))
         .distinct()
     )
+    return df.join(losers, id_col, "left_anti")
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(node, component) for the undirected pair graph; ``component`` is the
+    smallest node id in each connected component.
+
+    Min-label propagation to a fixed point: every round each node takes the
+    min of its own label and its neighbours' labels — one equi-join + one
+    partial-aggregated groupBy per round, all shuffles on the node key.
+    Rounds needed = graph diameter; near-dup graphs are dense clusters with
+    tiny diameter (a boilerplate cluster is diameter ~2 at any scale), so
+    this converges in a handful of rounds where generic graphs would want
+    the O(log n) large-star/small-star variant (Kiveris et al., 2014) —
+    documented as the swap-in if components ever get long and thin.
+
+    Each round's labels table is ``localCheckpoint``-ed (eager): the round
+    references the previous labels TWICE (join + union), so without lineage
+    truncation the logical plan doubles per round — exponential analysis
+    cost by round ~8 (measured). Checkpointing also makes the returned
+    DataFrame a plan-stable LogicalRDD with no dependency on ``edges``, so
+    the edge cache is evicted in-function (try/finally); checkpoint blocks
+    themselves are reclaimed by Spark's ContextCleaner when the DataFrames
+    are garbage-collected. On a real cluster prefer
+    ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` for
+    executor-loss resilience (SCALE.md §4)."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    try:
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("label"))
+            .localCheckpoint()
+        )
+        for _ in range(max_iters):
+            prop = edges.join(
+                labels.select(F.col("node").alias("src"), "label"), "src"
+            ).select(F.col("dst").alias("node"), "label")
+            new = (
+                prop.union(labels)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint()
+            )
+            changed = (
+                new.select("node", F.col("label").alias("_nl"))
+                .join(labels, "node")
+                .where(F.col("_nl") < F.col("label"))
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                break
+    finally:
+        edges.unpersist()
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def minhash_dedup_cc(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    keeper: str = "component_min",
+) -> DataFrame:
+    """Cluster-aware near-dup removal over the MinHash pair graph.
+
+    ``keeper="component_min"``: keep exactly the smallest id of every
+    connected component (the standard web-dedup rule — one representative
+    per duplicate cluster). SQL-oracle-checkable: the driver board's
+    ``minhash_dedup_cc`` row recomputes components with a recursive CTE
+    over the materialized pairs parquet.
+
+    ``keeper="independent_set"``: datasketch-style sequential semantics —
+    scan ids ascending, drop a doc only if it is near a RETAINED doc. On a
+    chain A~B~C (A≁C) this keeps A and C, dropping only B, where both
+    greedy pair-drop and component_min would also drop C. Computed as a
+    per-component maximal independent set inside ``applyInPandas`` — the
+    component id is the shuffle key and near-dup components are small by
+    construction (the per-bucket cap bounds them), so no single group can
+    blow up an executor."""
+    sigs = minhash_signatures(df, id_col, text_col, num_perm=num_perm)
+    pairs = minhash_lsh_candidates(sigs, bands=bands).where(
+        F.col("est_jaccard") >= threshold
+    )
+    cc = connected_components(pairs)
+    if keeper == "component_min":
+        losers = cc.where(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col)
+        )
+    elif keeper == "independent_set":
+        with_comp = pairs.join(
+            cc.select(F.col("node").alias("doc_a"), "component"), "doc_a"
+        ).select("component", "doc_a", "doc_b")
+
+        def _mis_losers(pdf: pd.DataFrame) -> pd.DataFrame:
+            adj: dict = {}
+            for a, b in zip(pdf["doc_a"], pdf["doc_b"]):
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            retained: set = set()
+            dropped = []
+            for node in sorted(adj):
+                if adj[node] & retained:
+                    dropped.append(node)
+                else:
+                    retained.add(node)
+            return pd.DataFrame({"loser": dropped})
+
+        losers = (
+            with_comp.groupBy("component")
+            .applyInPandas(_mis_losers, schema="loser long")
+            .select(F.col("loser").alias(id_col))
+        )
+    else:
+        raise ValueError(f"unknown keeper {keeper!r}")
     return df.join(losers, id_col, "left_anti")
 
 
