@@ -379,6 +379,36 @@ def q_minhash_pairs(spark, sf_dir):
     return minhash_lsh_candidates(sigs).select("doc_a", "doc_b", "est_jaccard")
 
 
+def q_minhash_pairs_full(spark, sf_dir):
+    """MinHash-LSH candidates over the WHOLE documents table — no toy
+    doc_id slice (round-3 verdict ask #7)."""
+    from pdfplumber_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = _tbl(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    return minhash_lsh_candidates(sigs).select("doc_a", "doc_b", "est_jaccard")
+
+
+def q_minhash_pairs_skewed(spark, sf_dir):
+    """Full table + the deterministic boilerplate mega-bucket family (121
+    identical texts): the per-bucket cap (window count over the bucket key)
+    must drop every pair of the replica group while ordinary near-pairs
+    still surface — the distributed skew guard checked against the
+    single-process derivation of the same input."""
+    from pdfplumber_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        with_boilerplate_skew,
+    )
+
+    docs = with_boilerplate_skew(_tbl(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    return minhash_lsh_candidates(sigs).select("doc_a", "doc_b", "est_jaccard")
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (rows-only)."""
     from pdfplumber_spark.operators.dedup import simhash_near_pairs, simhash_table
@@ -553,6 +583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "embedding_topk": q_embedding_topk,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_pairs_full": q_minhash_pairs_full,
+        "minhash_pairs_skewed": q_minhash_pairs_skewed,
         "minhash_dedup": q_minhash_dedup,
         "minhash_dedup_cc": q_minhash_dedup_cc,
         "simhash_pairs": q_simhash_pairs,

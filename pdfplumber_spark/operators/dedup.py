@@ -291,6 +291,38 @@ def minhash_dedup_cc(
     return df.join(losers, id_col, "left_anti")
 
 
+# deterministic boilerplate-skew fixture shared by the entry query and the
+# single-process oracle builder (sources/expected.py): replicate one doc's
+# text under fresh ids so every band bucket of that text exceeds max_bucket
+SKEW_N_REPLICAS = 120
+SKEW_ID_START = 100_000
+
+
+def with_boilerplate_skew(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    base_id: int = 0,
+    n_replicas: int = SKEW_N_REPLICAS,
+    id_start: int = SKEW_ID_START,
+) -> DataFrame:
+    """Append ``n_replicas`` copies of ``base_id``'s text under fresh ids —
+    the boilerplate mega-bucket family. With the default minhash settings
+    the replica group lands 121 deep in every one of its 16 band buckets,
+    far past ``max_bucket=50``, so the per-bucket cap MUST drop all of its
+    pairs (identical text is exact-dup territory) while ordinary near-pairs
+    still surface. The board row checks this drop behaviour distributed
+    (window count over the bucket key) vs single-process (dict counting)."""
+    base = df.where(F.col(id_col) == base_id).select(
+        F.col(text_col).alias("_t")
+    )
+    reps = base.crossJoin(df.sparkSession.range(n_replicas)).select(
+        (F.col("id") + F.lit(id_start)).cast("long").alias(id_col),
+        F.col("_t").alias(text_col),
+    )
+    return df.select(id_col, text_col).unionByName(reps)
+
+
 # --- SimHash -----------------------------------------------------------------
 
 def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -40,7 +40,7 @@ import pandas as pd
 from .corpus import CORPUS_VERSION, corpus_path_for_sf
 
 # bump when any expected-result computation changes
-EXPECTED_VERSION = 4
+EXPECTED_VERSION = 5
 
 
 # ---------------------------------------------------------------------------
@@ -249,16 +249,15 @@ def _b_image_metadata(sf_dir: str) -> pd.DataFrame:
 # dedup / ANN builders (independent brute-force re-derivations)
 # ---------------------------------------------------------------------------
 
-def _b_minhash_pairs(sf_dir: str) -> pd.DataFrame:
-    """Brute-force re-derivation of minhash_lsh_candidates semantics:
-    a pair is a candidate iff it shares a full band slice whose bucket holds
-    <= max_bucket rows; est_jaccard = matching positions / num_perm
-    (exact k/64 double — no rounding on either side)."""
+def _minhash_pairs_frame(docs: pd.DataFrame) -> pd.DataFrame:
+    """Brute-force re-derivation of minhash_lsh_candidates semantics over a
+    (doc_id, text) frame: a pair is a candidate iff it shares a full band
+    slice whose bucket holds <= max_bucket rows; est_jaccard = matching
+    positions / num_perm (exact k/64 double — no rounding on either side)."""
     from ..kernel.textstats import minhash_signature
 
     num_perm, k, bands, max_bucket = 64, 5, 16, 50
     rows_per_band = num_perm // bands
-    docs = _read_documents(sf_dir, max_id=300)
     ids = docs["doc_id"].to_numpy()
     sigs = np.stack(
         [minhash_signature(t or "", num_perm=num_perm, k=k) for t in docs["text"]]
@@ -291,6 +290,36 @@ def _b_minhash_pairs(sf_dir: str) -> pd.DataFrame:
     out["doc_b"] = out["doc_b"].astype("int64")
     out["est_jaccard"] = out["est_jaccard"].astype("float64")
     return out
+
+
+def _b_minhash_pairs(sf_dir: str) -> pd.DataFrame:
+    return _minhash_pairs_frame(_read_documents(sf_dir, max_id=300))
+
+
+def _b_minhash_pairs_full(sf_dir: str) -> pd.DataFrame:
+    """The whole documents table — no toy doc_id slice (round-3 verdict
+    ask #7: oracle-exercise the board queries past the sliced inputs)."""
+    return _minhash_pairs_frame(_read_documents(sf_dir, max_id=1 << 62))
+
+
+def _b_minhash_pairs_skewed(sf_dir: str) -> pd.DataFrame:
+    """Full table + the boilerplate mega-bucket family (121 identical
+    texts): single-process derivation of the same deterministic input the
+    entry query constructs with ``with_boilerplate_skew`` — the replica
+    group must exceed max_bucket in every band and produce ZERO pairs."""
+    from ..operators.dedup import SKEW_ID_START, SKEW_N_REPLICAS
+
+    docs = _read_documents(sf_dir, max_id=1 << 62)
+    base_text = docs.loc[docs["doc_id"] == 0, "text"].iloc[0]
+    reps = pd.DataFrame(
+        {
+            "doc_id": [SKEW_ID_START + i for i in range(SKEW_N_REPLICAS)],
+            "text": [base_text] * SKEW_N_REPLICAS,
+        }
+    )
+    return _minhash_pairs_frame(
+        pd.concat([docs, reps], ignore_index=True)
+    )
 
 
 def _b_simhash_pairs(sf_dir: str) -> pd.DataFrame:
@@ -436,6 +465,8 @@ _BUILDERS = {
     "structure": _b_structure,
     "image_metadata": _b_image_metadata,
     "minhash_pairs": _b_minhash_pairs,
+    "minhash_pairs_full": _b_minhash_pairs_full,
+    "minhash_pairs_skewed": _b_minhash_pairs_skewed,
     "simhash_pairs": _b_simhash_pairs,
     "lsh_topk": _b_lsh_topk,
     "ivf_topk": _b_ivf_topk,

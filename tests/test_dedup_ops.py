@@ -200,3 +200,39 @@ def test_cosine_lsh_recall_floor_randomized(spark):
         recalls.append(len(lsh & exact) / len(exact))
     print(f"cosine_near_pairs lsh recall @ planes=3/tables=24: {recalls}")
     assert min(recalls) >= 0.95, recalls
+
+
+def test_boilerplate_skew_trips_bucket_cap(spark):
+    """The mega-bucket family must actually exceed max_bucket (121 > 50) in
+    EVERY band, so zero pairs involving the replica group (or its source
+    doc) survive, while ordinary near-pairs still surface."""
+    from pdfplumber_spark.operators.dedup import (
+        SKEW_ID_START,
+        SKEW_N_REPLICAS,
+        minhash_lsh_candidates,
+        minhash_signatures,
+        with_boilerplate_skew,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    skewed = with_boilerplate_skew(docs)
+    assert skewed.count() == docs.count() + SKEW_N_REPLICAS
+
+    sigs = minhash_signatures(skewed, "doc_id", "text")
+    pairs = minhash_lsh_candidates(sigs).collect()
+    group = {0} | {SKEW_ID_START + i for i in range(SKEW_N_REPLICAS)}
+    assert not any(r.doc_a in group or r.doc_b in group for r in pairs)
+
+    base = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_candidates(
+            minhash_signatures(docs, "doc_id", "text")
+        ).collect()
+    }
+    survived = {(r.doc_a, r.doc_b) for r in pairs}
+    # every non-group pair of the unskewed run still surfaces
+    assert {p for p in base if not (p[0] in group or p[1] in group)} == survived
+
+    import pdfplumber_spark
+
+    pdfplumber_spark.unpersist_all()
