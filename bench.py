@@ -94,6 +94,7 @@ def main() -> None:
         "minhash_dedup_cc", "simhash_pairs",
         "token_count", "quality", "langid", "embedding_topk", "lsh_topk",
         "ivf_topk", "cosine_near_pairs", "cosine_near_pairs_lsh",
+        "image_stats",
     ]
     import pdfplumber_spark
 

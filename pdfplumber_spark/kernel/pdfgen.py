@@ -12,7 +12,11 @@ converts to PDF's bottom-up space):
      "texts":  [{"x": 72, "top": 72, "size": 12, "text": "Hello"}, ...],
      "rects":  [{"x0":..,"top":..,"x1":..,"bottom":..}, ...],
      "lines":  [{"x0":..,"top":..,"x1":..,"bottom":..}, ...],
-     "curves": [{"pts": [(x, top), ...]}, ...]}
+     "curves": [{"pts": [(x, top), ...]}, ...],
+     "images": [{"x": 100, "top": 100, "w": 96, "h": 64,   # placed box (pts)
+                 "pw": 8, "ph": 8, "channels": 3,          # pixel raster
+                 "seed": 7,                                 # deterministic px
+                 "format": "flate" | "dct"}, ...]}          # dct = fake JPEG
 """
 
 from __future__ import annotations
@@ -49,6 +53,23 @@ FONT_ASCENT = 718
 # exercises the parser's CMap path with the ligature set the reference
 # expands (text.py:34-42)
 LIG_BYTES = {"ﬁ": 0xA1, "ﬂ": 0xA2, "ﬀ": 0xA3, "ﬃ": 0xA4, "ﬄ": 0xA5}
+
+
+def image_pixel(seed: int, row: int, col: int, ch: int) -> int:
+    """Deterministic sample value for generated image rasters — the single
+    definition shared by the writer, the decode tests, and the oracle."""
+    return (seed * 131 + row * 31 + col * 17 + ch * 97) % 256
+
+
+def image_samples(seed: int, pw: int, ph: int, channels: int) -> bytes:
+    """Raw interleaved 8-bit samples, row-major (the PDF image data layout
+    for BitsPerComponent 8: no row padding)."""
+    return bytes(
+        image_pixel(seed, r, c, ch)
+        for r in range(ph)
+        for c in range(pw)
+        for ch in range(channels)
+    )
 
 
 def glyph_width(ch: str) -> int:
@@ -105,6 +126,13 @@ def _content_stream(page: Dict) -> bytes:
         for (x, top) in pts[1:]:
             seg.append("%g %g l" % (x, h - top))
         parts.append(" ".join(seg) + " S")
+    for i, im in enumerate(page.get("images", [])):
+        # CTM maps the unit square onto the placed box (PDF RM 8.9.5.3)
+        y = h - im["top"] - im["h"]
+        parts.append(
+            "q %g 0 0 %g %g %g cm /Im%d Do Q"
+            % (im["w"], im["h"], im["x"], y, i)
+        )
     return "\n".join(parts).encode("latin-1")
 
 
@@ -147,6 +175,7 @@ def make_pdf(pages: List[Dict], info: dict = None) -> bytes:
     page_nums = []
     content_nums = []
     annot_nums: List[List[int]] = []
+    image_nums: List[List[int]] = []
     for p in pages:
         raw = _content_stream(p)
         comp = zlib.compress(raw, 9)
@@ -155,6 +184,32 @@ def make_pdf(pages: List[Dict], info: dict = None) -> bytes:
             + comp + b"\nendstream"
         )
         content_nums.append(cn)
+        inums = []
+        for im in p.get("images", []):
+            pw, ph = im.get("pw", 8), im.get("ph", 8)
+            channels = im.get("channels", 3)
+            cs = b"/DeviceRGB" if channels == 3 else b"/DeviceGray"
+            if im.get("format", "flate") == "dct":
+                # fake JPEG: DCTDecode payload the engine must classify as
+                # unsupported (real JPEG decode needs an imaging lib)
+                body = b"\xff\xd8\xff\xe0" + image_samples(
+                    im.get("seed", 0), pw, ph, channels
+                )
+                filt = b"/DCTDecode"
+            else:
+                body = zlib.compress(
+                    image_samples(im.get("seed", 0), pw, ph, channels), 9
+                )
+                filt = b"/FlateDecode"
+            inums.append(
+                add(
+                    b"<</Type/XObject/Subtype/Image/Width %d/Height %d"
+                    b"/ColorSpace%s/BitsPerComponent 8/Filter%s/Length %d>>"
+                    b"\nstream\n%s\nendstream"
+                    % (pw, ph, cs, filt, len(body), body)
+                )
+            )
+        image_nums.append(inums)
         nums = []
         h = p["height"]
         for lk in p.get("links", []):
@@ -178,14 +233,19 @@ def make_pdf(pages: List[Dict], info: dict = None) -> bytes:
             annots_part = "/Annots[" + " ".join(
                 f"{n} 0 R" for n in annot_nums[i]
             ) + "]"
+        xobj_part = ""
+        if image_nums[i]:
+            xobj_part = "/XObject<<" + "".join(
+                f"/Im{k} {n} 0 R" for k, n in enumerate(image_nums[i])
+            ) + ">>"
         pn = add(
             (
                 "<</Type/Page/Parent %d 0 R/MediaBox[0 0 %g %g]%s%s"
-                "/Resources<</Font<</F1 %d 0 R>>>>/Contents %d 0 R>>"
+                "/Resources<</Font<</F1 %d 0 R>>%s>>/Contents %d 0 R>>"
                 % (
                     pages_tree_num, p["width"], p["height"],
                     "/Rotate %d" % p["rotate"] if p.get("rotate") else "",
-                    annots_part, font_num, content_nums[i],
+                    annots_part, font_num, xobj_part, content_nums[i],
                 )
             ).encode()
         )

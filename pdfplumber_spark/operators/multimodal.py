@@ -1,10 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Image/audio decode libraries are not available in this container, so the
-decode step is STUBBED behind a deterministic fake (clearly marked) — the
-Spark-side plumbing (schemas, batching, partitioning, UDF signatures) is
-real and tested. On a real cluster, swap ``_decode_image_stub`` for a
-Pillow/ffmpeg call with the same signature; nothing else changes.
+Round-4 status: PDF-embedded image XObjects get a REAL pixel decode for
+8-bit DeviceRGB/DeviceGray rasters behind the engine's own stream filters
+(``pdf_image_stats`` -> kernel/images.py; Flate incl. PNG predictors, LZW,
+A85, AHx, RL). Entropy-coded rasters (JPEG/DCT, JPX, CCITT) and standalone
+image-file decode still need an imaging library that is not in this
+container, so those paths remain STUBBED behind deterministic fakes
+(clearly marked) — the Spark-side plumbing (schemas, batching,
+partitioning, UDF signatures) is real and tested. On a real cluster, swap
+``_decode_image_stub`` for a Pillow/ffmpeg call with the same signature;
+nothing else changes.
 """
 
 from __future__ import annotations
@@ -95,6 +100,84 @@ def image_metadata(df: DataFrame, url_col: str = "url", bin_col: str = "html") -
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_META_SCHEMA.fields])
 
     return df.select(url_col, bin_col).mapInPandas(run, schema=IMAGE_META_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("page_number", T.IntegerType(), False),
+        T.StructField("image_index", T.IntegerType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("mean_c0", T.DoubleType(), True),
+        T.StructField("mean_c1", T.DoubleType(), True),
+        T.StructField("mean_c2", T.DoubleType(), True),
+        T.StructField("min_val", T.IntegerType(), True),
+        T.StructField("max_val", T.IntegerType(), True),
+        T.StructField("status", T.StringType(), False),
+    ]
+)
+
+_STATS_COLS = [f.name for f in IMAGE_STATS_SCHEMA.fields]
+
+
+def _image_stat_rows(url, payload) -> list:
+    """Per-payload image pixel stats (IMAGE_STATS_SCHEMA order). REAL
+    decode for 8-bit DeviceRGB/DeviceGray behind the engine's stream
+    filters (kernel/images.py); DCT/JPX stay 'unsupported'. Float
+    discipline: per-channel means are exact int sums / int counts rounded
+    to 6 — IEEE-deterministic, oracle-matchable."""
+    from ..kernel.images import image_xobjects
+
+    if payload is None or bytes(payload)[:5] != b"%PDF-":
+        return []
+    try:
+        images = image_xobjects(bytes(payload))
+    except Exception:  # noqa: BLE001
+        return []
+    out = []
+    for im in images:
+        means = [None, None, None]
+        mn = mx = None
+        if im["status"] == "ok":
+            arr = np.frombuffer(im["samples"], dtype=np.uint8).reshape(
+                im["height"], im["width"], im["channels"]
+            )
+            n_px = im["height"] * im["width"]
+            for ch in range(im["channels"]):
+                s = int(arr[:, :, ch].sum(dtype=np.int64))
+                means[ch] = round(s / n_px, 6)
+            mn = int(arr.min())
+            mx = int(arr.max())
+        out.append(
+            (
+                url, im["page_number"], im["image_index"], im["name"],
+                im["width"], im["height"], im["channels"],
+                means[0], means[1], means[2], mn, mx, im["status"],
+            )
+        )
+    return out
+
+
+def pdf_image_stats(
+    df: DataFrame, url_col: str = "url", bin_col: str = "html"
+) -> DataFrame:
+    """PDF payloads -> one row per embedded image XObject with decoded
+    per-channel pixel statistics (mapInPandas, Arrow-batched; non-PDF
+    payloads yield no rows)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[bin_col]):
+                rows.extend(_image_stat_rows(url, payload))
+            yield pd.DataFrame(rows, columns=_STATS_COLS)
+
+    return df.select(url_col, bin_col).mapInPandas(
+        run, schema=IMAGE_STATS_SCHEMA
+    )
 
 
 def binary_features(

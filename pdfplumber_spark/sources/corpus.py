@@ -9,6 +9,7 @@ table as parquet. Families stress specific reference behaviors:
 - ``pdf/table-stream``  unruled aligned columns (text strategy)
 - ``pdf/dupchars``      double-painted chars (dedupe)
 - ``pdf/mega``          one many-page document (skew fixture)
+- ``pdf/images``        embedded Flate/DCT raster XObjects (pixel decode)
 - ``html/news``         main content in nav/footer boilerplate
 - ``broken``            truncated payloads (error-row path)
 
@@ -24,7 +25,7 @@ from typing import Iterator, List, Tuple
 from ..kernel.pdfgen import glyph_width, make_pdf
 
 # bump when generated content changes — cache paths embed this
-CORPUS_VERSION = 8
+CORPUS_VERSION = 9
 
 LOREM = (
     "the quick brown fox jumps over a lazy dog while bright vixens watch "
@@ -175,6 +176,39 @@ def _pdf_ligatures(rng: random.Random) -> bytes:
     return make_pdf([{"width": 612, "height": 792, "texts": texts}])
 
 
+def _pdf_images(rng: random.Random) -> bytes:
+    """Pages with embedded raster image XObjects: mostly Flate-compressed
+    8-bit DeviceRGB/DeviceGray (really decodable by kernel/images.py), a
+    fifth fake-JPEG DCT (classified 'unsupported'). Deterministic pixels
+    via pdfgen.image_pixel."""
+    pages = []
+    for _ in range(rng.randint(1, 2)):
+        texts = []
+        top = 72.0
+        for line in _wrap_text(rng, 6):
+            texts.append({"x": 72.0, "top": top, "size": 12, "text": line})
+            top += 14.5
+        images = []
+        for _ in range(rng.randint(1, 3)):
+            images.append(
+                {
+                    "x": 72.0 + rng.random() * 300,
+                    "top": top + 20 + rng.random() * 200,
+                    "w": 60 + rng.random() * 120,
+                    "h": 40 + rng.random() * 90,
+                    "pw": rng.randint(4, 16),
+                    "ph": rng.randint(4, 16),
+                    "channels": rng.choice([1, 3, 3]),
+                    "seed": rng.randint(0, 10_000),
+                    "format": "dct" if rng.random() < 0.2 else "flate",
+                }
+            )
+        pages.append(
+            {"width": 612, "height": 792, "texts": texts, "images": images}
+        )
+    return make_pdf(pages)
+
+
 def _html_news(rng: random.Random) -> Tuple[bytes, str]:
     title = _sentence(rng, 4).title()
     paras = [_sentence(rng, rng.randint(20, 45)) + "." for _ in range(rng.randint(3, 8))]
@@ -208,7 +242,11 @@ def generate_rows(
         ("pdf/rotated", 0.04),
         ("pdf/ligatures", 0.04),
         ("pdf/encrypted", 0.06),  # empty-user-password AES/RC4 (crawl-common)
-        ("html/news", 0.19),
+        # inserted v9 taking weight from html/news only, so every other
+        # family's cumulative range — and thus its membership and payload
+        # bytes per doc index — is unchanged from v8
+        ("pdf/images", 0.04),
+        ("html/news", 0.15),
         ("broken", 0.05),
     ]
     cum = []
@@ -249,6 +287,8 @@ def generate_rows(
                 _pdf_basic(rng, 1), user_pw="", owner_pw="owner",
                 method=method, seed=b"corpus-%d" % i,
             )
+        elif fam == "pdf/images":
+            payload = _pdf_images(rng)
         elif fam == "html/news":
             payload, _ = _html_news(rng)
         else:  # broken

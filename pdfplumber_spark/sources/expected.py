@@ -245,6 +245,94 @@ def _b_image_metadata(sf_dir: str) -> pd.DataFrame:
     return out[["url", "n_bytes", "format", "sha256", "status"]]
 
 
+def _b_image_stats(sf_dir: str) -> pd.DataFrame:
+    """INDEPENDENT single-process re-derivation of pdf_image_stats: walks
+    the raw PDF bytes with its own minimal object scanner (regex xref-free
+    scan + zlib), decodes Flate DeviceRGB/DeviceGray samples and computes
+    the channel stats with pure-python ints — no numpy, none of the
+    kernel/images.py code path — so the engine's filter pipeline, sample
+    layout and stats arithmetic are all cross-checked, not replicated."""
+    import re
+    import zlib
+
+    rows = []
+    for url, payload in _read_corpus(sf_dir):
+        if payload is None:
+            continue
+        data = bytes(payload)
+        if data[:5] != b"%PDF-":
+            continue
+        # corpus PDFs are generated (never encrypted image families), so a
+        # raw scan over "N 0 obj ... endobj" bodies is a faithful
+        # independent reader for THIS oracle's inputs
+        images = []
+        for m in re.finditer(
+            rb"(\d+) 0 obj\s*(<<.*?>>)\s*stream\r?\n", data, re.S
+        ):
+            head = m.group(2)
+            if b"/Subtype/Image" not in head:
+                continue
+            start = m.end()
+            ln = re.search(rb"/Length (\d+)", head)
+            if not ln:
+                continue
+            body = data[start:start + int(ln.group(1))]
+            w = int(re.search(rb"/Width (\d+)", head).group(1))
+            h = int(re.search(rb"/Height (\d+)", head).group(1))
+            gray = b"/DeviceGray" in head
+            ch = 1 if gray else 3
+            if b"/FlateDecode" in head:
+                px = zlib.decompress(body)
+                status = "ok" if len(px) >= w * h * ch else "error"
+            else:
+                px, status = None, "unsupported"
+            images.append((int(m.group(1)), w, h, ch, px, status))
+        # map images to (page_number, image_index, name) via each page's
+        # /XObject dict; the generator emits page objects in page order, so
+        # finditer order == page_number order for these inputs
+        obj_by_num = {rec[0]: rec for rec in images}
+        for pno, pm in enumerate(
+            re.finditer(rb"\d+ 0 obj\s*(<</Type/Page/.*?)\s*endobj", data,
+                        re.S),
+            start=1,
+        ):
+            xm = re.search(rb"/XObject<<(.*?)>>", pm.group(1), re.S)
+            if not xm:
+                continue
+            refs = re.findall(rb"/(Im\d+) (\d+) 0 R", xm.group(1))
+            for idx, (nm, num) in enumerate(sorted(refs)):
+                rec = obj_by_num.get(int(num))
+                if rec is None:
+                    continue
+                _, w, h, ch, px, status = rec
+                means = [None, None, None]
+                mn = mx = None
+                if status == "ok":
+                    n_px = w * h
+                    need = px[: w * h * ch]
+                    for c in range(ch):
+                        s = sum(need[c::ch])
+                        means[c] = round(s / n_px, 6)
+                    mn, mx = min(need), max(need)
+                rows.append(
+                    (url, pno, idx, nm.decode(), w, h, ch,
+                     means[0], means[1], means[2], mn, mx, status)
+                )
+    out = pd.DataFrame(
+        rows,
+        columns=["url", "page_number", "image_index", "name", "width",
+                 "height", "channels", "mean_c0", "mean_c1", "mean_c2",
+                 "min_val", "max_val", "status"],
+    )
+    for c in ("page_number", "image_index", "width", "height", "channels"):
+        out[c] = out[c].astype("int32")
+    for c in ("mean_c0", "mean_c1", "mean_c2"):
+        out[c] = out[c].astype("float64")
+    for c in ("min_val", "max_val"):
+        out[c] = out[c].astype("Int32")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # dedup / ANN builders (independent brute-force re-derivations)
 # ---------------------------------------------------------------------------
@@ -464,6 +552,7 @@ _BUILDERS = {
     "metadata": _b_metadata,
     "structure": _b_structure,
     "image_metadata": _b_image_metadata,
+    "image_stats": _b_image_stats,
     "minhash_pairs": _b_minhash_pairs,
     "minhash_pairs_full": _b_minhash_pairs_full,
     "minhash_pairs_skewed": _b_minhash_pairs_skewed,
