@@ -20,7 +20,7 @@ from __future__ import annotations
 import re
 from typing import Dict, Optional
 
-from .pdfparse import Name, PDFDocument, Ref, StreamObj
+from .pdfparse import Lexer, Name, PDFDocument, Ref, StreamObj, parse_object
 
 # bytes that must be #-escaped inside a serialized name (ws + delimiters)
 _NAME_ESCAPE = set(b"\x00\t\n\x0c\r ()<>[]{}/%#")
@@ -115,27 +115,91 @@ def _ser_indirect(num: int, obj) -> bytes:
 _OBJ_HEADER = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 
 
+def _stream_spans(data: bytes):
+    """Merged (start, end) byte spans of stream bodies. Conservative: a
+    binary body containing an early 'endstream'-like run shrinks its span,
+    which is why candidates are ALSO header-validated — but a span never
+    extends past a real 'endstream', so real object headers are never
+    excluded."""
+    spans = []
+    for m in re.finditer(rb"\bstream\r?\n", data):
+        e = data.find(b"endstream", m.end())
+        spans.append((m.end(), len(data) if e == -1 else e))
+    spans.sort()
+    merged = []
+    for s, e in spans:
+        if merged and s <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+        else:
+            merged.append((s, e))
+    return merged
+
+
+def _header_parses(doc: PDFDocument, pos: int, num: int) -> bool:
+    """True when the bytes at ``pos`` are an ``num _ obj`` header followed
+    by a parseable object body."""
+    m = _OBJ_HEADER.match(doc.data, pos)
+    if not m or int(m.group(1)) != num:
+        return False
+    try:
+        return parse_object(Lexer(doc.data, m.end())) is not None
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def _correct_xref(doc: PDFDocument) -> None:
     """Validate every 'raw' xref entry against the bytes it points at; a
     smashed offset (header absent or numbered differently) is replaced by
-    the LAST scanned position of that object (newest incremental update)
-    or dropped. ``_scan_all_objects`` alone can't do this — it setdefaults,
-    so a present-but-wrong xref entry wins over the scan."""
+    the best scanned position of that object or dropped.
+    ``_scan_all_objects`` alone can't do this — it setdefaults, so a
+    present-but-wrong xref entry wins over the scan.
+
+    Candidate selection (round-3 ADVICE): the brute ``N g obj`` scan can
+    hit byte runs INSIDE binary stream bodies; blindly taking the last
+    scanned position let such a false match override a merely
+    offset-smashed object with garbage and silently drop content. Now the
+    newest (= last, newest incremental update) position that lies OUTSIDE
+    every stream extent and whose header parses into a valid object wins;
+    in-stream positions are only a last resort, and still must parse."""
     data = doc.data
-    scan_last = {}
+    import bisect
+
+    spans = _stream_spans(data)
+    starts = [s for s, _ in spans]
+
+    def in_stream(pos: int) -> bool:
+        i = bisect.bisect_right(starts, pos) - 1
+        return i >= 0 and pos < spans[i][1]
+
+    scan_pos: Dict[int, list] = {}
     for m in _OBJ_HEADER.finditer(data):
-        scan_last[int(m.group(1))] = m.start()
+        scan_pos.setdefault(int(m.group(1)), []).append(m.start())
+
+    def best_pos(num: int) -> Optional[int]:
+        cands = scan_pos.get(num, [])
+        for pos in reversed(cands):
+            if not in_stream(pos) and _header_parses(doc, pos, num):
+                return pos
+        for pos in reversed(cands):  # last resort: everything is in-stream
+            if _header_parses(doc, pos, num):
+                return pos
+        return None
+
     for num, ent in list(doc.xref.items()):
         if ent[0] != "raw":
             continue
         m = _OBJ_HEADER.match(data, ent[1])
         if not m or int(m.group(1)) != num:
-            if num in scan_last:
-                doc.xref[num] = ("raw", scan_last[num], 0)
+            pos = best_pos(num)
+            if pos is not None:
+                doc.xref[num] = ("raw", pos, 0)
             else:
                 del doc.xref[num]
-    for num, pos in scan_last.items():
-        doc.xref.setdefault(num, ("raw", pos, 0))
+    for num in scan_pos:
+        if num not in doc.xref:
+            pos = best_pos(num)
+            if pos is not None:
+                doc.xref[num] = ("raw", pos, 0)
     doc._cache.clear()
 
 

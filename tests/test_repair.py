@@ -169,3 +169,61 @@ def test_distributed_extract_repair_flag(spark, tmp_path):
     )
     assert texts["synth://smashed"] == texts["synth://ok"]
     assert texts["synth://junked"] == texts["synth://ok"]
+
+
+def test_in_stream_false_header_does_not_poison_object(spark=None):
+    """Round-3 ADVICE: a binary stream body containing 'N 0 obj' bytes —
+    LATER in the file than the real object N — must not override a merely
+    offset-smashed object N with garbage. Object 3 is the page content
+    stream of _sample_pdf(); the decoy re-defines it as <</Fake true>>."""
+    import re
+
+    data = _sample_pdf()
+    decoy_body = b"junk 3 0 obj\n<</Fake true>>\nmore junk padding bytes"
+    decoy = (
+        b"999 0 obj\n<</Length %d>>\nstream\n%s\nendstream\nendobj\n"
+        % (len(decoy_body), decoy_body)
+    )
+    # append the decoy after %%EOF (strict readers ignore; brute scan sees)
+    poisoned = data + decoy
+    # smash ONLY object 3's xref offset so _correct_xref must re-locate it
+    i = poisoned.rfind(b"\nxref")
+    table = poisoned[i:]
+    entries = list(re.finditer(rb"\d{10} 00000 n \n", table))
+    ent3 = entries[2]  # object 3 (entries are 1..N after the free line)
+    table = (
+        table[: ent3.start()]
+        + b"0000000003 00000 n \n"
+        + table[ent3.end():]
+    )
+    poisoned = poisoned[:i] + table
+
+    fixed = repair_bytes(poisoned)
+    assert strict_check(fixed)
+    assert _texts(fixed) == _texts(data)
+    # object 3 must be the real content stream, not the decoy dict (the
+    # decoy CONTAINER object 999 is legitimately preserved verbatim, so
+    # '/Fake' may appear inside its stream body — just not as object 3)
+    import re as _re
+
+    m3 = _re.search(rb"\n3 0 obj\n(.{0,40})", fixed, _re.S)
+    assert m3 and b"/Fake" not in m3.group(1)
+
+
+def test_all_copies_in_stream_still_recovers():
+    """Last-resort path: when the ONLY scan hit for an object lies inside a
+    stream body (e.g. an embedded PDF-in-PDF fragment), a parseable header
+    is still accepted rather than dropping the object number entirely."""
+    shard = b"7 0 obj\n<</Marker true>>\nendobj\n"
+    container = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<</Type/Catalog/Pages 2 0 R>>\nendobj\n"
+        b"2 0 obj\n<</Type/Pages/Kids[3 0 R]/Count 1>>\nendobj\n"
+        b"3 0 obj\n<</Type/Page/Parent 2 0 R/MediaBox[0 0 100 100]>>\nendobj\n"
+        b"4 0 obj\n<</Length " + str(len(shard)).encode()
+        + b">>\nstream\n" + shard + b"\nendstream\nendobj\n"
+        b"trailer\n<</Root 1 0 R>>\n"
+    )
+    fixed = repair_bytes(container)
+    assert strict_check(fixed)
+    assert b"/Marker" in fixed  # object 7 recovered from inside the stream
