@@ -411,6 +411,15 @@ def cosine_near_pairs(
     round-to-9, no raw-vs-rounded comparison drift. Borderline safety on
     the board corpus (min |cosine - 0.40| = 1.3e-4) is pinned in
     tests/test_dedup_ops.py.
+
+    Parameter-regime honesty: hyperplane LSH prunes in proportion to how
+    far the collision probability ``p1 = 1 - acos(t)/pi`` sits above the
+    random-pair baseline 0.5. Low thresholds (t≈0.4, p1≈0.63) are the
+    WEAK regime — candidates ~ tables x n^2 / 2^planes can approach or
+    exceed brute force, and the board row at t=0.40 exists to verify the
+    machinery, not to showcase pruning. The production scale path is
+    high-threshold near-dup mining (t >= 0.8, p1 >= 0.86: 8 planes/16
+    tables gives ~16x candidate pruning at recall ~0.996).
     """
     v = embeddings.select(
         F.col(id_col).alias("_id"),
@@ -470,15 +479,20 @@ def cosine_near_pairs(
         bucket_keys = pandas_udf(_bucket_keys, T.ArrayType(T.LongType()))
         from ._cache import persist_tracked
 
-        # feeds both self-join branches; evict via unpersist_all()
+        # feeds both self-join branches AND the post-dedup vector fetch;
+        # evict via unpersist_all()
         keyed = persist_tracked(v.withColumn("_k", bucket_keys(F.col("_v"))))
+        # ids ONLY through the bucket join: a candidate row is (long, long)
+        # — carrying the two dim-wide vectors through the self-join +
+        # dropDuplicates shuffled ~2*dim doubles per PRE-dedup candidate
+        # (measured 121 s vs ~8 s at sf0.1; tables x bucket^2 candidates
+        # dwarf the unique-pair count). Vectors rejoin per UNIQUE pair.
         banded = keyed.select(
-            "_id", "_v", "_n",
-            F.posexplode("_k").alias("table_id", "key"),
+            "_id", F.posexplode("_k").alias("table_id", "key")
         )
         a = banded.alias("a")
         b = banded.alias("b")
-        pairs = (
+        cand = (
             a.join(
                 b,
                 (F.col("a.table_id") == F.col("b.table_id"))
@@ -486,12 +500,20 @@ def cosine_near_pairs(
                 & (F.col("a._id") < F.col("b._id")),
             )
             .select(
-                F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"),
-                F.col("a._v").alias("va"), F.col("b._v").alias("vb"),
-                F.col("a._n").alias("na"), F.col("b._n").alias("nb"),
+                F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b")
             )
             .dropDuplicates(["doc_a", "doc_b"])
         )
+        va = keyed.select(
+            F.col("_id").alias("doc_a"),
+            F.col("_v").alias("va"), F.col("_n").alias("na"),
+        )
+        vb = keyed.select(
+            F.col("_id").alias("doc_b"),
+            F.col("_v").alias("vb"), F.col("_n").alias("nb"),
+        )
+        # id equi-joins: AQE broadcasts at small SF, shuffle-joins at scale
+        pairs = cand.join(va, "doc_a").join(vb, "doc_b")
 
         # vectorized exact re-rank: one einsum per Arrow batch of candidate
         # pairs. A JVM aggregate/zip_with fold here would be interpreted
