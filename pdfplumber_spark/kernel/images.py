@@ -3,9 +3,11 @@
 here the non-DCT path is implemented from scratch on the PDF stream-filter
 machinery of ``pdfparse.py``).
 
-Supported for REAL decode: 8-bit DeviceRGB / DeviceGray samples behind any
-of the engine's stream filters (Flate incl. PNG predictors, LZW, A85, AHx,
-RL) — i.e. everything except the entropy-coded raster families. DCT (JPEG)
+Supported for REAL decode: 1/2/4/8-bit DeviceGray, 8-bit DeviceRGB, and
+Indexed(DeviceRGB/DeviceGray) palettes at any of those index widths —
+row-padded MSB-first sample layout per ISO 32000 §8.9.5.2 — behind any of
+the engine's stream filters (Flate incl. PNG predictors, LZW, A85, AHx,
+RL); i.e. everything except the entropy-coded raster families. DCT (JPEG)
 / JPX / CCITT stay classified as ``unsupported``: decoding them needs an
 imaging library that is not in this container; the classification and the
 stream plumbing are real, the entropy decode is the documented stub.
@@ -63,18 +65,75 @@ def _filter_names(doc: PDFDocument, xo: StreamObj) -> List[str]:
     return [str(f)]
 
 
+def _unpack_rows(data: bytes, width: int, height: int, channels: int,
+                 bits: int) -> Optional[bytes]:
+    """PDF image sample layout -> one byte per sample value.
+
+    Rows are padded to byte boundaries (ISO 32000 §8.9.5.2); sub-byte
+    samples pack MSB-first. Returned values are the RAW sample codes
+    (0..2^bits-1) — for sub-byte gray the stats operator reports code
+    statistics, with ``bits`` in the row so the domain is unambiguous."""
+    import numpy as np
+
+    row_bytes = (width * channels * bits + 7) // 8
+    if len(data) < row_bytes * height:
+        return None
+    if bits == 8:
+        if row_bytes == width * channels:
+            return bytes(data[: width * height * channels])
+        arr = np.frombuffer(
+            data[: row_bytes * height], np.uint8
+        ).reshape(height, row_bytes)
+        return bytes(arr[:, : width * channels].tobytes())
+    arr = np.frombuffer(data[: row_bytes * height], np.uint8).reshape(
+        height, row_bytes
+    )
+    bitarr = np.unpackbits(arr, axis=1)  # (height, row_bytes*8), MSB-first
+    n_samples = width * channels
+    vals = bitarr[:, : n_samples * bits].reshape(height, n_samples, bits)
+    weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint8)
+    out = (vals * weights).sum(axis=2).astype(np.uint8)
+    return bytes(out.tobytes())
+
+
+def _resolve_colorspace(doc: PDFDocument, cs):
+    """-> (display_name, channels, palette_or_None). Palette rows are
+    base-colorspace tuples; Indexed output expands through it."""
+    cs = doc.resolve(cs)
+    if cs is None:
+        return None, None, None
+    if isinstance(cs, list) and cs and str(doc.resolve(cs[0])) in (
+        "Indexed", "I"
+    ):
+        base = str(doc.resolve(cs[1])) if len(cs) > 1 else ""
+        base_ch = _CHANNELS.get(base)
+        lookup = doc.resolve(cs[3]) if len(cs) > 3 else None
+        if isinstance(lookup, StreamObj):
+            try:
+                lookup = lookup.get_data(doc)
+            except Exception:  # noqa: BLE001
+                lookup = None
+        if isinstance(lookup, str):
+            lookup = lookup.encode("latin-1", "replace")
+        if base_ch is None or not isinstance(lookup, (bytes, bytearray)):
+            return f"Indexed({base})", None, None
+        return f"Indexed({base})", base_ch, bytes(lookup)
+    name = str(cs)
+    return name, _CHANNELS.get(name), None
+
+
 def _decode_one(doc: PDFDocument, xo: StreamObj) -> dict:
     width = int(doc.resolve(xo.attrs.get("Width", 0)) or 0)
     height = int(doc.resolve(xo.attrs.get("Height", 0)) or 0)
     bits = int(doc.resolve(xo.attrs.get("BitsPerComponent", 0)) or 0)
-    cs = doc.resolve(xo.attrs.get("ColorSpace"))
-    cs_name = str(cs) if cs is not None else ""
-    channels: Optional[int] = _CHANNELS.get(cs_name)
+    cs_name, channels, palette = _resolve_colorspace(
+        doc, xo.attrs.get("ColorSpace")
+    )
     row = {
         "width": width,
         "height": height,
         "bits": bits,
-        "colorspace": cs_name or None,
+        "colorspace": cs_name,
         "channels": channels,
         "samples": None,
         "status": "unsupported",
@@ -82,7 +141,7 @@ def _decode_one(doc: PDFDocument, xo: StreamObj) -> dict:
     filters = _filter_names(doc, xo)
     if any(f in _UNSUPPORTED_FILTERS for f in filters):
         return row
-    if channels is None or bits != 8 or width <= 0 or height <= 0:
+    if channels is None or bits not in (1, 2, 4, 8) or width <= 0 or height <= 0:
         return row
     if bool(doc.resolve(xo.attrs.get("ImageMask", False))):
         return row
@@ -91,10 +150,22 @@ def _decode_one(doc: PDFDocument, xo: StreamObj) -> dict:
     except Exception:  # noqa: BLE001 — broken stream
         row["status"] = "error"
         return row
-    need = width * height * channels
-    if len(data) < need:
+    # Indexed rasters carry ONE index sample per pixel regardless of the
+    # base colorspace's channel count
+    raw_channels = 1 if palette is not None else channels
+    samples = _unpack_rows(data, width, height, raw_channels, bits)
+    if samples is None:
         row["status"] = "error"
         return row
-    row["samples"] = bytes(data[:need])
+    if palette is not None:
+        hival = len(palette) // channels - 1
+        if hival < 0 or max(samples) > hival:
+            row["status"] = "error"
+            return row
+        out = bytearray()
+        for idx in samples:
+            out += palette[idx * channels:(idx + 1) * channels]
+        samples = bytes(out)
+    row["samples"] = samples
     row["status"] = "ok"
     return row

@@ -72,6 +72,36 @@ def image_samples(seed: int, pw: int, ph: int, channels: int) -> bytes:
     )
 
 
+def image_codes(seed: int, pw: int, ph: int, channels: int,
+                mod: int) -> list:
+    """Deterministic sample codes in [0, mod) — sub-byte gray values or
+    palette indices."""
+    return [
+        image_pixel(seed, r, c, ch) % mod
+        for r in range(ph)
+        for c in range(pw)
+        for ch in range(channels)
+    ]
+
+
+def pack_rows(vals: list, width: int, channels: int, bits: int) -> bytes:
+    """Pack sample codes into the PDF image layout: MSB-first within each
+    byte, every ROW padded to a byte boundary (ISO 32000 §8.9.5.2)."""
+    row_samples = width * channels
+    out = bytearray()
+    for r0 in range(0, len(vals), row_samples):
+        acc = nbits = 0
+        for v in vals[r0:r0 + row_samples]:
+            acc = (acc << bits) | v
+            nbits += bits
+            while nbits >= 8:
+                out.append((acc >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+        if nbits:
+            out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def glyph_width(ch: str) -> int:
     o = ord(ch)
     if 32 <= o <= 126:
@@ -188,25 +218,40 @@ def make_pdf(pages: List[Dict], info: dict = None) -> bytes:
         for im in p.get("images", []):
             pw, ph = im.get("pw", 8), im.get("ph", 8)
             channels = im.get("channels", 3)
-            cs = b"/DeviceRGB" if channels == 3 else b"/DeviceGray"
+            bits = im.get("bits", 8)
+            seed = im.get("seed", 0)
+            palette = im.get("palette")  # list of (r,g,b) -> Indexed
+            if palette is not None:
+                import binascii
+
+                idx = image_codes(seed, pw, ph, 1, len(palette))
+                raw = pack_rows(idx, pw, 1, bits)
+                pal = b"".join(bytes(t) for t in palette)
+                cs = b" [/Indexed/DeviceRGB %d <%s>]" % (
+                    len(palette) - 1, binascii.hexlify(pal).upper()
+                )
+            elif bits != 8:
+                raw = pack_rows(
+                    image_codes(seed, pw, ph, 1, 1 << bits), pw, 1, bits
+                )
+                cs = b"/DeviceGray"
+            else:
+                raw = image_samples(seed, pw, ph, channels)
+                cs = b"/DeviceRGB" if channels == 3 else b"/DeviceGray"
             if im.get("format", "flate") == "dct":
                 # fake JPEG: DCTDecode payload the engine must classify as
                 # unsupported (real JPEG decode needs an imaging lib)
-                body = b"\xff\xd8\xff\xe0" + image_samples(
-                    im.get("seed", 0), pw, ph, channels
-                )
+                body = b"\xff\xd8\xff\xe0" + raw
                 filt = b"/DCTDecode"
             else:
-                body = zlib.compress(
-                    image_samples(im.get("seed", 0), pw, ph, channels), 9
-                )
+                body = zlib.compress(raw, 9)
                 filt = b"/FlateDecode"
             inums.append(
                 add(
                     b"<</Type/XObject/Subtype/Image/Width %d/Height %d"
-                    b"/ColorSpace%s/BitsPerComponent 8/Filter%s/Length %d>>"
+                    b"/ColorSpace%s/BitsPerComponent %d/Filter%s/Length %d>>"
                     b"\nstream\n%s\nendstream"
-                    % (pw, ph, cs, filt, len(body), body)
+                    % (pw, ph, cs, bits, filt, len(body), body)
                 )
             )
         image_nums.append(inums)

@@ -25,7 +25,7 @@ from typing import Iterator, List, Tuple
 from ..kernel.pdfgen import glyph_width, make_pdf
 
 # bump when generated content changes — cache paths embed this
-CORPUS_VERSION = 9
+CORPUS_VERSION = 10
 
 LOREM = (
     "the quick brown fox jumps over a lazy dog while bright vixens watch "
@@ -177,10 +177,11 @@ def _pdf_ligatures(rng: random.Random) -> bytes:
 
 
 def _pdf_images(rng: random.Random) -> bytes:
-    """Pages with embedded raster image XObjects: mostly Flate-compressed
-    8-bit DeviceRGB/DeviceGray (really decodable by kernel/images.py), a
-    fifth fake-JPEG DCT (classified 'unsupported'). Deterministic pixels
-    via pdfgen.image_pixel."""
+    """Pages with embedded raster image XObjects covering the decode
+    matrix of kernel/images.py: Flate 8-bit DeviceRGB/DeviceGray, sub-byte
+    (1/2/4-bit) DeviceGray, Indexed(DeviceRGB) palettes, and a fifth
+    fake-JPEG DCT (classified 'unsupported'). Deterministic pixels via
+    pdfgen.image_pixel."""
     pages = []
     for _ in range(rng.randint(1, 2)):
         texts = []
@@ -190,19 +191,31 @@ def _pdf_images(rng: random.Random) -> bytes:
             top += 14.5
         images = []
         for _ in range(rng.randint(1, 3)):
-            images.append(
-                {
-                    "x": 72.0 + rng.random() * 300,
-                    "top": top + 20 + rng.random() * 200,
-                    "w": 60 + rng.random() * 120,
-                    "h": 40 + rng.random() * 90,
-                    "pw": rng.randint(4, 16),
-                    "ph": rng.randint(4, 16),
-                    "channels": rng.choice([1, 3, 3]),
-                    "seed": rng.randint(0, 10_000),
-                    "format": "dct" if rng.random() < 0.2 else "flate",
-                }
-            )
+            im = {
+                "x": 72.0 + rng.random() * 300,
+                "top": top + 20 + rng.random() * 200,
+                "w": 60 + rng.random() * 120,
+                "h": 40 + rng.random() * 90,
+                "pw": rng.randint(4, 16),
+                "ph": rng.randint(4, 16),
+                "channels": rng.choice([1, 3, 3]),
+                "seed": rng.randint(0, 10_000),
+            }
+            kind = rng.random()
+            if kind < 0.2:
+                im["format"] = "dct"
+            elif kind < 0.4:
+                im["channels"] = 1
+                im["bits"] = rng.choice([1, 2, 4])
+            elif kind < 0.55:
+                n_pal = rng.randint(3, 12)
+                im["palette"] = [
+                    (rng.randrange(256), rng.randrange(256),
+                     rng.randrange(256))
+                    for _ in range(n_pal)
+                ]
+                im["bits"] = rng.choice([4, 8])
+            images.append(im)
         pages.append(
             {"width": 612, "height": 792, "texts": texts, "images": images}
         )

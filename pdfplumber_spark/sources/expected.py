@@ -265,6 +265,29 @@ def _b_image_stats(sf_dir: str) -> pd.DataFrame:
         # corpus PDFs are generated (never encrypted image families), so a
         # raw scan over "N 0 obj ... endobj" bodies is a faithful
         # independent reader for THIS oracle's inputs
+        def unpack(raw, w, h, n_ch, bits):
+            """Pure-python MSB-first sub-byte unpack with per-row byte
+            padding — the independent counterpart of the engine's numpy
+            unpackbits path."""
+            row_bytes = (w * n_ch * bits + 7) // 8
+            if len(raw) < row_bytes * h:
+                return None
+            vals = []
+            mask = (1 << bits) - 1
+            for r in range(h):
+                acc = n = 0
+                got = []
+                for byte in raw[r * row_bytes:(r + 1) * row_bytes]:
+                    acc = (acc << 8) | byte
+                    n += 8
+                    while n >= bits and len(got) < w * n_ch:
+                        got.append((acc >> (n - bits)) & mask)
+                        n -= bits
+                if len(got) < w * n_ch:
+                    return None
+                vals.extend(got)
+            return vals
+
         images = []
         for m in re.finditer(
             rb"(\d+) 0 obj\s*(<<.*?>>)\s*stream\r?\n", data, re.S
@@ -279,11 +302,36 @@ def _b_image_stats(sf_dir: str) -> pd.DataFrame:
             body = data[start:start + int(ln.group(1))]
             w = int(re.search(rb"/Width (\d+)", head).group(1))
             h = int(re.search(rb"/Height (\d+)", head).group(1))
-            gray = b"/DeviceGray" in head
-            ch = 1 if gray else 3
+            bm = re.search(rb"/BitsPerComponent (\d+)", head)
+            bits = int(bm.group(1)) if bm else 8
+            ix = re.search(
+                rb"/ColorSpace\s*\[/Indexed/DeviceRGB \d+ <([0-9A-Fa-f]+)>\]",
+                head,
+            )
+            if ix:
+                import binascii
+
+                palette = binascii.unhexlify(ix.group(1))
+                ch, raw_ch = 3, 1
+            else:
+                palette = None
+                ch = 1 if b"/DeviceGray" in head else 3
+                raw_ch = ch
             if b"/FlateDecode" in head:
-                px = zlib.decompress(body)
-                status = "ok" if len(px) >= w * h * ch else "error"
+                codes = unpack(zlib.decompress(body), w, h, raw_ch, bits)
+                if codes is None:
+                    px, status = None, "error"
+                elif palette is not None:
+                    if max(codes) > len(palette) // 3 - 1:
+                        px, status = None, "error"
+                    else:
+                        px = [
+                            palette[i * 3 + c] for i in codes
+                            for c in range(3)
+                        ]
+                        status = "ok"
+                else:
+                    px, status = codes, "ok"
             else:
                 px, status = None, "unsupported"
             images.append((int(m.group(1)), w, h, ch, px, status))

@@ -131,3 +131,53 @@ def test_corpus_images_family_present_and_decodable():
                 n_unsup += 1
     assert n_ok > 0, "decodable Flate images must exist"
     assert n_unsup > 0, "DCT 'unsupported' rows must exist"
+
+
+def test_subbyte_gray_depths_roundtrip():
+    """1/2/4-bit DeviceGray: MSB-first packing with per-row byte padding
+    (widths chosen so every row has dangling bits)."""
+    from pdfplumber_spark.kernel.pdfgen import image_codes
+
+    specs = [(1, 7, 5, 4), (2, 9, 4, 5), (4, 5, 5, 6)]
+    images = [
+        {"x": 80 + 110 * i, "top": 150, "w": 60, "h": 40,
+         "pw": pw, "ph": ph, "channels": 1, "bits": bits, "seed": seed}
+        for i, (bits, pw, ph, seed) in enumerate(specs)
+    ]
+    ims = image_xobjects(_pdf(images))
+    assert [i["status"] for i in ims] == ["ok"] * 3
+    for im, (bits, pw, ph, seed) in zip(ims, specs):
+        assert (im["bits"], im["colorspace"]) == (bits, "DeviceGray")
+        assert list(im["samples"]) == image_codes(seed, pw, ph, 1, 1 << bits)
+
+
+def test_indexed_palette_expands_to_base_colorspace():
+    from pdfplumber_spark.kernel.pdfgen import image_codes
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30),
+           (200, 200, 200)]
+    ims = image_xobjects(
+        _pdf([{"x": 80, "top": 300, "w": 60, "h": 40, "pw": 6, "ph": 6,
+               "bits": 4, "seed": 8, "palette": pal}])
+    )
+    (im,) = ims
+    assert im["colorspace"] == "Indexed(DeviceRGB)"
+    assert im["channels"] == 3
+    idx = image_codes(8, 6, 6, 1, len(pal))
+    assert im["samples"] == b"".join(bytes(pal[i]) for i in idx)
+
+
+def test_out_of_range_palette_index_is_error():
+    """An index past hival must not crash or silently wrap."""
+    from pdfplumber_spark.kernel.pdfgen import make_pdf
+    import re
+
+    pdf = _pdf([{"x": 80, "top": 300, "w": 60, "h": 40, "pw": 4, "ph": 4,
+                 "bits": 8, "seed": 8,
+                 "palette": [(0, 0, 0), (255, 255, 255)]}])
+    # shrink the declared palette to hival 0 so generated indices overflow
+    broken = pdf.replace(b"/Indexed/DeviceRGB 1 <", b"/Indexed/DeviceRGB 0 <")
+    # (hival isn't even read from the dict — the lookup length rules)
+    broken = broken.replace(b"000000FFFFFF", b"000000")
+    (im,) = image_xobjects(broken)
+    assert im["status"] == "error"
