@@ -137,12 +137,15 @@ def main() -> None:
         "scaling_note": (
             "quick per-round pair on a small corpus (walls of a few sec are "
             "scheduler-dominated); protocol-grade measurement (128k docs, "
-            "BENCH/scaling_protocol.py, now with --interleave mode) in "
-            "BENCH/BASELINE.md: round-3 interleaved 8->32 cycle 0 = 0.896 "
-            "PASS (local[8] leg stable at ~1k docs/s, local[32] leg tracks "
-            "the drifting host-DRAM ceiling 2.6-4.2k docs/s; round-2 "
-            "control: unchanged code reproduces the ceiling); round-2 "
-            "4->16 = 0.877 PASS"
+            "BENCH/scaling_protocol.py --interleave) in BENCH/BASELINE.md: "
+            "round-4 interleaved 4->16 = 1.114/0.802/0.837, median 0.837, "
+            "ALL cycles PASS >= 0.8 (the pair whose 4N leg fits under the "
+            "night's depressed host-DRAM ceiling); 8->32 the same night "
+            "was ceiling-capped (32-leg <= 3,082 docs/s vs 4,203 in "
+            "round-3 fast windows; with the 8-leg at its historical top "
+            "~1,150 docs/s, 8->32 parity needs ~4.6k aggregate — above "
+            "the best ceiling ever observed). Prior passes: round-3 8->32 "
+            "0.896 and 0.852, round-2 4->16 0.877."
         ),
     }
     print(json.dumps(out))
