@@ -236,3 +236,60 @@ def test_boilerplate_skew_trips_bucket_cap(spark):
     import pdfplumber_spark
 
     pdfplumber_spark.unpersist_all()
+
+
+def test_cosine_lsh_production_regime_prunes(spark):
+    """SCALE.md's pruning claim, substantiated: at the high-threshold
+    near-dup regime (t=0.9, 8 planes / 16 tables) the bucket join visits a
+    small fraction of all pairs while still recalling every planted dup.
+    (The board row's t=0.40 is the documented WEAK regime — on the board
+    corpus 95% of all pairs become candidates; this test is the regime the
+    operator is FOR.)"""
+    import numpy as np
+
+    from pdfplumber_spark.operators.similarity import (
+        cosine_near_pairs,
+        random_hyperplanes,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((300, 64))
+    dups = base[:60] + 0.03 * rng.standard_normal((60, 64))  # cosine ~0.999
+    m = np.vstack([base, dups])
+    n = len(m)
+
+    n_planes, n_tables = 8, 16
+    ap = np.vstack(
+        [random_hyperplanes(64, n_planes, seed=977 + i) for i in range(n_tables)]
+    )
+    signs = (m @ ap.T) >= 0
+    signs = signs.reshape(n, n_tables, n_planes)
+    w = np.array([1 << i for i in range(n_planes)], dtype=np.int64)
+    keys = (signs * w).sum(2)
+    cand = np.zeros((n, n), bool)
+    for ti in range(n_tables):
+        k = keys[:, ti]
+        cand |= k[:, None] == k[None, :]
+    iu = np.triu_indices(n, 1)
+    frac = cand[iu].mean()
+    print(f"candidate fraction at t=0.9 regime: {frac:.4f}")
+    assert frac < 0.25, frac  # >= 4x pruning (typically ~10-16x)
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(m)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = sorted(
+        map(tuple, cosine_near_pairs(emb, threshold=0.9).collect())
+    )
+    lsh = sorted(
+        map(
+            tuple,
+            cosine_near_pairs(
+                emb, threshold=0.9, method="lsh", n_planes=8, n_tables=16
+            ).collect(),
+        )
+    )
+    assert len(exact) >= 60  # every planted dup pair is above threshold
+    assert lsh == exact  # total recall in the regime the params target
+    import pdfplumber_spark
+
+    pdfplumber_spark.unpersist_all()
