@@ -284,6 +284,16 @@ def q_quality(spark, sf_dir):
     return q.select("doc_id", "n_chars", "n_words", "alpha_ratio", "punct_ratio")
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (dup-word / top-word /
+    top-bigram / dup-line fractions) — explode + lead() window + two-level
+    agg, mirrored in pure SQL."""
+    from pdfplumber_spark.operators.text_analysis import repetition_stats
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text")
+
+
 def q_langid(spark, sf_dir):
     from pdfplumber_spark.operators.text_analysis import with_language
 
@@ -596,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "token_count": q_token_count,
         "quality": q_quality,
+        "repetition": q_repetition,
         "langid": q_langid,
         "embedding_topk": q_embedding_topk,
         "minhash_pairs": q_minhash_pairs,
@@ -855,6 +866,59 @@ def oracle_sql() -> dict[str, str]:
         "langid": f"""
             WITH h AS (SELECT doc_id, {hits_cols} FROM documents)
             SELECT doc_id, {case_chain} AS lang_detected FROM h
+        """,
+        "repetition": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\S+') AS words,
+                       string_split(text, chr(10)) AS lines
+                FROM documents
+            ), counts AS (
+                SELECT doc_id,
+                       len(words) AS n_words,
+                       len(list_distinct(words)) AS n_distinct_words,
+                       len(lines) AS n_lines,
+                       len(list_distinct(lines)) AS n_distinct_lines
+                FROM base
+            ), w AS (
+                SELECT doc_id, unnest(words) AS word,
+                       generate_subscripts(words, 1) AS pos
+                FROM base
+            ), grams AS (
+                SELECT doc_id, word,
+                       lead(word) OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS nxt
+                FROM w
+            ), word_top AS (
+                SELECT doc_id, MAX(c) AS top_word_cnt FROM (
+                    SELECT doc_id, word, COUNT(*) AS c
+                    FROM w GROUP BY doc_id, word) t
+                GROUP BY doc_id
+            ), bigram_top AS (
+                SELECT doc_id, MAX(c) AS top_bigram_cnt FROM (
+                    SELECT doc_id, word || ' ' || nxt AS bigram,
+                           COUNT(*) AS c
+                    FROM grams WHERE nxt IS NOT NULL
+                    GROUP BY doc_id, bigram) t
+                GROUP BY doc_id
+            )
+            SELECT c.doc_id, c.n_words,
+                   CASE WHEN c.n_words = 0 THEN 0.0
+                        ELSE ROUND(1 - CAST(c.n_distinct_words AS DOUBLE)
+                                   / c.n_words, 6) END AS dup_word_frac,
+                   CASE WHEN c.n_words = 0 THEN 0.0
+                        ELSE ROUND(CAST(wt.top_word_cnt AS DOUBLE)
+                                   / c.n_words, 6) END AS top_word_frac,
+                   CASE WHEN c.n_words <= 1 THEN 0.0
+                        ELSE ROUND(CAST(bt.top_bigram_cnt AS DOUBLE)
+                                   / (c.n_words - 1), 6) END
+                       AS top_bigram_frac,
+                   CASE WHEN c.n_lines = 0 THEN 0.0
+                        ELSE ROUND(1 - CAST(c.n_distinct_lines AS DOUBLE)
+                                   / c.n_lines, 6) END AS dup_line_frac
+            FROM counts c
+            LEFT JOIN word_top wt USING (doc_id)
+            LEFT JOIN bigram_top bt USING (doc_id)
         """,
         "cosine_near_pairs": _COSINE_PAIRS_SQL,
         # the lsh scale path must reproduce the exact result on the board

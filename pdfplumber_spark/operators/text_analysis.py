@@ -10,7 +10,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from ..kernel.textstats import LANG_PROFILES, TOKEN_RE
 
@@ -82,6 +82,89 @@ def with_language(df: DataFrame, text_col: str = "text") -> DataFrame:
             expr
         )
     return df.withColumn("lang_detected", expr)
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1), one row per
+    doc: ``n_words``, ``dup_word_frac`` (1 - distinct/total words),
+    ``top_word_frac`` (most frequent word / total), ``top_bigram_frac``
+    (most frequent word 2-gram / total bigrams), ``dup_line_frac``
+    (1 - distinct/total newline-split lines).
+
+    Plan shape: the array metrics are pure column exprs; the top-k metrics
+    explode words once, derive bigrams with a lead() window (no second
+    scan), partial-aggregate per (doc, gram) then per doc — two shuffles
+    on the doc key, no corpus-wide state. Ratios are int/int divisions
+    rounded to 6, mirrored exactly by the DuckDB oracle."""
+    t = F.col(text_col)
+    # idx=0 = whole match (Spark's default idx=1 wants a capture group)
+    words_arr = F.regexp_extract_all(F.lower(t), F.lit(r"\S+"), 0)
+    lines_arr = F.split(t, F.lit("\n"))
+    base = df.select(
+        F.col(id_col),
+        F.size(words_arr).alias("n_words"),
+        F.size(F.array_distinct(words_arr)).alias("n_distinct_words"),
+        F.size(lines_arr).alias("n_lines"),
+        F.size(F.array_distinct(lines_arr)).alias("n_distinct_lines"),
+    )
+
+    w = df.select(
+        F.col(id_col),
+        F.posexplode(words_arr).alias("pos", "word"),
+    )
+    lead_w = Window.partitionBy(id_col).orderBy("pos")
+    grams = w.withColumn("nxt", F.lead("word").over(lead_w))
+    word_top = (
+        w.groupBy(id_col, "word")
+        .count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("top_word_cnt"))
+    )
+    bigram_top = (
+        grams.where(F.col("nxt").isNotNull())
+        .select(id_col, F.concat_ws(" ", "word", "nxt").alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("top_bigram_cnt"))
+    )
+    out = (
+        base.join(word_top, id_col, "left")
+        .join(bigram_top, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            F.when(F.col("n_words") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    1 - F.col("n_distinct_words") / F.col("n_words"), 6
+                )
+            )
+            .alias("dup_word_frac"),
+            F.when(F.col("n_words") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(F.col("top_word_cnt") / F.col("n_words"), 6)
+            )
+            .alias("top_word_frac"),
+            F.when(F.col("n_words") <= 1, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("top_bigram_cnt") / (F.col("n_words") - 1), 6
+                )
+            )
+            .alias("top_bigram_frac"),
+            F.when(F.col("n_lines") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    1 - F.col("n_distinct_lines") / F.col("n_lines"), 6
+                )
+            )
+            .alias("dup_line_frac"),
+        )
+    )
+    return out
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -68,3 +68,38 @@ def test_null_text_counts_as_one(spark):
     row = with_token_counts(df, "text").collect()[0]
     # greatest() skips the NULL regexp_count and returns the 1 floor
     assert row["n_ws_tokens"] == 1
+
+
+def test_repetition_stats_known_values(spark):
+    from pdfplumber_spark.operators.text_analysis import repetition_stats
+
+    docs = [
+        (0, "a a a b"),              # dup words + top bigram "a a" (2/3)
+        (1, ""),                     # empty: all zeros
+        (2, "unique words only"),    # no repetition
+        (3, "x\nx\ny"),              # dup lines (3 lines, 2 distinct)
+        (4, "solo"),                 # one word: bigram frac 0
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+
+    assert got[0]["n_words"] == 4
+    assert got[0]["dup_word_frac"] == round(1 - 2 / 4, 6)
+    assert got[0]["top_word_frac"] == round(3 / 4, 6)
+    assert got[0]["top_bigram_frac"] == round(2 / 3, 6)
+
+    assert got[1]["n_words"] == 0
+    assert got[1]["dup_word_frac"] == 0.0
+    assert got[1]["top_word_frac"] == 0.0
+    assert got[1]["top_bigram_frac"] == 0.0
+    # split('') -> [''] = 1 line, 1 distinct
+    assert got[1]["dup_line_frac"] == 0.0
+
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[2]["top_word_frac"] == round(1 / 3, 6)
+
+    assert got[3]["dup_line_frac"] == round(1 - 2 / 3, 6)
+
+    assert got[4]["n_words"] == 1
+    assert got[4]["top_bigram_frac"] == 0.0
+    assert got[4]["top_word_frac"] == 1.0
