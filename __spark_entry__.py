@@ -294,6 +294,33 @@ def q_repetition(spark, sf_dir):
     return repetition_stats(docs, "doc_id", "text")
 
 
+def q_winnow(spark, sf_dir):
+    """Winnowed k-gram rolling-hash document fingerprints (Schleimer et
+    al. SIGMOD'04). Oracle: independent per-position pow-mod re-derivation
+    (no rolling update) — the kernel's rolling arithmetic is what's
+    checked."""
+    from pdfplumber_spark.operators.text_analysis import winnow_table
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return winnow_table(docs, "doc_id", "text").select("doc_id", "fingerprint")
+
+
+def q_winnow_overlap(spark, sf_dir):
+    """Containment-overlap pairs (|A∩B| / min(|A|,|B|) >= 0.3) over the
+    winnowed fingerprints — inverted-index join with the posting-list
+    cap; the join/agg logic is PURE SQL over the materialized fingerprint
+    parquet, so the distributed plan itself is DuckDB-checked."""
+    from pdfplumber_spark.operators.text_analysis import (
+        winnow_overlap,
+        winnow_table,
+    )
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return winnow_overlap(
+        winnow_table(docs, "doc_id", "text"), threshold=0.3
+    ).select("doc_a", "doc_b", "overlap")
+
+
 def q_langid(spark, sf_dir):
     from pdfplumber_spark.operators.text_analysis import with_language
 
@@ -607,6 +634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality": q_quality,
         "repetition": q_repetition,
+        "winnow": q_winnow,
+        "winnow_overlap": q_winnow_overlap,
         "langid": q_langid,
         "embedding_topk": q_embedding_topk,
         "minhash_pairs": q_minhash_pairs,
@@ -951,6 +980,30 @@ def oracle_sql() -> dict[str, str]:
             name: f"SELECT * FROM read_parquet('{path}')"
             for name, path in _expected_oracle_paths().items()
         },
+        # containment-overlap pairs recomputed in PURE SQL over the
+        # materialized winnow parquet — the inverted-index join, posting
+        # cap, and ratio logic are DuckDB logic
+        "winnow_overlap": f"""
+            WITH f AS (SELECT DISTINCT doc_id, fingerprint
+                       FROM read_parquet('{_expected_oracle_paths()["winnow"]}')),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM f GROUP BY doc_id),
+            freq AS (SELECT fingerprint FROM f GROUP BY fingerprint
+                     HAVING COUNT(*) <= 1000),
+            ff AS (SELECT f.* FROM f JOIN freq USING (fingerprint)),
+            co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          COUNT(*) AS co
+                   FROM ff a JOIN ff b
+                     ON a.fingerprint = b.fingerprint
+                    AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   ROUND(CAST(co AS DOUBLE) / LEAST(sa.n, sb.n), 6)
+                       AS overlap
+            FROM co
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE ROUND(CAST(co AS DOUBLE) / LEAST(sa.n, sb.n), 6) >= 0.3
+        """,
         # composes the materialized pairs parquet with REAL SQL: the
         # greedy drop rule (lose the higher id of every >=0.8 pair) is
         # DuckDB logic, so the distributed anti-join itself is checked

@@ -189,3 +189,51 @@ def jaccard(a: set, b: set) -> float:
         return 1.0
     u = len(a | b)
     return len(a & b) / u if u else 0.0
+
+
+# --- winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2004) ---------
+
+WINNOW_BASE = 1_000_003
+WINNOW_MOD = (1 << 61) - 1
+
+
+def kgram_hash(s: str) -> int:
+    """Polynomial k-gram hash: sum(ord(c) * BASE^(k-1-j)) mod 2^61-1 —
+    the shared spec both the engine kernel and the independent oracle
+    implement (the oracle recomputes per position, this module rolls)."""
+    h = 0
+    for ch in s:
+        h = (h * WINNOW_BASE + ord(ch)) % WINNOW_MOD
+    return h
+
+
+def winnow_fingerprints(text: str, k: int = 8, w: int = 4) -> List[int]:
+    """Winnowed k-gram fingerprint set (sorted, distinct).
+
+    Rolling polynomial hash over lowercase text, then robust winnowing:
+    every window of ``w`` consecutive k-gram hashes contributes its
+    minimum (ties -> rightmost), guaranteeing any match of length
+    >= w + k - 1 shares a fingerprint while sampling only ~2/(w+1) of all
+    k-grams. Texts shorter than k hash as a single whole-text gram."""
+    s = text.lower()
+    if len(s) < k:
+        return [kgram_hash(s)] if s else []
+    n = len(s) - k + 1
+    hs = [0] * n
+    h = kgram_hash(s[:k])
+    hs[0] = h
+    top = pow(WINNOW_BASE, k - 1, WINNOW_MOD)
+    for i in range(1, n):
+        h = ((h - ord(s[i - 1]) * top) * WINNOW_BASE + ord(s[i + k - 1])) \
+            % WINNOW_MOD
+        hs[i] = h
+    sel = set()
+    for start in range(max(n - w + 1, 1)):
+        window = hs[start:start + w]
+        m = min(window)
+        # rightmost minimum (robust winnowing tie rule)
+        for j in range(len(window) - 1, -1, -1):
+            if window[j] == m:
+                sel.add(window[j])
+                break
+    return sorted(sel)

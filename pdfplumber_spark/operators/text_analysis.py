@@ -167,6 +167,86 @@ def repetition_stats(
     return out
 
 
+def winnow_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """(doc_id, fingerprint) rows: winnowed k-gram rolling-hash
+    fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2004) via the Arrow
+    kernel — ~2/(w+1) of the k-grams sampled, any shared run of
+    >= w+k-1 chars guaranteed to share a fingerprint."""
+    from ..kernel.textstats import winnow_fingerprints
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("fingerprint", T.LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, fps = [], []
+            for i, t in zip(b[id_col], b[text_col]):
+                for f in winnow_fingerprints(t or "", k=k, w=w):
+                    ids.append(i)
+                    fps.append(f)
+            yield pd.DataFrame({"doc_id": ids, "fingerprint": fps})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+def winnow_overlap(
+    fps: DataFrame,
+    threshold: float = 0.5,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Containment overlap pairs over a winnowed fingerprint table:
+    overlap(A,B) = |A ∩ B| / min(|A|, |B|) >= threshold.
+
+    Inverted-index equi-join on the fingerprint (never a cross join);
+    ``max_doc_freq`` drops boilerplate fingerprints whose posting lists
+    would explode the join — the same posting-list guard as
+    ``jaccard_pairs``. SQL-oracle-checkable over the materialized
+    fingerprint parquet."""
+    from ._cache import persist_tracked
+
+    fps = persist_tracked(fps.select("doc_id", "fingerprint").distinct())
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    dfreq = fps.groupBy("fingerprint").agg(F.count("*").alias("df"))
+    filtered = fps.join(
+        dfreq.where(F.col("df") <= max_doc_freq).select("fingerprint"),
+        "fingerprint",
+    )
+    a, b = filtered.alias("a"), filtered.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("co"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("nb"))
+    return (
+        co.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("co") / F.least("na", "nb"), 6).alias("overlap"),
+        )
+        .where(F.col("overlap") >= threshold)
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit FNV-1a content fingerprint via the Arrow kernel + md5 (SQL
     parity column)."""

@@ -40,7 +40,7 @@ import pandas as pd
 from .corpus import CORPUS_VERSION, corpus_path_for_sf
 
 # bump when any expected-result computation changes
-EXPECTED_VERSION = 5
+EXPECTED_VERSION = 6
 
 
 # ---------------------------------------------------------------------------
@@ -578,6 +578,44 @@ def _b_ivf_topk(sf_dir: str) -> pd.DataFrame:
                        "rank": "int64"})
 
 
+def _b_winnow(sf_dir: str) -> pd.DataFrame:
+    """Independent re-derivation of winnow_table: per-position polynomial
+    hashes computed directly (pow-mod per k-gram, NO rolling update) and
+    the robust-winnowing rightmost-min selection expressed via a reversed
+    enumerate scan — same spec (kgram_hash formula), different code path,
+    so the kernel's rolling arithmetic is cross-checked."""
+    from ..kernel.textstats import WINNOW_BASE, WINNOW_MOD
+
+    k, w = 8, 4
+    pows = [pow(WINNOW_BASE, k - 1 - j, WINNOW_MOD) for j in range(k)]
+
+    def direct_hash(s):
+        return sum(ord(c) * p for c, p in zip(s, pows)) % WINNOW_MOD
+
+    rows = []
+    docs = _read_documents(sf_dir, max_id=1 << 62)
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        s = (text or "").lower()
+        if not s:
+            continue
+        if len(s) < k:
+            h = 0
+            for c in s:
+                h = (h * WINNOW_BASE + ord(c)) % WINNOW_MOD
+            rows.append((int(doc_id), h))
+            continue
+        hs = [direct_hash(s[i:i + k]) for i in range(len(s) - k + 1)]
+        sel = set()
+        for start in range(max(len(hs) - w + 1, 1)):
+            window = hs[start:start + w]
+            m = min(window)
+            rightmost = max(j for j, v in enumerate(window) if v == m)
+            sel.add(window[rightmost])
+        rows.extend((int(doc_id), h) for h in sorted(sel))
+    out = pd.DataFrame(rows, columns=["doc_id", "fingerprint"])
+    return out.astype({"doc_id": "int64", "fingerprint": "int64"})
+
+
 # ---------------------------------------------------------------------------
 # registry + materialization
 # ---------------------------------------------------------------------------
@@ -601,6 +639,7 @@ _BUILDERS = {
     "structure": _b_structure,
     "image_metadata": _b_image_metadata,
     "image_stats": _b_image_stats,
+    "winnow": _b_winnow,
     "minhash_pairs": _b_minhash_pairs,
     "minhash_pairs_full": _b_minhash_pairs_full,
     "minhash_pairs_skewed": _b_minhash_pairs_skewed,

@@ -103,3 +103,54 @@ def test_repetition_stats_known_values(spark):
     assert got[4]["n_words"] == 1
     assert got[4]["top_bigram_frac"] == 0.0
     assert got[4]["top_word_frac"] == 1.0
+
+
+def test_winnow_guarantee_property():
+    """Winnowing's core guarantee: any shared substring of length
+    >= w + k - 1 (= 11 at k=8, w=4) produces at least one shared
+    fingerprint, regardless of the surrounding text."""
+    from pdfplumber_spark.kernel.textstats import winnow_fingerprints
+
+    import random
+
+    rng = random.Random(99)
+    shared = "the exact same passage appears here"
+    for _ in range(10):
+        pad_a = "".join(rng.choice("abcdefgh ") for _ in range(40))
+        pad_b = "".join(rng.choice("qrstuvwx ") for _ in range(40))
+        a = set(winnow_fingerprints(pad_a + shared + pad_a))
+        b = set(winnow_fingerprints(pad_b + shared + pad_b))
+        assert a & b, "guaranteed shared fingerprint missing"
+
+
+def test_winnow_short_and_empty_texts():
+    from pdfplumber_spark.kernel.textstats import (
+        kgram_hash,
+        winnow_fingerprints,
+    )
+
+    assert winnow_fingerprints("") == []
+    assert winnow_fingerprints("ab") == [kgram_hash("ab")]
+    # exactly k chars: one gram, one fingerprint
+    assert len(winnow_fingerprints("abcdefgh")) == 1
+
+
+def test_winnow_overlap_identical_docs(spark):
+    from pdfplumber_spark.operators.text_analysis import (
+        winnow_overlap,
+        winnow_table,
+    )
+
+    text = "a long enough document with plenty of shared content inside"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "completely different words everywhere")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.overlap
+        for r in winnow_overlap(winnow_table(df), threshold=0.5).collect()
+    }
+    assert pairs == {(1, 2): 1.0}
+    import pdfplumber_spark
+
+    pdfplumber_spark.unpersist_all()
