@@ -294,6 +294,15 @@ def q_repetition(spark, sf_dir):
     return repetition_stats(docs, "doc_id", "text")
 
 
+def q_quality_filter(spark, sf_dir):
+    """C4/Gopher-style keep/drop with auditable first-failing-rule reason
+    codes — the curation decision a 100 TB pipeline runs per doc."""
+    from pdfplumber_spark.operators.text_analysis import quality_filter
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return quality_filter(docs).select("doc_id", "keep", "reject_reason")
+
+
 def q_winnow(spark, sf_dir):
     """Winnowed k-gram rolling-hash document fingerprints (Schleimer et
     al. SIGMOD'04). Oracle: independent per-position pow-mod re-derivation
@@ -634,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality": q_quality,
         "repetition": q_repetition,
+        "quality_filter": q_quality_filter,
         "winnow": q_winnow,
         "winnow_overlap": q_winnow_overlap,
         "langid": q_langid,
@@ -895,6 +905,35 @@ def oracle_sql() -> dict[str, str]:
         "langid": f"""
             WITH h AS (SELECT doc_id, {hits_cols} FROM documents)
             SELECT doc_id, {case_chain} AS lang_detected FROM h
+        """,
+        "quality_filter": r"""
+            WITH q AS (
+                SELECT doc_id,
+                       GREATEST(len(regexp_extract_all(text, '\S+')), 1)
+                           AS n_words,
+                       ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]',
+                                 '', 'g')) AS DOUBLE)
+                             / GREATEST(length(text), 1), 6) AS alpha_ratio,
+                       ROUND(CAST(length(regexp_replace(text, '[\w\s]', '',
+                                 'g')) AS DOUBLE)
+                             / GREATEST(length(text), 1), 6) AS punct_ratio,
+                       len(regexp_extract_all(lower(text), '\S+')) AS nw,
+                       len(list_distinct(regexp_extract_all(lower(text),
+                           '\S+'))) AS nd
+                FROM documents
+            ), rules AS (
+                SELECT doc_id,
+                       CASE WHEN n_words < 30 THEN 'too_short'
+                            WHEN alpha_ratio < 0.75 THEN 'low_alpha'
+                            WHEN punct_ratio > 0.2 THEN 'too_punct'
+                            WHEN (CASE WHEN nw = 0 THEN 0.0
+                                  ELSE ROUND(1 - CAST(nd AS DOUBLE) / nw, 6)
+                                  END) > 0.65 THEN 'repetitive'
+                       END AS reject_reason
+                FROM q
+            )
+            SELECT doc_id, reject_reason IS NULL AS keep, reject_reason
+            FROM rules
         """,
         "repetition": r"""
             WITH base AS (

@@ -247,6 +247,40 @@ def winnow_overlap(
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 30,
+    min_alpha: float = 0.75,
+    max_punct: float = 0.2,
+    max_dup_word: float = 0.65,
+) -> DataFrame:
+    """C4/Gopher-style keep/drop decision with an auditable reason code —
+    the curation primitive a 100 TB pipeline actually runs: every doc gets
+    (keep, reject_reason), where reject_reason is the FIRST failing rule
+    in a fixed order (too_short -> low_alpha -> too_punct -> repetitive),
+    so downstream attrition reports are deterministic. Pure composition of
+    the quality + repetition features (one join on the doc key); the
+    DuckDB oracle re-derives the same rule chain in SQL."""
+    q = with_quality(df.select(id_col, text_col), text_col).select(
+        id_col, "n_words", "alpha_ratio", "punct_ratio"
+    )
+    r = repetition_stats(df, id_col, text_col).select(id_col, "dup_word_frac")
+    j = q.join(r, id_col)
+    reason = (
+        F.when(F.col("n_words") < min_words, F.lit("too_short"))
+        .when(F.col("alpha_ratio") < min_alpha, F.lit("low_alpha"))
+        .when(F.col("punct_ratio") > max_punct, F.lit("too_punct"))
+        .when(F.col("dup_word_frac") > max_dup_word, F.lit("repetitive"))
+    )
+    return j.select(
+        id_col,
+        reason.isNull().alias("keep"),
+        reason.alias("reject_reason"),
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit FNV-1a content fingerprint via the Arrow kernel + md5 (SQL
     parity column)."""

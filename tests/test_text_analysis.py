@@ -154,3 +154,45 @@ def test_winnow_overlap_identical_docs(spark):
     import pdfplumber_spark
 
     pdfplumber_spark.unpersist_all()
+
+
+def test_quality_filter_reason_codes(spark):
+    """First-failing-rule ordering and the keep path."""
+    from pdfplumber_spark.operators.text_analysis import quality_filter
+
+    import itertools
+
+    syll = ["ba", "be", "bi", "bo", "bu", "ka", "ke", "ki"]
+    good = " ".join(
+        a + b for a, b in itertools.product(syll, syll)
+    )  # 64 distinct, fully alphabetic words
+    docs = [
+        (0, good),                               # keep
+        (1, "short text"),                       # too_short
+        (2, "1 2 3 4 5 " * 8),                   # low_alpha (digits) but
+                                                 # ALSO short? 40 words -> ok
+        (3, ("haaaaaaaa " * 40).strip()),        # repetitive (1 distinct
+                                                 # word, alpha 0.9)
+        (4, None),                               # NULL text
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["keep"], r["reject_reason"])
+           for r in quality_filter(df).collect()}
+    assert got[0] == (True, None)
+    assert got[1] == (False, "too_short")
+    assert got[2] == (False, "low_alpha")
+    assert got[3] == (False, "repetitive")
+
+
+def test_quality_filter_corpus_split(spark):
+    """On the board corpus the filter must actually discriminate (both
+    keeps and drops present) and reasons must be from the fixed set."""
+    from pdfplumber_spark.operators.text_analysis import quality_filter
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    rows = quality_filter(docs).collect()
+    keeps = sum(1 for r in rows if r["keep"])
+    assert 0 < keeps < len(rows)
+    assert {r["reject_reason"] for r in rows if not r["keep"]} <= {
+        "too_short", "low_alpha", "too_punct", "repetitive"
+    }
