@@ -294,6 +294,47 @@ def q_repetition(spark, sf_dir):
     return repetition_stats(docs, "doc_id", "text")
 
 
+def q_tokenize(spark, sf_dir):
+    """Token EXTRACTION to rows (doc_id, pos, token) with the BPE-ish
+    regex — the tokenize-to-rows primitive training pipelines feed from;
+    1-based positions to match SQL generate_subscripts."""
+    docs = _tbl(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_PATTERN), 0)
+        ).alias("pos", "token"),
+    )
+    return toks.select(
+        "doc_id", (F.col("pos") + 1).alias("pos"), "token"
+    )
+
+
+def q_ngram_counts(spark, sf_dir):
+    """Corpus-wide top-100 word bigrams (count DESC, bigram ASC tie-break)
+    — the classic corpus statistic; partial-aggregated explode, one
+    shuffle on the gram key, top-k via global sort of the tiny aggregate."""
+    docs = _tbl(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+        ).alias("pos", "word"),
+    )
+    lead_w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        w.withColumn("nxt", F.lead("word").over(lead_w))
+        .where(F.col("nxt").isNotNull())
+        .select(F.concat_ws(" ", "word", "nxt").alias("bigram"))
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(100)
+    )
+
+
 def q_quality_filter(spark, sf_dir):
     """C4/Gopher-style keep/drop with auditable first-failing-rule reason
     codes — the curation decision a 100 TB pipeline runs per doc."""
@@ -643,6 +684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality": q_quality,
         "repetition": q_repetition,
+        "tokenize": q_tokenize,
+        "ngram_counts": q_ngram_counts,
         "quality_filter": q_quality_filter,
         "winnow": q_winnow,
         "winnow_overlap": q_winnow_overlap,
@@ -905,6 +948,34 @@ def oracle_sql() -> dict[str, str]:
         "langid": f"""
             WITH h AS (SELECT doc_id, {hits_cols} FROM documents)
             SELECT doc_id, {case_chain} AS lang_detected FROM h
+        """,
+        "tokenize": f"""
+            SELECT doc_id,
+                   generate_subscripts(toks, 1) AS pos,
+                   unnest(toks) AS token
+            FROM (SELECT doc_id,
+                         regexp_extract_all(text, '{_TOKEN_PATTERN}') AS toks
+                  FROM documents)
+        """,
+        "ngram_counts": r"""
+            WITH w AS (
+                SELECT doc_id, unnest(ws) AS word,
+                       generate_subscripts(ws, 1) AS pos
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text), '\S+') AS ws
+                      FROM documents)
+            ), grams AS (
+                SELECT word || ' ' || lead(word) OVER (
+                           PARTITION BY doc_id ORDER BY pos) AS bigram,
+                       lead(word) OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS nxt
+                FROM w
+            )
+            SELECT bigram, COUNT(*) AS n
+            FROM grams WHERE nxt IS NOT NULL
+            GROUP BY bigram
+            ORDER BY n DESC, bigram
+            LIMIT 100
         """,
         "quality_filter": r"""
             WITH q AS (
