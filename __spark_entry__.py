@@ -356,7 +356,7 @@ def q_winnow(spark, sf_dir):
 
 
 def q_winnow_overlap(spark, sf_dir):
-    """Containment-overlap pairs (|A∩B| / min(|A|,|B|) >= 0.3) over the
+    """Containment-overlap pairs (|A∩B| / min(|A|,|B|) >= 0.2) over the
     winnowed fingerprints — inverted-index join with the posting-list
     cap; the join/agg logic is PURE SQL over the materialized fingerprint
     parquet, so the distributed plan itself is DuckDB-checked."""
@@ -367,7 +367,7 @@ def q_winnow_overlap(spark, sf_dir):
 
     docs = _tbl(spark, sf_dir, "documents")
     return winnow_overlap(
-        winnow_table(docs, "doc_id", "text"), threshold=0.3
+        winnow_table(docs, "doc_id", "text"), threshold=0.2
     ).select("doc_a", "doc_b", "overlap")
 
 
@@ -1098,7 +1098,7 @@ def oracle_sql() -> dict[str, str]:
                        FROM read_parquet('{_expected_oracle_paths()["winnow"]}')),
             sizes AS (SELECT doc_id, COUNT(*) AS n FROM f GROUP BY doc_id),
             freq AS (SELECT fingerprint FROM f GROUP BY fingerprint
-                     HAVING COUNT(*) <= 1000),
+                     HAVING COUNT(*) <= 50),
             ff AS (SELECT f.* FROM f JOIN freq USING (fingerprint)),
             co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                           COUNT(*) AS co
@@ -1112,7 +1112,7 @@ def oracle_sql() -> dict[str, str]:
             FROM co
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
-            WHERE ROUND(CAST(co AS DOUBLE) / LEAST(sa.n, sb.n), 6) >= 0.3
+            WHERE ROUND(CAST(co AS DOUBLE) / LEAST(sa.n, sb.n), 6) >= 0.2
         """,
         # composes the materialized pairs parquet with REAL SQL: the
         # greedy drop rule (lose the higher id of every >=0.8 pair) is

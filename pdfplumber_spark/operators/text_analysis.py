@@ -202,7 +202,7 @@ def winnow_table(
 def winnow_overlap(
     fps: DataFrame,
     threshold: float = 0.5,
-    max_doc_freq: int = 1000,
+    max_doc_freq: int = 50,
 ) -> DataFrame:
     """Containment overlap pairs over a winnowed fingerprint table:
     overlap(A,B) = |A ∩ B| / min(|A|, |B|) >= threshold.
