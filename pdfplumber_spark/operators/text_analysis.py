@@ -110,9 +110,17 @@ def repetition_stats(
         F.size(F.array_distinct(lines_arr)).alias("n_distinct_lines"),
     )
 
-    w = df.select(
-        F.col(id_col),
-        F.posexplode(words_arr).alias("pos", "word"),
+    from ._cache import persist_tracked
+
+    # both the word-count and bigram branches consume the exploded words;
+    # un-cached, the regexp scan + explode would execute once per branch
+    # (no ReusedExchange — the branches aggregate on different keys).
+    # Evict via unpersist_all() after the terminal action.
+    w = persist_tracked(
+        df.select(
+            F.col(id_col),
+            F.posexplode(words_arr).alias("pos", "word"),
+        )
     )
     lead_w = Window.partitionBy(id_col).orderBy("pos")
     grams = w.withColumn("nxt", F.lead("word").over(lead_w))
