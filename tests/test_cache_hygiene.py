@@ -23,7 +23,13 @@ CACHING_QUERIES = [
     "jaccard_pairs",
     "cosine_near_pairs",
     "lsh_topk",
+    "repetition",
+    "quality_filter",
+    "winnow_overlap",
 ]
+# NOT listed: minhash_dedup_cc — connected_components uses localCheckpoint
+# per round (lineage truncation); checkpoint blocks are reclaimed by the
+# ContextCleaner on GC, not by unpersist_all (documented in the operator).
 
 
 @pytest.mark.parametrize("name", CACHING_QUERIES)
