@@ -166,9 +166,17 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 20,
+    algorithm: str = "label_prop",
 ) -> DataFrame:
     """(node, component) for the undirected pair graph; ``component`` is the
     smallest node id in each connected component.
+
+    ``algorithm="label_prop"`` (default) converges in diameter rounds —
+    right for near-dup graphs (dense clusters, diameter ~2 at any scale).
+    ``algorithm="star"`` is the large-star/small-star alternation
+    (Kiveris et al., 2014): O(log n) rounds on ANY graph shape, the
+    swap-in when components can be long and thin; cross-validated against
+    label_prop on randomized graphs in tests/test_cc_dedup.py.
 
     Min-label propagation to a fixed point: every round each node takes the
     min of its own label and its neighbours' labels — one equi-join + one
@@ -189,6 +197,18 @@ def connected_components(
     are garbage-collected. On a real cluster prefer
     ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` for
     executor-loss resilience (SCALE.md §4)."""
+    if algorithm == "star":
+        canon = (
+            pairs.select(
+                F.least(a_col, b_col).alias("a"),
+                F.greatest(a_col, b_col).alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        return _cc_star(canon, max_iters)
+    if algorithm != "label_prop":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(
@@ -226,6 +246,68 @@ def connected_components(
     finally:
         edges.unpersist()
     return labels.select("node", F.col("label").alias("component"))
+
+
+def _cc_star(canon: DataFrame, max_iters: int) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al., MR'14 §3).
+
+    Each phase is expressed WITHOUT per-node adjacency lists: the per-node
+    minimum ``m(u) = min(Γ(u) ∪ {u})`` is a groupBy-min (partial-agg
+    shuffle on the node key), joined back to the symmetric edge view —
+    hub nodes never materialize their neighbor list on one row, which is
+    exactly why this shape survives power-law degree graphs at corpus
+    scale. large-star hangs every neighbor v > u onto m(u); small-star
+    re-hangs the v <= u side; O(log n) alternations flatten every
+    component into a star around its minimum. Convergence = canonical
+    edge set unchanged over one large+small cycle (exceptAll both ways);
+    per-phase localCheckpoint truncates lineage as in label_prop."""
+    cur = canon.localCheckpoint()
+    for _ in range(max_iters):
+        prev = cur
+        for phase in ("large", "small"):
+            sym = cur.select(
+                F.col("a").alias("u"), F.col("b").alias("v")
+            ).union(cur.select(F.col("b").alias("u"), F.col("a").alias("v")))
+            m = (
+                sym.groupBy("u")
+                .agg(F.min("v").alias("_mn"))
+                .select("u", F.least("u", "_mn").alias("m"))
+            )
+            j = sym.join(m, "u")
+            if phase == "large":
+                out = j.where(F.col("v") > F.col("u")).select(
+                    F.col("v").alias("x"), F.col("m").alias("y")
+                )
+            else:
+                out = j.where(F.col("v") <= F.col("u")).select(
+                    F.col("v").alias("x"), F.col("m").alias("y")
+                ).union(
+                    m.select(F.col("u").alias("x"), F.col("m").alias("y"))
+                )
+            cur = (
+                out.select(
+                    F.least("x", "y").alias("a"),
+                    F.greatest("x", "y").alias("b"),
+                )
+                .where(F.col("a") != F.col("b"))
+                .distinct()
+                .localCheckpoint()
+            )
+        stable = (
+            cur.exceptAll(prev).count() == 0
+            and prev.exceptAll(cur).count() == 0
+        )
+        if stable:
+            break
+    # at convergence every edge is (component_min, member)
+    sym = cur.select(F.col("a").alias("node"), F.col("b").alias("other")).union(
+        cur.select(F.col("b").alias("node"), F.col("a").alias("other"))
+    )
+    return (
+        sym.groupBy("node")
+        .agg(F.min("other").alias("_mn"))
+        .select("node", F.least("node", "_mn").alias("component"))
+    )
 
 
 def minhash_dedup_cc(

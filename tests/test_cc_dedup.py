@@ -165,3 +165,60 @@ def test_independent_set_keeper_rejects_unknown(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         minhash_dedup_cc(docs, "doc_id", "text", keeper="nope").collect()
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # path (worst case for label_prop, log-rounds for star)
+        [(i, i + 1) for i in range(1, 12)],
+        # star with high-id hub
+        [(50, x) for x in (60, 61, 62, 63)] + [(40, 50)],
+        # two components + a triangle
+        [(1, 2), (2, 3), (1, 3), (10, 11), (20, 21), (21, 22)],
+    ],
+)
+def test_star_matches_label_prop_fixed_graphs(spark, edges):
+    from pdfplumber_spark.operators.dedup import connected_components
+
+    df = _pairs(spark, [(a, b, 0.9) for a, b in edges])
+    lp = {r["node"]: r["component"]
+          for r in connected_components(df).collect()}
+    st = {r["node"]: r["component"]
+          for r in connected_components(df, algorithm="star").collect()}
+    assert st == lp
+    import pdfplumber_spark
+
+    pdfplumber_spark.unpersist_all()
+
+
+def test_star_matches_label_prop_random_graphs(spark):
+    """Erdős–Rényi-ish random graphs: the two algorithms must agree on
+    every node's component exactly."""
+    import random
+
+    from pdfplumber_spark.operators.dedup import connected_components
+
+    for seed in (5, 6):
+        rng = random.Random(seed)
+        nodes = list(range(100))
+        edges = set()
+        for _ in range(120):
+            a, b = rng.sample(nodes, 2)
+            edges.add((min(a, b), max(a, b)))
+        df = _pairs(spark, [(a, b, 0.9) for a, b in sorted(edges)])
+        lp = {r["node"]: r["component"]
+              for r in connected_components(df).collect()}
+        st = {r["node"]: r["component"]
+              for r in connected_components(df, algorithm="star").collect()}
+        assert st == lp, f"seed {seed}"
+    import pdfplumber_spark
+
+    pdfplumber_spark.unpersist_all()
+
+
+def test_unknown_algorithm_rejected(spark):
+    from pdfplumber_spark.operators.dedup import connected_components
+
+    with pytest.raises(ValueError):
+        connected_components(_pairs(spark, [(1, 2, 0.9)]), algorithm="nope")
