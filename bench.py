@@ -139,9 +139,10 @@ def main() -> None:
             "quick per-round pair on a small corpus (walls of a few sec are "
             "scheduler-dominated); protocol-grade measurement (128k docs, "
             "BENCH/scaling_protocol.py --interleave) in BENCH/BASELINE.md: "
-            "round-4 interleaved 4->16 = 1.114/0.802/0.837, median 0.837, "
-            "ALL cycles PASS >= 0.8 (the pair whose 4N leg fits under the "
-            "night's depressed host-DRAM ceiling); 8->32 the same night "
+            "round-4 interleaved 4->16, two passes, six cycles: 1.114/0.802/"
+            "0.837/0.995/0.762/0.735, aggregate median 0.82 PASS (first "
+            "pass 3/3 >= 0.8; second pass cycle 0 = 0.995, then the "
+            "ceiling sagged below even the 16-leg); 8->32 the same night "
             "was ceiling-capped (32-leg <= 3,082 docs/s vs 4,203 in "
             "round-3 fast windows; with the 8-leg at its historical top "
             "~1,150 docs/s, 8->32 parity needs ~4.6k aggregate — above "
