@@ -55,3 +55,75 @@ def stream_extract_text(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_first_seen(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Cross-batch exact dedup: emit each content hash's FIRST-seen page
+    (min url within the first batch that carries it), drop every later
+    arrival — the stateful-streaming primitive a continuous crawl ingest
+    needs so re-crawled/mirrored pages never re-enter the corpus.
+
+    Custom stateful operator via ``applyInPandasWithState``: state is one
+    boolean per content_md5 group, persisted in the streaming checkpoint,
+    so dedup survives restarts with exactly-once semantics (pinned by
+    tests/test_streaming.py). At scale the state store is per-key tiny
+    (1 bit + key) and partitioned by the hash — the same key the batch
+    ``exact_dedup`` shuffles on. NoTimeout: crawl dedup state must never
+    expire (a TTL would re-admit old boilerplate; swap in
+    ``GroupStateTimeout.ProcessingTimeTimeout`` if bounded-state retention
+    is preferred)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    pages = reader.parquet(input_dir)
+    keyed = pages.select(
+        F.md5(F.col("html")).alias("content_md5"), "url", "warc_ts"
+    )
+
+    # no type annotations on the udf fn (postponed-annotation strings break
+    # signature inference — same workaround as the pandas_udf kernels)
+    def first_seen(key, pdfs, state):
+        if state.exists:
+            for _ in pdfs:  # drain — later arrivals of a seen hash drop
+                pass
+            return
+        best = None
+        for pdf in pdfs:
+            if len(pdf):
+                cand = pdf.sort_values("url").iloc[0]
+                if best is None or cand["url"] < best["url"]:
+                    best = cand
+        if best is not None:
+            state.update((True,))
+            yield pd.DataFrame(
+                {
+                    "content_md5": [key[0]],
+                    "url": [best["url"]],
+                    "warc_ts": [best["warc_ts"]],
+                }
+            )
+
+    deduped = keyed.groupBy("content_md5").applyInPandasWithState(
+        first_seen,
+        outputStructType="content_md5 string, url string, warc_ts timestamp",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
