@@ -312,6 +312,44 @@ def ivf_build(
     return IVFIndex(cents, persist_tracked(assigned))
 
 
+def ivf_save(index: IVFIndex, path: str) -> None:
+    """Persist a trained index: centroids as a tiny parquet (k rows of
+    (cluster, centroid array)) + the assigned corpus as a partitioned
+    parquet CLUSTERED BY the cluster id — on read, the nprobe candidate
+    join prunes whole files (partition pruning on the equi-join key)."""
+    import os
+
+    spark = index.assigned.sparkSession
+    cents = [
+        (int(i), [float(x) for x in row])
+        for i, row in enumerate(index.centroids)
+    ]
+    spark.createDataFrame(
+        cents, "cluster long, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    index.assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+        os.path.join(path, "assigned")
+    )
+
+
+def ivf_load(spark, path: str) -> IVFIndex:
+    """Load a saved index; searches then skip BOTH training and
+    assignment — and partition pruning restricts the scan to the probed
+    clusters' files."""
+    import os
+
+    rows = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("cluster")
+        .collect()
+    )
+    cents = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    assigned = spark.read.parquet(os.path.join(path, "assigned"))
+    return IVFIndex(cents, assigned)
+
+
 def ivf_search(
     index: IVFIndex,
     queries: DataFrame,

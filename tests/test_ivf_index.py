@@ -90,3 +90,36 @@ def test_index_reuse_one_training_pass(spark, emb, monkeypatch):
     import pdfplumber_spark
 
     pdfplumber_spark.unpersist_all()
+
+
+def test_ivf_save_load_roundtrip(spark, emb, tmp_path):
+    """A saved index reloads bit-identically: same centroids, same
+    assignment, same search results — training amortizes across SESSIONS,
+    not just query batches. The assigned table is written partitioned by
+    cluster so the nprobe candidate join prunes whole partitions."""
+    import numpy as np
+
+    from pdfplumber_spark.operators import similarity as S
+
+    index = S.ivf_build(emb)
+    path = str(tmp_path / "ivf_index")
+    S.ivf_save(index, path)
+
+    loaded = S.ivf_load(spark, path)
+    assert np.array_equal(loaded.centroids, index.centroids)
+
+    queries = emb.where("vec_id < 5")
+    got = sorted(map(tuple, S.ivf_search(loaded, queries, k=5).collect()))
+    exp = sorted(map(tuple, S.ivf_search(index, queries, k=5).collect()))
+    assert got == exp
+
+    # partition pruning surface: the assigned table is laid out by cluster
+    import os
+
+    parts = [d for d in os.listdir(os.path.join(path, "assigned"))
+             if d.startswith("cluster=")]
+    assert len(parts) == 16
+
+    import pdfplumber_spark
+
+    pdfplumber_spark.unpersist_all()
