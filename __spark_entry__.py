@@ -447,6 +447,22 @@ def q_minhash_dedup_cc(spark, sf_dir):
     )
 
 
+def q_curated_corpus(spark, sf_dir):
+    """The end-to-end curation capstone: a doc survives iff it (a) passes
+    the C4/Gopher quality filter AND (b) is its connected component's
+    representative in the MinHash near-dup graph — the two pipelines a
+    100 TB training-data run actually composes. One anti-join + one
+    semi-join over the building blocks; the oracle composes the identical
+    rule chain + recursive-CTE components in pure SQL."""
+    from pdfplumber_spark.operators.dedup import minhash_dedup_cc
+    from pdfplumber_spark.operators.text_analysis import quality_filter
+
+    docs = _tbl(spark, sf_dir, "documents").where("doc_id < 300")
+    survivors = minhash_dedup_cc(docs, "doc_id", "text", threshold=0.8)
+    keep = quality_filter(docs).where("keep").select("doc_id")
+    return survivors.join(keep, "doc_id").select("doc_id")
+
+
 def q_embedding_topk(spark, sf_dir):
     from pdfplumber_spark.operators.similarity import cosine_topk
 
@@ -696,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_skewed": q_minhash_pairs_skewed,
         "minhash_dedup": q_minhash_dedup,
         "minhash_dedup_cc": q_minhash_dedup_cc,
+        "curated_corpus": q_curated_corpus,
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
@@ -1123,6 +1140,47 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT doc_b
                 FROM read_parquet('{_expected_oracle_paths()["minhash_pairs"]}')
                 WHERE est_jaccard >= 0.8)
+        """,
+        # the curation capstone: quality rule chain AND component-
+        # representative rule composed in one SQL statement
+        "curated_corpus": f"""
+            WITH RECURSIVE hits AS (
+                SELECT doc_a, doc_b
+                FROM read_parquet('{_expected_oracle_paths()["minhash_pairs"]}')
+                WHERE est_jaccard >= 0.8
+            ), edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM hits
+                UNION ALL
+                SELECT doc_b AS src, doc_a AS dst FROM hits
+            ), reach(node, label) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, r.label FROM reach r JOIN edges e
+                    ON e.src = r.node
+            ), comp AS (
+                SELECT node, MIN(label) AS component FROM reach GROUP BY node
+            ), q AS (
+                SELECT doc_id,
+                       GREATEST(len(regexp_extract_all(text, '\\S+')), 1)
+                           AS n_words,
+                       ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]',
+                                 '', 'g')) AS DOUBLE)
+                             / GREATEST(length(text), 1), 6) AS alpha_ratio,
+                       ROUND(CAST(length(regexp_replace(text, '[\\w\\s]', '',
+                                 'g')) AS DOUBLE)
+                             / GREATEST(length(text), 1), 6) AS punct_ratio,
+                       len(regexp_extract_all(lower(text), '\\S+')) AS nw,
+                       len(list_distinct(regexp_extract_all(lower(text),
+                           '\\S+'))) AS nd
+                FROM documents WHERE doc_id < 300
+            )
+            SELECT doc_id FROM q
+            WHERE n_words >= 30 AND alpha_ratio >= 0.75
+              AND punct_ratio <= 0.2
+              AND (CASE WHEN nw = 0 THEN 0.0
+                   ELSE ROUND(1 - CAST(nd AS DOUBLE) / nw, 6) END) <= 0.65
+              AND doc_id NOT IN (
+                  SELECT node FROM comp WHERE node <> component)
         """,
         # connected components recomputed in PURE SQL (recursive CTE:
         # labels reachable along edges; component = MIN reachable label) —

@@ -91,7 +91,7 @@ def main() -> None:
         "cluster_1d", "interval_merge", "cumsum", "topk_per_group",
         "collate_line", "bbox_agg", "rect_edges", "edge_intersections",
         "exact_dedup", "jaccard_pairs", "minhash_pairs", "minhash_dedup",
-        "minhash_dedup_cc", "simhash_pairs",
+        "minhash_dedup_cc", "curated_corpus", "simhash_pairs",
         "token_count", "quality", "repetition", "tokenize", "ngram_counts", "quality_filter", "winnow_overlap", "langid",
         "embedding_topk", "lsh_topk",
         "ivf_topk", "cosine_near_pairs", "cosine_near_pairs_lsh",
