@@ -768,7 +768,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT event_type, ROUND(value, 2) AS v FROM events
             ), flagged AS (
                 SELECT event_type, v,
-                       CASE WHEN v - LAG(v) OVER (PARTITION BY event_type ORDER BY v) > 1.0
+                       CASE WHEN v > LAG(v) OVER (PARTITION BY event_type ORDER BY v) + 1.0
                             THEN 1 ELSE 0 END AS gap
                 FROM vals
             ), ids AS (
@@ -819,7 +819,7 @@ def oracle_sql() -> dict[str, str]:
             ), vals AS (
                 SELECT DISTINCT pos FROM p
             ), flagged AS (
-                SELECT pos, CASE WHEN pos - LAG(pos) OVER (ORDER BY pos) > 2.0
+                SELECT pos, CASE WHEN pos > LAG(pos) OVER (ORDER BY pos) + 2.0
                                  THEN 1 ELSE 0 END AS gap
                 FROM vals
             ), ids AS (

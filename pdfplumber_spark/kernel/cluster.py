@@ -30,7 +30,11 @@ def cluster_ids_for_distinct(sorted_distinct: np.ndarray, tolerance: float) -> n
         return np.zeros(0, dtype=np.int64)
     if tolerance == 0:
         return np.arange(n, dtype=np.int64)
-    gaps = np.diff(sorted_distinct) > tolerance
+    # Add-first operand order to match the reference exactly
+    # (``utils/clustering.py:18`` tests ``x <= last + tolerance``): at float
+    # boundaries ``b > a + tol`` and ``b - a > tol`` differ (e.g.
+    # a=-0.99999, b=1e-05, tol=1: add-first splits, subtract-first merges).
+    gaps = sorted_distinct[1:] > sorted_distinct[:-1] + tolerance
     out = np.zeros(n, dtype=np.int64)
     np.cumsum(gaps, out=out[1:])
     return out
@@ -59,7 +63,8 @@ def cluster_list(values, tolerance: float = 0):
     if tolerance == 0 or len(arr) < 2:
         return [[v] for v in arr.tolist()]
     # chained rule over *all* sorted values == chained rule over distincts
-    gaps = np.diff(arr) > tolerance
+    # (add-first form; see cluster_ids_for_distinct)
+    gaps = arr[1:] > arr[:-1] + tolerance
     bounds = np.flatnonzero(gaps) + 1
     return [chunk.tolist() for chunk in np.split(arr, bounds)]
 

@@ -323,7 +323,6 @@ def _parse_from(lex: Lexer, tok):
             return False
         if kw == "null":
             return None
-        return tok
     return tok
 
 

@@ -84,8 +84,6 @@ class _Serializer:
                 parts.append(self.serialize(v, depth + 1))
             parts.append(b">>")
             return b" ".join(parts)
-        if isinstance(obj, tuple) and len(obj) == 2 and obj[0] == "kw":
-            return b"null"
         return b"null"
 
     def finish(self, root_num: int) -> bytes:

@@ -18,13 +18,24 @@ callers one-call eviction AFTER their terminal action:
 ``bench.py`` evicts between queries; the board hygiene test asserts zero
 persisted RDDs remain. At cluster scale the same call belongs after each
 pipeline stage's write (SCALE.md §persisted-intermediates).
+
+Long-lived sessions that never call ``unpersist_all()`` are bounded two
+ways (round-4 ADVICE): registration is thread-safe (operators may run from
+concurrent driver threads), and the registry is capped — when it exceeds
+``_MAX_TRACKED`` entries the oldest are evicted (unpersisted) on insert,
+so neither the Python list nor executor storage can grow without bound.
 """
 
 from __future__ import annotations
 
+import threading
 from typing import List
 
 _TRACKED: List = []
+_LOCK = threading.Lock()
+# Oldest entries are force-evicted past this point. Generous: a single
+# query tracks 1-3 intermediates, so 64 covers dozens of in-flight queries.
+_MAX_TRACKED = 64
 
 
 def persist_tracked(df, level=None):
@@ -37,15 +48,25 @@ def persist_tracked(df, level=None):
 
 def track(df):
     """Register an already-persisted DataFrame for ``unpersist_all()``."""
-    _TRACKED.append(df)
+    overflow = []
+    with _LOCK:
+        _TRACKED.append(df)
+        while len(_TRACKED) > _MAX_TRACKED:
+            overflow.append(_TRACKED.pop(0))
+    for old in overflow:
+        try:
+            old.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — session may already be stopped
+            pass
     return df
 
 
 def unpersist_all(blocking: bool = False) -> int:
     """Unpersist every operator-cached DataFrame; returns how many."""
+    with _LOCK:
+        drained, _TRACKED[:] = _TRACKED[:], []
     n = 0
-    while _TRACKED:
-        df = _TRACKED.pop()
+    for df in drained:
         try:
             df.unpersist(blocking=blocking)
             n += 1

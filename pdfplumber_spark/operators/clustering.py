@@ -34,8 +34,10 @@ def _global_cluster_ids(
         "_part", F.spark_partition_id()
     )
     wloc = Window.partitionBy("_part").orderBy(value_col)
+    # add-first operand order matches the reference's ``x <= last + tol``
+    # (``utils/clustering.py:18``) — NOT float-equivalent to ``x - last > tol``
     gap = (
-        (F.col(value_col) - F.lag(value_col).over(wloc)) > F.lit(tolerance)
+        F.col(value_col) > (F.lag(value_col).over(wloc) + F.lit(tolerance))
     ).cast("long")
     local = d.withColumn("_lid", F.sum(F.coalesce(gap, F.lit(0))).over(wloc))
     # tiny: one row per non-empty range partition
@@ -50,7 +52,7 @@ def _global_cluster_ids(
         .withColumn(
             "_merge",
             F.when(
-                (F.col("_minv") - F.col("_prevmax")) <= F.lit(tolerance),
+                F.col("_minv") <= (F.col("_prevmax") + F.lit(tolerance)),
                 F.lit(1),
             ).otherwise(F.lit(0)),
         )
@@ -94,7 +96,7 @@ def with_cluster_id(
         return df.join(ids, [value_col], "left")
     w = Window.partitionBy(*pcols).orderBy(value_col)
     gap = (
-        (F.col(value_col) - F.lag(value_col).over(w)) > F.lit(tolerance)
+        F.col(value_col) > (F.lag(value_col).over(w) + F.lit(tolerance))
     ).cast("long")
     ids = (
         distinct.withColumn("_gap", F.coalesce(gap, F.lit(0)))

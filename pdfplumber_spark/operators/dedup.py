@@ -224,6 +224,7 @@ def connected_components(
             .select("node", F.col("node").alias("label"))
             .localCheckpoint()
         )
+        converged = False
         for _ in range(max_iters):
             prop = edges.join(
                 labels.select(F.col("node").alias("src"), "label"), "src"
@@ -242,7 +243,17 @@ def connected_components(
             )
             labels = new
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            # Silent wrong components are worse than a loud failure: a
+            # diameter > max_iters graph would keep several labels per
+            # component. algorithm="star" needs only O(log n) rounds.
+            raise RuntimeError(
+                f"connected_components(label_prop) did not converge in "
+                f"{max_iters} rounds (graph diameter exceeds max_iters); "
+                f"raise max_iters or use algorithm='star' (O(log n) rounds)"
+            )
     finally:
         edges.unpersist()
     return labels.select("node", F.col("label").alias("component"))
@@ -262,6 +273,7 @@ def _cc_star(canon: DataFrame, max_iters: int) -> DataFrame:
     edge set unchanged over one large+small cycle (exceptAll both ways);
     per-phase localCheckpoint truncates lineage as in label_prop."""
     cur = canon.localCheckpoint()
+    stable = False
     for _ in range(max_iters):
         prev = cur
         for phase in ("large", "small"):
@@ -299,6 +311,11 @@ def _cc_star(canon: DataFrame, max_iters: int) -> DataFrame:
         )
         if stable:
             break
+    if not stable:
+        raise RuntimeError(
+            f"connected_components(star) did not converge in {max_iters} "
+            f"large/small-star cycles; raise max_iters"
+        )
     # at convergence every edge is (component_min, member)
     sym = cur.select(F.col("a").alias("node"), F.col("b").alias("other")).union(
         cur.select(F.col("b").alias("node"), F.col("a").alias("other"))

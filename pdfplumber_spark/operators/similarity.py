@@ -132,6 +132,8 @@ def lsh_topk(
     weights = np.array([1 << i for i in range(n_planes)], dtype=np.int64)
 
     def _bucket_keys(vecs):
+        if len(vecs) == 0:  # empty Arrow batch: tolist() gives 1-D (0,)
+            return pd.Series([], dtype=object)
         m = np.asarray(vecs.tolist(), dtype=np.float64)  # (batch, dim)
         signs = (m @ all_planes.T) >= 0  # (batch, tables*planes)
         signs = signs.reshape(len(m), n_tables, n_planes)
@@ -193,6 +195,8 @@ def _assign_clusters_udf(centroids: np.ndarray):
     # no type annotations: postponed-annotation strings break pandas_udf
     # signature inference (same workaround as lsh_topk's bucket_keys)
     def run(vecs):
+        if len(vecs) == 0:  # empty Arrow batch guard
+            return pd.Series([], dtype=np.int64)
         m = np.asarray(vecs.tolist(), dtype=np.float64)  # (batch, dim)
         # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant per row
         d = c_sq[None, :] - 2.0 * (m @ c.T)
@@ -480,6 +484,8 @@ def cosine_near_pairs(
 
         def run(batches):
             for b in batches:
+                if len(b) == 0:  # empty Arrow batch guard
+                    continue
                 bm = np.asarray(b["_v"].tolist(), dtype=np.float64)
                 bn = b["_n"].to_numpy(dtype=np.float64)
                 bid = b["_id"].to_numpy(dtype=np.int64)
@@ -509,6 +515,8 @@ def cosine_near_pairs(
         weights = np.array([1 << i for i in range(n_planes)], dtype=np.int64)
 
         def _bucket_keys(vecs):
+            if len(vecs) == 0:  # empty Arrow batch guard
+                return pd.Series([], dtype=object)
             m = np.asarray(vecs.tolist(), dtype=np.float64)
             signs = (m @ all_planes.T) >= 0
             signs = signs.reshape(len(m), n_tables, n_planes)
@@ -559,6 +567,8 @@ def cosine_near_pairs(
         # in round 3) — candidates ~ tables x bucket^2, so the re-rank is
         # the hot loop of the lsh path.
         def _pair_cos(va, vb):
+            if len(va) == 0:  # empty Arrow batch: einsum on (0,) raises
+                return pd.Series([], dtype=np.float64)
             a = np.asarray(va.tolist(), dtype=np.float64)
             b_ = np.asarray(vb.tolist(), dtype=np.float64)
             return pd.Series(np.einsum("ij,ij->i", a, b_))

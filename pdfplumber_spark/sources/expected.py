@@ -663,11 +663,19 @@ def expected_paths(sf_dir: str) -> Dict[str, str]:
     paths = {
         name: os.path.join(base, f"{name}.parquet") for name in _BUILDERS
     }
-    if os.path.exists(marker):
+    # The marker alone is NOT trusted: a cache dir written before a builder
+    # was ADDED would silently satisfy the marker check while missing that
+    # builder's parquet (exactly how image_stats lost its round-4 driver
+    # row). Rebuild any absent output even when the marker exists.
+    missing = {
+        name: p for name, p in paths.items() if not os.path.exists(p)
+    }
+    if os.path.exists(marker) and not missing:
         return paths
     os.makedirs(base, exist_ok=True)
-    for name, builder in _BUILDERS.items():
-        df = builder(sf_dir)
+    todo = missing if os.path.exists(marker) else paths
+    for name in todo:
+        df = _BUILDERS[name](sf_dir)
         df.to_parquet(paths[name], engine="pyarrow", index=False)
     with open(marker, "w") as f:
         f.write("ok\n")

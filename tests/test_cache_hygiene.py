@@ -32,12 +32,27 @@ CACHING_QUERIES = [
 # ContextCleaner on GC, not by unpersist_all (documented in the operator).
 
 
-@pytest.mark.parametrize("name", CACHING_QUERIES)
-def test_no_persisted_rdds_after_unpersist_all(spark, name):
-    # start clean (other session tests may have left caches)
+def _start_clean(spark):
+    """Evict registry caches AND any lingering localCheckpoint blocks from
+    earlier tests (ContextCleaner reclaims those on GC, asynchronously —
+    without this the module is order-dependent vs test_cc_dedup)."""
+    import gc
+    import time
+
     pdfplumber_spark.unpersist_all(blocking=True)
     spark.catalog.clearCache()
+    for _ in range(60):
+        if _n_persistent(spark) == 0:
+            return
+        gc.collect()  # drop Py4J handles so the JVM refs become weak
+        spark.sparkContext._jvm.System.gc()  # let ContextCleaner see them
+        time.sleep(0.25)
     assert _n_persistent(spark) == 0
+
+
+@pytest.mark.parametrize("name", CACHING_QUERIES)
+def test_no_persisted_rdds_after_unpersist_all(spark, name):
+    _start_clean(spark)
 
     df = E.queries()[name](spark, SF_CORRECT)
     df.count()  # terminal action
@@ -50,8 +65,7 @@ def test_ivf_train_unpersists_its_vector_cache(spark):
 
     from pdfplumber_spark.operators.similarity import ivf_train
 
-    pdfplumber_spark.unpersist_all(blocking=True)
-    spark.catalog.clearCache()
+    _start_clean(spark)
     emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
     cents = ivf_train(emb, n_clusters=4, iters=2)
     assert cents.shape == (4, 64)
@@ -65,7 +79,7 @@ def test_unpersist_all_reports_count(spark):
         minhash_signatures,
     )
 
-    pdfplumber_spark.unpersist_all(blocking=True)
+    _start_clean(spark)
     docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").where(
         "doc_id < 50"
     )

@@ -4,7 +4,7 @@ algorithm modules over adversarial char sets (hypothesis)."""
 import numpy as np
 import pandas as pd
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from genchars import CHAR_COLS, chars_frame
 from pdfplumber_spark.kernel.cluster import cluster_list
@@ -96,11 +96,15 @@ def test_fuzz_extract_text_simple(rows):
     assert got == exp
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=250, deadline=None)
 @given(
     vals=st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=0, max_size=200),
     tol=st.sampled_from([0, 0.5, 1, 7, 1e6]),
 )
+@example(
+    vals=[1e-05, -0.99999],
+    tol=1,
+).via('discovered failure')
 def test_fuzz_cluster_list(vals, tol):
     ref = ref_module("utils.clustering")
     exp = ref.cluster_list(list(vals), tol)
