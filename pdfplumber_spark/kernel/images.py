@@ -19,9 +19,11 @@ from typing import List, Optional
 
 from .pdfparse import PDFDocument, StreamObj
 
-# filters whose output is still entropy-coded raster data, not raw samples
-_UNSUPPORTED_FILTERS = {"DCTDecode", "DCT", "JPXDecode", "CCITTFaxDecode",
-                        "JBIG2Decode"}
+# filters whose output is still entropy-coded raster data, not raw samples.
+# CCITTFaxDecode left this set in round 5: kernel/ccitt.py decodes G4
+# (K < 0) and G3-1D (K = 0) to packed 1-bit rows; only K > 0 (mixed
+# G3-2D) remains unsupported, gated in _decode_one.
+_UNSUPPORTED_FILTERS = {"DCTDecode", "DCT", "JPXDecode", "JBIG2Decode"}
 
 _CHANNELS = {"DeviceRGB": 3, "CalRGB": 3, "DeviceGray": 1, "CalGray": 1}
 
@@ -141,6 +143,13 @@ def _decode_one(doc: PDFDocument, xo: StreamObj) -> dict:
     filters = _filter_names(doc, xo)
     if any(f in _UNSUPPORTED_FILTERS for f in filters):
         return row
+    if any(f in ("CCITTFaxDecode", "CCF") for f in filters):
+        parms = doc.resolve(xo.attrs.get("DecodeParms"))
+        plist = [parms] if isinstance(parms, dict) else (parms or [])
+        for p in plist:
+            p = doc.resolve(p)
+            if isinstance(p, dict) and int(doc.resolve(p.get("K", 0)) or 0) > 0:
+                return row  # mixed G3-2D: unsupported
     if channels is None or bits not in (1, 2, 4, 8) or width <= 0 or height <= 0:
         return row
     if bool(doc.resolve(xo.attrs.get("ImageMask", False))):

@@ -238,20 +238,42 @@ def make_pdf(pages: List[Dict], info: dict = None) -> bytes:
             else:
                 raw = image_samples(seed, pw, ph, channels)
                 cs = b"/DeviceRGB" if channels == 3 else b"/DeviceGray"
+            parms = b""
             if im.get("format", "flate") == "dct":
                 # fake JPEG: DCTDecode payload the engine must classify as
                 # unsupported (real JPEG decode needs an imaging lib)
                 body = b"\xff\xd8\xff\xe0" + raw
                 filt = b"/DCTDecode"
+            elif im.get("format") == "ccitt":
+                # Group 4 fax raster: 1-bit DeviceGray, PDF-default
+                # polarity (0 = black). The encoder input marks BLACK
+                # pixels, so a pixel whose shared-definition code is 0
+                # (dark) is black — decoded sample codes then equal
+                # image_codes(seed, pw, ph, 1, 2) exactly, the same
+                # ground truth the sub-byte gray family uses.
+                from .ccitt import ccitt_g4_encode
+
+                bits = 1
+                cs = b"/DeviceGray"
+                codes = image_codes(seed, pw, ph, 1, 2)
+                black = [
+                    [1 - codes[r * pw + c] for c in range(pw)]
+                    for r in range(ph)
+                ]
+                body = ccitt_g4_encode(black, pw, ph)
+                filt = b"/CCITTFaxDecode"
+                parms = (
+                    b"/DecodeParms<</K -1/Columns %d/Rows %d>>" % (pw, ph)
+                )
             else:
                 body = zlib.compress(raw, 9)
                 filt = b"/FlateDecode"
             inums.append(
                 add(
                     b"<</Type/XObject/Subtype/Image/Width %d/Height %d"
-                    b"/ColorSpace%s/BitsPerComponent %d/Filter%s/Length %d>>"
+                    b"/ColorSpace%s/BitsPerComponent %d/Filter%s%s/Length %d>>"
                     b"\nstream\n%s\nendstream"
-                    % (pw, ph, cs, bits, filt, len(body), body)
+                    % (pw, ph, cs, bits, filt, parms, len(body), body)
                 )
             )
         image_nums.append(inums)

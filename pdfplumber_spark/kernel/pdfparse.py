@@ -105,7 +105,11 @@ def _intern_kw(op: str) -> tuple:
 # one-shot lexer regex: leading ws/comments + the common token kinds.
 # Strings '(', hex '<..>', bare '>' fall through to the slow path.
 _LEX_RE = re.compile(
-    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"
+    # the ws/comment prefix is ATOMIC (possessive, Python 3.11+): with a
+    # backtrackable `(?:[ws]+|%…)*` a long NUL/space run followed by a
+    # char no token group accepts (e.g. `(`) explodes combinatorially —
+    # issue-848.pdf spent >60 s in ONE re.match here.
+    rb"(?:[\x00\t\n\x0c\r ]++|%[^\r\n]*+)*+"
     rb"(?:(?P<name>/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
     rb"|(?P<num>[+\-.0-9][0-9.+\-Ee]*)"
     rb"|(?P<dopen><<)"
@@ -575,7 +579,25 @@ class StreamObj:
                 if len(hx) % 2:
                     hx += b"0"
                 data = bytes.fromhex(hx.decode())
-            # unknown filters (DCT/JPX/CCITT images): pass through raw
+            elif fname in ("CCITTFaxDecode", "CCF"):
+                # Group 3/4 fax rasters (ISO 32000 §7.4.6; ITU T.4/T.6) —
+                # kernel/ccitt.py; K > 0 (mixed G3-2D) raises and the
+                # caller's unsupported-classification handles it
+                from .ccitt import ccittfax_decode
+
+                p = doc.resolve(parms_list[i]) if i < len(parms_list) else None
+                p = p if isinstance(p, dict) else {}
+                data = ccittfax_decode(
+                    data,
+                    columns=int(doc.resolve(p.get("Columns", 1728)) or 1728),
+                    rows=int(doc.resolve(p.get("Rows", 0)) or 0),
+                    k=int(doc.resolve(p.get("K", 0)) or 0),
+                    black_is_1=bool(doc.resolve(p.get("BlackIs1", False))),
+                    encoded_byte_align=bool(
+                        doc.resolve(p.get("EncodedByteAlign", False))
+                    ),
+                )
+            # unknown filters (DCT/JPX images): pass through raw
         return data
 
 

@@ -327,6 +327,50 @@ def _cc_star(canon: DataFrame, max_iters: int) -> DataFrame:
     )
 
 
+def _mis_with_fallback(
+    pairs: DataFrame, cc: DataFrame, id_col: str, mis_max_component: int
+) -> DataFrame:
+    """Losers under the per-component maximal-independent-set rule, with a
+    ``component_min`` fallback for components above ``mis_max_component``
+    nodes (those are never fed to the single-task ``applyInPandas``)."""
+    # size gate: one groupBy-count over the labels (shuffle on the
+    # component key, partial-agg combined map-side)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("_csize"))
+    labeled = cc.join(sizes, "component")
+    # mega-components: never materialized in one task — component_min
+    big_losers = labeled.where(
+        (F.col("_csize") > mis_max_component)
+        & (F.col("node") != F.col("component"))
+    ).select(F.col("node").alias(id_col))
+    small = labeled.where(F.col("_csize") <= mis_max_component).select(
+        F.col("node").alias("doc_a"), "component"
+    )
+    with_comp = pairs.join(small, "doc_a").select(
+        "component", "doc_a", "doc_b"
+    )
+
+    def _mis_losers(pdf: pd.DataFrame) -> pd.DataFrame:
+        adj: dict = {}
+        for a, b in zip(pdf["doc_a"], pdf["doc_b"]):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        retained: set = set()
+        dropped = []
+        for node in sorted(adj):
+            if adj[node] & retained:
+                dropped.append(node)
+            else:
+                retained.add(node)
+        return pd.DataFrame({"loser": dropped})
+
+    return (
+        with_comp.groupBy("component")
+        .applyInPandas(_mis_losers, schema="loser long")
+        .select(F.col("loser").alias(id_col))
+        .unionByName(big_losers)
+    )
+
+
 def minhash_dedup_cc(
     df: DataFrame,
     id_col: str,
@@ -335,6 +379,7 @@ def minhash_dedup_cc(
     num_perm: int = 64,
     bands: int = 16,
     keeper: str = "component_min",
+    mis_max_component: int = 100_000,
 ) -> DataFrame:
     """Cluster-aware near-dup removal over the MinHash pair graph.
 
@@ -351,7 +396,12 @@ def minhash_dedup_cc(
     per-component maximal independent set inside ``applyInPandas`` — the
     component id is the shuffle key and near-dup components are small by
     construction (the per-bucket cap bounds them), so no single group can
-    blow up an executor."""
+    blow up an executor. As a hard backstop, components larger than
+    ``mis_max_component`` nodes (boilerplate mega-clusters can reach 10^6
+    docs at corpus scale) skip the single-task MIS and fall back to the
+    ``component_min`` rule — for a giant cluster of mutual near-dups the
+    two policies agree except at chain edges, and an OOM-shaped plan is
+    never built."""
     sigs = minhash_signatures(df, id_col, text_col, num_perm=num_perm)
     pairs = minhash_lsh_candidates(sigs, bands=bands).where(
         F.col("est_jaccard") >= threshold
@@ -362,29 +412,7 @@ def minhash_dedup_cc(
             F.col("node").alias(id_col)
         )
     elif keeper == "independent_set":
-        with_comp = pairs.join(
-            cc.select(F.col("node").alias("doc_a"), "component"), "doc_a"
-        ).select("component", "doc_a", "doc_b")
-
-        def _mis_losers(pdf: pd.DataFrame) -> pd.DataFrame:
-            adj: dict = {}
-            for a, b in zip(pdf["doc_a"], pdf["doc_b"]):
-                adj.setdefault(a, set()).add(b)
-                adj.setdefault(b, set()).add(a)
-            retained: set = set()
-            dropped = []
-            for node in sorted(adj):
-                if adj[node] & retained:
-                    dropped.append(node)
-                else:
-                    retained.add(node)
-            return pd.DataFrame({"loser": dropped})
-
-        losers = (
-            with_comp.groupBy("component")
-            .applyInPandas(_mis_losers, schema="loser long")
-            .select(F.col("loser").alias(id_col))
-        )
+        losers = _mis_with_fallback(pairs, cc, id_col, mis_max_component)
     else:
         raise ValueError(f"unknown keeper {keeper!r}")
     return df.join(losers, id_col, "left_anti")

@@ -25,7 +25,7 @@ from typing import Iterator, List, Tuple
 from ..kernel.pdfgen import glyph_width, make_pdf
 
 # bump when generated content changes — cache paths embed this
-CORPUS_VERSION = 10
+CORPUS_VERSION = 11
 
 LOREM = (
     "the quick brown fox jumps over a lazy dog while bright vixens watch "
@@ -179,8 +179,9 @@ def _pdf_ligatures(rng: random.Random) -> bytes:
 def _pdf_images(rng: random.Random) -> bytes:
     """Pages with embedded raster image XObjects covering the decode
     matrix of kernel/images.py: Flate 8-bit DeviceRGB/DeviceGray, sub-byte
-    (1/2/4-bit) DeviceGray, Indexed(DeviceRGB) palettes, and a fifth
-    fake-JPEG DCT (classified 'unsupported'). Deterministic pixels via
+    (1/2/4-bit) DeviceGray, Indexed(DeviceRGB) palettes, CCITT Group 4
+    bi-level fax (kernel/ccitt.py, round 5), and a fake-JPEG DCT
+    (classified 'unsupported'). Deterministic pixels via
     pdfgen.image_pixel."""
     pages = []
     for _ in range(rng.randint(1, 2)):
@@ -204,7 +205,11 @@ def _pdf_images(rng: random.Random) -> bytes:
             kind = rng.random()
             if kind < 0.2:
                 im["format"] = "dct"
-            elif kind < 0.4:
+            elif kind < 0.35:
+                # Group 4 fax (round-5): 1-bit bi-level via kernel/ccitt.py
+                im["format"] = "ccitt"
+                im["channels"] = 1
+            elif kind < 0.45:
                 im["channels"] = 1
                 im["bits"] = rng.choice([1, 2, 4])
             elif kind < 0.55:

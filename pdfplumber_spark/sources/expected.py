@@ -245,6 +245,93 @@ def _b_image_metadata(sf_dir: str) -> pd.DataFrame:
     return out[["url", "n_bytes", "format", "sha256", "status"]]
 
 
+def _oracle_g4_rows(body: bytes, columns: int, n_rows: int):
+    """Independent Group-4 decode for the image_stats oracle: pixel-fill
+    over a '01' string with prefix-dict code lookup — a different
+    algorithm shape from kernel/ccitt.py's changing-elements/bit-reader
+    implementation (only the public ITU T.4 code TABLES are shared,
+    like the AFM width constants). Returns ``n_rows`` lists of 0/1 ints
+    (1 = black)."""
+    from ..kernel.ccitt import _BLACK_CODES, _EXT_CODES, _WHITE_CODES
+
+    wdec = {bits: run for run, bits in _WHITE_CODES + _EXT_CODES}
+    bdec = {bits: run for run, bits in _BLACK_CODES + _EXT_CODES}
+    s = "".join(f"{x:08b}" for x in body)
+    pos = 0
+
+    def read_run(table):
+        nonlocal pos
+        total = 0
+        while True:
+            for ln in range(2, 14):
+                run = table.get(s[pos:pos + ln])
+                if run is not None:
+                    pos += ln
+                    break
+            else:
+                raise ValueError(f"bad MH code at {pos}")
+            total += run
+            if run < 64:
+                return total
+
+    prev = [0] * columns
+    out = []
+    for _ in range(n_rows):
+        while s.startswith("000000000001", pos):
+            pos += 12
+        # transitions of the reference row (index parity: even = to-black)
+        tr = []
+        last = 0
+        for i, v in enumerate(prev):
+            if v != last:
+                tr.append(i)
+                last = v
+        row = [0] * columns
+
+        def fill(start, end, color):
+            for p in range(max(start, 0), min(end, columns)):
+                row[p] = color
+
+        a0, color = -1, 0
+        while a0 < columns:
+            b1 = b2 = columns
+            for idx, t in enumerate(tr):
+                if t > a0 and ((idx % 2 == 0) == (color == 0)):
+                    b1 = t
+                    b2 = tr[idx + 1] if idx + 1 < len(tr) else columns
+                    break
+            if s.startswith("0001", pos):
+                pos += 4
+                fill(max(a0, 0), b2, color)
+                a0 = b2
+            elif s.startswith("001", pos):
+                pos += 3
+                base = max(a0, 0)
+                r1 = read_run(wdec if color == 0 else bdec)
+                r2 = read_run(bdec if color == 0 else wdec)
+                fill(base, base + r1, color)
+                fill(base + r1, base + r1 + r2, color ^ 1)
+                a0 = base + r1 + r2
+            else:
+                vcode = None
+                for code, delta in (("1", 0), ("011", 1), ("010", -1),
+                                    ("000011", 2), ("000010", -2),
+                                    ("0000011", 3), ("0000010", -3)):
+                    if s.startswith(code, pos):
+                        vcode = (len(code), delta)
+                        break
+                if vcode is None:
+                    raise ValueError(f"bad 2-D mode at {pos}")
+                pos += vcode[0]
+                a1 = b1 + vcode[1]
+                fill(max(a0, 0), a1, color)
+                a0 = a1
+                color ^= 1
+        out.append(row)
+        prev = row
+    return out
+
+
 def _b_image_stats(sf_dir: str) -> pd.DataFrame:
     """INDEPENDENT single-process re-derivation of pdf_image_stats: walks
     the raw PDF bytes with its own minimal object scanner (regex xref-free
@@ -317,7 +404,20 @@ def _b_image_stats(sf_dir: str) -> pd.DataFrame:
                 palette = None
                 ch = 1 if b"/DeviceGray" in head else 3
                 raw_ch = ch
-            if b"/FlateDecode" in head:
+            if b"/CCITTFaxDecode" in head:
+                km = re.search(rb"/K (-?\d+)", head)
+                kparm = int(km.group(1)) if km else 0
+                if kparm >= 0:
+                    px, status = None, "unsupported"
+                else:
+                    try:
+                        rows_px = _oracle_g4_rows(body, w, h)
+                        # PDF default polarity: black decodes to sample 0
+                        px = [1 - v for r_ in rows_px for v in r_]
+                        status = "ok"
+                    except ValueError:
+                        px, status = None, "error"
+            elif b"/FlateDecode" in head:
                 codes = unpack(zlib.decompress(body), w, h, raw_ch, bits)
                 if codes is None:
                     px, status = None, "error"

@@ -161,6 +161,63 @@ def test_cc_vs_greedy_on_board_corpus(spark):
     pdfplumber_spark.unpersist_all()
 
 
+def test_independent_set_mega_component_falls_back_to_component_min(
+    spark, chain_setup
+):
+    """Backstop for boilerplate mega-clusters (round-4 verdict ask #6):
+    components larger than ``mis_max_component`` must NOT be materialized
+    in one applyInPandas task — they fall back to the component_min rule.
+
+    The chain {1,2,3} is one component of size 3; with the cap below 3 the
+    MIS result (keep 1 and 3) must degrade to component_min (keep 1 only),
+    and the grouped-MIS stage must see zero rows (the OOM-shaped path is
+    never fed)."""
+    df, threshold, _ = chain_setup
+    got = sorted(
+        r["doc_id"]
+        for r in minhash_dedup_cc(
+            df, "doc_id", "text", threshold=threshold,
+            keeper="independent_set", mis_max_component=2,
+        )
+        .select("doc_id")
+        .collect()
+    )
+    assert got == [1]  # component_min fallback, NOT the MIS answer [1, 3]
+    # with the cap at the component size the MIS semantics return
+    got_mis = sorted(
+        r["doc_id"]
+        for r in minhash_dedup_cc(
+            df, "doc_id", "text", threshold=threshold,
+            keeper="independent_set", mis_max_component=3,
+        )
+        .select("doc_id")
+        .collect()
+    )
+    assert got_mis == [1, 3]
+    import pdfplumber_spark
+
+    pdfplumber_spark.unpersist_all()
+
+
+def test_independent_set_mixed_sizes_split_by_cap(spark):
+    """A giant clique component (fallback) next to a small chain (MIS):
+    the cap must route each component to its own policy in one call."""
+    # component A: clique 10..15 (size 6, all mutual pairs)
+    # component B: chain 20-21-22 (size 3)
+    rows = [(a, b) for a in range(10, 16) for b in range(a + 1, 16)]
+    rows += [(20, 21), (21, 22)]
+    pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    cc = connected_components(pairs)
+    from pdfplumber_spark.operators.dedup import _mis_with_fallback
+
+    losers = sorted(
+        r[0] for r in _mis_with_fallback(pairs, cc, "doc_id", 4).collect()
+    )
+    # clique (size 6 > 4): component_min keeps 10, drops 11..15.
+    # chain (size 3 <= 4): MIS keeps 20 and 22, drops 21.
+    assert losers == [11, 12, 13, 14, 15, 21]
+
+
 def test_independent_set_keeper_rejects_unknown(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):

@@ -41,9 +41,10 @@ def test_real_world_corpus_extraction(spark, fixture_corpus):
     out = extract_text(read_pages(spark, path), num_partitions=8).toPandas()
     by_url = out.groupby("url")["status"].agg(lambda s: (s == "ok").any())
     ok_docs = int(by_url.sum())
-    # 49/52 real-world fixtures extract pages (password-example needs its
-    # password; empty.pdf and issue-297 have no content by design)
-    assert ok_docs >= 45, f"only {ok_docs}/{n_docs} fixtures extracted"
+    # 51/52 real-world fixtures extract pages without a password
+    # (password-example needs its password; issue-848 joined in round 5
+    # after the lexer backtracking fix)
+    assert ok_docs >= 50, f"only {ok_docs}/{n_docs} fixtures extracted"
     # no Python exception ever escapes the kernel: every row has a status
     assert set(out["status"].unique()) <= {"ok", "error"}
     # scotus text present and correct-looking

@@ -181,3 +181,143 @@ def test_out_of_range_palette_index_is_error():
     broken = broken.replace(b"000000FFFFFF", b"000000")
     (im,) = image_xobjects(broken)
     assert im["status"] == "error"
+
+
+# --- CCITT Group 4 (round-5; kernel/ccitt.py; ITU T.4/T.6 via ISO 32000
+# §7.4.6) ------------------------------------------------------------------
+
+def _unpack_bits(data, w, h):
+    rb = (w + 7) // 8
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(h, rb)
+    return np.unpackbits(arr, axis=1)[:, :w]
+
+
+def test_ccitt_mh_table_anchors():
+    """Spot-pin well-known ITU T.4 codes so a transcription typo in the
+    shared tables can't hide behind encoder/decoder self-consistency."""
+    from pdfplumber_spark.kernel.ccitt import (
+        _BLACK_CODES, _EOL, _WHITE_CODES,
+    )
+
+    white = dict(_WHITE_CODES)
+    black = dict(_BLACK_CODES)
+    # T.4 table 1 (white): runs with famous short codes
+    assert white[2] == "0111" and white[3] == "1000"
+    assert white[64] == "11011" and white[128] == "10010"
+    assert white[1664] == "011000" and white[0] == "00110101"
+    # T.4 table 2 (black)
+    assert black[1] == "010" and black[2] == "11" and black[3] == "10"
+    assert black[64] == "0000001111" and black[0] == "0000110111"
+    assert _EOL == "000000000001"
+    # prefix-freeness per colour table (a violated prefix would make some
+    # stream undecodable in a data-dependent way)
+    for codes in (_WHITE_CODES, _BLACK_CODES):
+        bits = [b for _, b in codes]
+        for i, a in enumerate(bits):
+            for j, b in enumerate(bits):
+                if i != j:
+                    assert not b.startswith(a), (a, b)
+
+
+def test_ccitt_g4_roundtrip_adaptive_modes():
+    from pdfplumber_spark.kernel.ccitt import (
+        ccitt_g4_encode, ccittfax_decode,
+    )
+
+    rng = np.random.RandomState(3)
+    for w, h in [(8, 4), (23, 11), (64, 16), (1728, 6)]:
+        img = (rng.rand(h, w) < 0.35).astype(np.uint8)
+        img[0, :] = 0
+        if h > 1:
+            img[1, :] = 1
+        enc = ccitt_g4_encode(img, w, h)
+        dec = ccittfax_decode(enc, columns=w, rows=h, k=-1)
+        assert (_unpack_bits(dec, w, h) == 1 - img).all()  # 0 = black
+        dec1 = ccittfax_decode(enc, columns=w, rows=h, k=-1, black_is_1=True)
+        assert (_unpack_bits(dec1, w, h) == img).all()
+
+
+def test_ccitt_g4_known_bitstream():
+    """Pin the exact encoded bits of a tiny image so BOTH codec sides are
+    anchored to one concrete stream: row0 all-white (V0 against the
+    imaginary white reference), row1 white3/black2/white3 (horizontal +
+    vertical codes)."""
+    from pdfplumber_spark.kernel.ccitt import ccitt_g4_encode, ccittfax_decode
+
+    img = np.array([[0] * 8, [0, 0, 0, 1, 1, 0, 0, 0]], dtype=np.uint8)
+    enc = ccitt_g4_encode(img, 8, 2)
+    bits = "".join(f"{b:08b}" for b in enc)
+    # row0: V0 ("1"); row1: horizontal "001" + white3 "1000" + black2 "11",
+    # then V0 against b1=8 (end); EOFB; zero padding
+    expect = "1" + "001" + "1000" + "11" + "1" + "000000000001" * 2
+    assert bits.startswith(expect), bits
+    dec = ccittfax_decode(enc, columns=8, rows=2, k=-1)
+    assert (_unpack_bits(dec, 8, 2) == 1 - img).all()
+
+
+def test_ccitt_g3_1d_decode():
+    """K=0 rows are plain MH runs; encode one by hand from the tables."""
+    from pdfplumber_spark.kernel.ccitt import ccittfax_decode
+
+    # one row, width 10: white 4 ("1011"), black 3 ("10"), white 3 ("1000")
+    bits = "1011" + "10" + "1000"
+    bits += "0" * ((-len(bits)) % 8)
+    data = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    dec = ccittfax_decode(data, columns=10, rows=1, k=0)
+    row = _unpack_bits(dec, 10, 1)[0]
+    assert list(row) == [1, 1, 1, 1, 0, 0, 0, 1, 1, 1]  # 0 = black
+
+
+def test_ccitt_pdf_fixture_end_to_end():
+    """Generator -> engine filter chain -> stats codes == the shared
+    deterministic ground truth; DCT stays unsupported beside it."""
+    from pdfplumber_spark.kernel.pdfgen import image_codes
+
+    pdf = make_pdf([{
+        "width": 612, "height": 792,
+        "texts": [{"x": 72, "top": 72, "size": 12, "text": "x"}],
+        "images": [
+            {"x": 72, "top": 150, "w": 100, "h": 80, "pw": 13, "ph": 9,
+             "seed": 42, "format": "ccitt", "channels": 1},
+            {"x": 300, "top": 150, "w": 60, "h": 60, "pw": 6, "ph": 6,
+             "seed": 5, "format": "dct", "channels": 3},
+        ],
+    }])
+    rows = {r["name"]: r for r in image_xobjects(pdf)}
+    cc = rows["Im0"]
+    assert (cc["status"], cc["bits"], cc["colorspace"]) == ("ok", 1, "DeviceGray")
+    assert list(cc["samples"]) == image_codes(42, 13, 9, 1, 2)
+    assert rows["Im1"]["status"] == "unsupported"
+
+
+def test_ccitt_oracle_decoder_differential():
+    """The expected.py pixel-fill G4 decoder and the kernel bit-reader
+    decoder must agree on random images (they share only the code
+    tables)."""
+    from pdfplumber_spark.kernel.ccitt import ccitt_g4_encode, ccittfax_decode
+    from pdfplumber_spark.sources.expected import _oracle_g4_rows
+
+    rng = np.random.RandomState(11)
+    for w, h in [(7, 5), (31, 13), (128, 9)]:
+        img = (rng.rand(h, w) < 0.5).astype(np.uint8)
+        enc = ccitt_g4_encode(img, w, h)
+        kernel_bits = _unpack_bits(
+            ccittfax_decode(enc, columns=w, rows=h, k=-1, black_is_1=True),
+            w, h,
+        )
+        oracle_rows = np.array(_oracle_g4_rows(enc, w, h), dtype=np.uint8)
+        assert (kernel_bits == img).all()
+        assert (oracle_rows == img).all()
+
+
+def test_ccitt_k_positive_stays_unsupported():
+    pdf = make_pdf([{
+        "width": 612, "height": 792,
+        "texts": [{"x": 72, "top": 72, "size": 12, "text": "x"}],
+        "images": [{"x": 72, "top": 150, "w": 100, "h": 80, "pw": 8,
+                    "ph": 8, "seed": 1, "format": "ccitt", "channels": 1}],
+    }])
+    # flip the emitted K -1 to K 2 (mixed G3-2D)
+    broken = pdf.replace(b"/K -1", b"/K 2")
+    (im,) = image_xobjects(broken)
+    assert im["status"] == "unsupported"

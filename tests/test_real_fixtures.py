@@ -200,3 +200,23 @@ def test_nics_text_only_strategy(nics_frames):
     assert data[0][22] == "71,137"
     assert data[-1][0] == "Wyoming"
     assert data[-1][22] == "5,017"
+
+
+def test_issue_848_parses_fast():
+    """Regression: a long run of lexer-whitespace bytes followed by a char
+    outside every fast-path token group made the one-shot lexer regex
+    backtrack combinatorially (>60 s in a single re.match) because the
+    ws/comment prefix was non-possessive. issue-848.pdf hit this in
+    _load_xref_stream; with the atomic prefix the whole doc parses in
+    well under a second."""
+    import time
+
+    from pdfplumber_spark.kernel.pdfparse import parse_pdf
+
+    data = open("/root/reference/tests/pdfs/issue-848.pdf", "rb").read()
+    t0 = time.time()
+    interps = parse_pdf(data, style=False)
+    wall = time.time() - t0
+    assert wall < 10, f"issue-848 parse took {wall:.1f}s"
+    assert len(interps) == 8
+    assert sum(i.n_chars for i in interps) == 12048
