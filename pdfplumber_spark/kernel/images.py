@@ -29,16 +29,38 @@ _CHANNELS = {"DeviceRGB": 3, "CalRGB": 3, "DeviceGray": 1, "CalGray": 1}
 
 
 def image_xobjects(data: bytes, password: str = "") -> List[dict]:
-    """All page-resource image XObjects of a PDF, with decoded sample bytes
-    where the format is supported.
+    """Painted image XObjects of a PDF in CONTENT-STREAM PAINT ORDER —
+    one row per ``Do`` invocation, Form-XObject-nested paints included —
+    matching the reference's ``page.images`` semantics (``page.py``): a
+    page that paints one XObject twice yields two rows. Pixel decode per
+    paint where the format is supported.
 
-    Returns one dict per image: ``page_number``, ``image_index`` (position
-    in the page's sorted resource names — deterministic), ``name``,
-    ``width``, ``height``, ``bits``, ``colorspace``, ``channels``,
-    ``status`` ('ok' | 'unsupported'), and for ok images ``samples`` —
-    raw interleaved row-major 8-bit bytes (width*height*channels)."""
-    doc = PDFDocument(data, password=password)
+    Returns one dict per paint: ``page_number``, ``image_index``
+    (0-based paint position within the page), ``name``, ``width``,
+    ``height``, ``bits``, ``colorspace``, ``channels``, ``status``
+    ('ok' | 'unsupported' | 'error'), and for ok images ``samples`` —
+    raw interleaved row-major 8-bit bytes (width*height*channels).
+
+    Falls back to sorted-resource-name enumeration when the content
+    streams don't interpret (a paint-order walk needs them)."""
+    from .pdfparse import parse_pdf
+
+    interps = parse_pdf(data, style=False, password=password)
     out: List[dict] = []
+    if interps:
+        for it in interps:
+            idx = 0
+            for rec, xo in zip(it.images, it.image_objs):
+                row = _decode_one(it.doc, xo)
+                row.update(
+                    page_number=it.page_number, image_index=idx,
+                    name=str(rec[0]),
+                )
+                out.append(row)
+                idx += 1
+        return out
+    # fallback: resource-dict enumeration (uninterpretable content streams)
+    doc = PDFDocument(data, password=password)
     for pno, spec in enumerate(doc.pages(), start=1):
         res = doc.resolve(spec.get("Resources")) or {}
         xdict = doc.resolve(res.get("XObject")) or {}

@@ -1403,6 +1403,12 @@ class PageInterpreter:
         self.rects: List[tuple] = []
         self.curves: List[tuple] = []
         self.images: List[tuple] = []
+        # StreamObj per painted image, parallel to ``images`` — lets the
+        # pixel-decode path (kernel/images.py) enumerate in PAINT order
+        # (one entry per Do, Form-nested included), the reference's
+        # page.images semantics, without re-resolving names against the
+        # wrong resources dict
+        self.image_objs: List[StreamObj] = []
 
     def _load_fonts(self, res: dict) -> Dict[str, Font]:
         """Resource name -> Font. Font objects are cached per document by
@@ -1942,6 +1948,7 @@ class PageInterpreter:
         x0, x1 = min(xs), max(xs)
         y0, y1 = min(ys), max(ys)
         top, bottom = self._flip(y1), self._flip(y0)
+        self.image_objs.append(xo)
         self.images.append(
             (
                 name,

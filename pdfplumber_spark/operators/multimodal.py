@@ -164,9 +164,13 @@ def _image_stat_rows(url, payload) -> list:
 def pdf_image_stats(
     df: DataFrame, url_col: str = "url", bin_col: str = "html"
 ) -> DataFrame:
-    """PDF payloads -> one row per embedded image XObject with decoded
-    per-channel pixel statistics (mapInPandas, Arrow-batched; non-PDF
-    payloads yield no rows)."""
+    """PDF payloads -> one row per PAINTED image (content-stream Do
+    order, reference page.images parity) with decoded per-channel pixel
+    statistics (mapInPandas, Arrow-batched; non-PDF payloads yield no
+    rows). Paint-order enumeration interprets the content streams, so
+    this costs a full (style-free) page parse per doc — the price of
+    reference semantics; the resource-walk shortcut remains as the
+    fallback for uninterpretable streams."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

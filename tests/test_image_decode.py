@@ -321,3 +321,64 @@ def test_ccitt_k_positive_stays_unsupported():
     broken = pdf.replace(b"/K -1", b"/K 2")
     (im,) = image_xobjects(broken)
     assert im["status"] == "unsupported"
+
+
+def _minimal_pdf_multi_paint():
+    """Hand-built PDF: /Im0 painted twice on the page + once inside a Form
+    XObject — reference page.images semantics = 3 rows (paint order),
+    resource enumeration would say 1."""
+    img_raw = bytes([10, 20, 30, 40])  # 2x2 gray
+    import zlib
+
+    body = zlib.compress(img_raw)
+    objs = []
+    objs.append(b"<</Type/Catalog/Pages 2 0 R>>")
+    objs.append(b"<</Type/Pages/Kids[3 0 R]/Count 1>>")
+    objs.append(
+        b"<</Type/Page/Parent 2 0 R/MediaBox[0 0 200 200]"
+        b"/Resources<</XObject<</Im0 4 0 R/Fm0 5 0 R>>>>/Contents 6 0 R>>"
+    )
+    objs.append(
+        b"<</Type/XObject/Subtype/Image/Width 2/Height 2"
+        b"/ColorSpace/DeviceGray/BitsPerComponent 8/Filter/FlateDecode"
+        b"/Length %d>>\nstream\n%s\nendstream" % (len(body), body)
+    )
+    form_content = b"q 10 0 0 10 100 100 cm /Im0 Do Q"
+    objs.append(
+        b"<</Type/XObject/Subtype/Form/BBox[0 0 200 200]"
+        b"/Resources<</XObject<</Im0 4 0 R>>>>/Length %d>>"
+        b"\nstream\n%s\nendstream" % (len(form_content), form_content)
+    )
+    content = (
+        b"q 20 0 0 20 10 10 cm /Im0 Do Q "
+        b"q 20 0 0 20 50 50 cm /Im0 Do Q "
+        b"/Fm0 Do"
+    )
+    objs.append(b"<</Length %d>>\nstream\n%s\nendstream"
+                % (len(content), content))
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = []
+    for i, o in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<</Size %d/Root 1 0 R>>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xref_at))
+    return bytes(out)
+
+
+def test_paint_order_multi_paint_and_form_nesting():
+    """Reference parity (page.py images): one row PER Do invocation, in
+    content-stream order, including paints from inside Form XObjects."""
+    pdf = _minimal_pdf_multi_paint()
+    rows = image_xobjects(pdf)
+    assert len(rows) == 3
+    assert [r["image_index"] for r in rows] == [0, 1, 2]
+    assert {r["name"] for r in rows} == {"Im0"}
+    for r in rows:
+        assert r["status"] == "ok"
+        assert list(r["samples"]) == [10, 20, 30, 40]
