@@ -447,6 +447,22 @@ def q_minhash_dedup_cc(spark, sf_dir):
     )
 
 
+def q_minhash_dedup_cc_star(spark, sf_dir):
+    """Same survivor semantics as ``minhash_dedup_cc`` with components
+    from the large-star/small-star alternation (Kiveris et al., MR'14 —
+    O(log n) rounds on ANY graph shape, the swap-in for long thin
+    components at corpus scale) instead of min-label propagation. The
+    oracle is the identical recursive CTE: the survivor set is
+    algorithm-independent, so a green row driver-checks the star
+    implementation itself (previously pytest-only)."""
+    from pdfplumber_spark.operators.dedup import minhash_dedup_cc
+
+    docs = _tbl(spark, sf_dir, "documents").where("doc_id < 300")
+    return minhash_dedup_cc(
+        docs, "doc_id", "text", threshold=0.8, cc_algorithm="star"
+    ).select("doc_id")
+
+
 def q_curated_corpus(spark, sf_dir):
     """The end-to-end curation capstone: a doc survives iff it (a) passes
     the C4/Gopher quality filter AND (b) is its connected component's
@@ -712,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_skewed": q_minhash_pairs_skewed,
         "minhash_dedup": q_minhash_dedup,
         "minhash_dedup_cc": q_minhash_dedup_cc,
+        "minhash_dedup_cc_star": q_minhash_dedup_cc_star,
         "curated_corpus": q_curated_corpus,
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
@@ -1186,6 +1203,28 @@ def oracle_sql() -> dict[str, str]:
         # labels reachable along edges; component = MIN reachable label) —
         # checks the distributed min-label-propagation loop itself
         "minhash_dedup_cc": f"""
+            WITH RECURSIVE hits AS (
+                SELECT doc_a, doc_b
+                FROM read_parquet('{_expected_oracle_paths()["minhash_pairs"]}')
+                WHERE est_jaccard >= 0.8
+            ), edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM hits
+                UNION ALL
+                SELECT doc_b AS src, doc_a AS dst FROM hits
+            ), reach(node, label) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, r.label FROM reach r JOIN edges e
+                    ON e.src = r.node
+            ), comp AS (
+                SELECT node, MIN(label) AS component FROM reach GROUP BY node
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id < 300 AND doc_id NOT IN (
+                SELECT node FROM comp WHERE node <> component)
+        """,
+        # star-CC survivors are identical by construction — same CTE
+        "minhash_dedup_cc_star": f"""
             WITH RECURSIVE hits AS (
                 SELECT doc_a, doc_b
                 FROM read_parquet('{_expected_oracle_paths()["minhash_pairs"]}')

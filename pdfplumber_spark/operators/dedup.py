@@ -380,6 +380,7 @@ def minhash_dedup_cc(
     bands: int = 16,
     keeper: str = "component_min",
     mis_max_component: int = 100_000,
+    cc_algorithm: str = "label_prop",
 ) -> DataFrame:
     """Cluster-aware near-dup removal over the MinHash pair graph.
 
@@ -401,12 +402,17 @@ def minhash_dedup_cc(
     docs at corpus scale) skip the single-task MIS and fall back to the
     ``component_min`` rule — for a giant cluster of mutual near-dups the
     two policies agree except at chain edges, and an OOM-shaped plan is
-    never built."""
+    never built.
+
+    ``cc_algorithm`` selects the component solver: ``label_prop``
+    (default — diameter rounds, right for dense near-dup clusters) or
+    ``star`` (Kiveris large/small-star, O(log n) rounds on any shape).
+    Survivor sets are identical; only the round structure differs."""
     sigs = minhash_signatures(df, id_col, text_col, num_perm=num_perm)
     pairs = minhash_lsh_candidates(sigs, bands=bands).where(
         F.col("est_jaccard") >= threshold
     )
-    cc = connected_components(pairs)
+    cc = connected_components(pairs, algorithm=cc_algorithm)
     if keeper == "component_min":
         losers = cc.where(F.col("node") != F.col("component")).select(
             F.col("node").alias(id_col)
