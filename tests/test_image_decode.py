@@ -382,3 +382,27 @@ def test_paint_order_multi_paint_and_form_nesting():
     for r in rows:
         assert r["status"] == "ok"
         assert list(r["samples"]) == [10, 20, 30, 40]
+
+
+def test_ccitt_hypothesis_roundtrip():
+    """Property: any 0/1 matrix G4-encodes and decodes back exactly
+    (both polarities), across widths that straddle byte boundaries."""
+    from hypothesis import given, settings, strategies as st
+
+    from pdfplumber_spark.kernel.ccitt import ccitt_g4_encode, ccittfax_decode
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        w=st.integers(1, 80),
+        h=st.integers(1, 12),
+        seed=st.integers(0, 2**31),
+        density=st.sampled_from([0.05, 0.5, 0.95]),
+    )
+    def prop(w, h, seed, density):
+        rng = np.random.RandomState(seed % (2**31))
+        img = (rng.rand(h, w) < density).astype(np.uint8)
+        enc = ccitt_g4_encode(img, w, h)
+        dec = ccittfax_decode(enc, columns=w, rows=h, k=-1, black_is_1=True)
+        assert (_unpack_bits(dec, w, h) == img).all()
+
+    prop()

@@ -72,3 +72,24 @@ def test_lsh_candidate_join_carries_ids_only(spark):
     import pdfplumber_spark
 
     pdfplumber_spark.unpersist_all()
+
+
+def test_mis_fallback_plan_routes_by_size_without_cartesian(spark):
+    """The independent_set keeper's mega-component backstop (round-5):
+    the losers plan must contain the grouped-MIS stage
+    (FlatMapGroupsInPandas) fed only by sub-cap components, the
+    component_min branch for over-cap ones, and no cartesian product."""
+    from pdfplumber_spark.operators.dedup import (
+        _mis_with_fallback,
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    cc = connected_components(pairs)
+    losers = _mis_with_fallback(pairs, cc, "doc_id", 2)
+    plan = losers._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
