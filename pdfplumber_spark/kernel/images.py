@@ -172,9 +172,13 @@ def _decode_one(doc: PDFDocument, xo: StreamObj) -> dict:
             p = doc.resolve(p)
             if isinstance(p, dict) and int(doc.resolve(p.get("K", 0)) or 0) > 0:
                 return row  # mixed G3-2D: unsupported
-    if channels is None or bits not in (1, 2, 4, 8) or width <= 0 or height <= 0:
-        return row
     if bool(doc.resolve(xo.attrs.get("ImageMask", False))):
+        # stencil mask: 1-bit, no colorspace; sample code 0 paints by
+        # default (/Decode [0 1], ISO 32000 §8.9.6.2). Validated against
+        # the 12 real-world Acrobat G4 masks in issue-203 (round 5).
+        row.update(colorspace="ImageMask", channels=1, bits=1)
+        cs_name, channels, palette, bits = "ImageMask", 1, None, 1
+    if channels is None or bits not in (1, 2, 4, 8) or width <= 0 or height <= 0:
         return row
     try:
         data = xo.get_data(doc)

@@ -587,10 +587,15 @@ class StreamObj:
 
                 p = doc.resolve(parms_list[i]) if i < len(parms_list) else None
                 p = p if isinstance(p, dict) else {}
+                # Rows often omitted by real encoders (e.g. Acrobat G4
+                # masks): the image dict's Height governs then
+                n_rows = int(doc.resolve(p.get("Rows", 0)) or 0) or int(
+                    doc.resolve(self.attrs.get("Height", 0)) or 0
+                )
                 data = ccittfax_decode(
                     data,
                     columns=int(doc.resolve(p.get("Columns", 1728)) or 1728),
-                    rows=int(doc.resolve(p.get("Rows", 0)) or 0),
+                    rows=n_rows,
                     k=int(doc.resolve(p.get("K", 0)) or 0),
                     black_is_1=bool(doc.resolve(p.get("BlackIs1", False))),
                     encoded_byte_align=bool(

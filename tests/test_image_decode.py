@@ -406,3 +406,37 @@ def test_ccitt_hypothesis_roundtrip():
         assert (_unpack_bits(dec, w, h) == img).all()
 
     prop()
+
+
+def test_real_world_acrobat_g4_masks_decode():
+    """EXTERNAL validation of the G4 decoder: issue-203-decimalize.pdf's
+    stencil masks are real Acrobat-encoded CCITT K=-1 streams (Rows
+    omitted — Height governs). All must decode as ImageMask rows; pinned
+    black-pixel counts guard the code tables against regressions that
+    encoder/decoder self-consistency could never catch."""
+    data = open(
+        "/root/reference/tests/pdfs/issue-203-decimalize.pdf", "rb"
+    ).read()
+    rows = image_xobjects(data)
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r["status"], []).append(r)
+    # 23 CCITT masks ok; 3 Flate+DCT base scans stay unsupported
+    assert len(by_status.get("ok", [])) == 23
+    assert len(by_status.get("unsupported", [])) == 3
+    assert "error" not in by_status
+    pinned = {
+        (1, "Ma0"): (8, 25, 107),      # (w, h, black pixels)
+        (1, "Ma8"): (8, 7, 16),
+        (1, "Ma11"): (656, 97, 15167),
+        (2, "Ma0"): (1648, 2652, 50094),
+        (3, "Ma0"): (1560, 1716, 2688),
+    }
+    seen = {}
+    for r in by_status["ok"]:
+        key = (r["page_number"], r["name"])
+        if key in pinned:
+            s = r["samples"]
+            seen[key] = (r["width"], r["height"], len(s) - sum(s))
+            assert r["colorspace"] == "ImageMask" and r["bits"] == 1
+    assert seen == pinned
