@@ -495,6 +495,20 @@ class Page:
         )[0]
         return best.extract()
 
+    # --- visual debug render --------------------------------------------------
+    def to_image(self, resolution: float = 72, antialias: bool = False,
+                 **_kwargs):
+        """Structural page render + overlay surface (reference
+        ``page.py`` `Page.to_image` -> ``display.PageImage``). Offline
+        from-scratch rasterizer: decodable rasters blit real pixels,
+        vector objects draw with recorded colors, chars render as boxes
+        (no glyph engine — documented divergence); all draw_*/outline_*/
+        debug_tablefinder overlay methods match the reference API."""
+        del antialias  # no font/AA engine offline; accepted for parity
+        from .display import PageImage
+
+        return PageImage(self, resolution=resolution)
+
     # --- derived pages --------------------------------------------------------
     def crop(self, bbox, relative: bool = False, strict: bool = True) -> "Page":
         bbox = self._resolve_bbox(bbox, relative, strict)

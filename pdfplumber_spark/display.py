@@ -1,0 +1,325 @@
+"""Visual debug rendering — the reference ``display.py`` API surface
+(``PageImage``: draw_* overlays, outline_words/chars, debug_tablefinder,
+PNG export) re-implemented on the from-scratch rasterizer
+(``kernel/raster.py``) because PIL/pypdfium2 are absent offline.
+
+The base render is STRUCTURAL, not glyph-accurate: rasters the engine can
+pixel-decode (Flate families + CCITT G4 + ImageMask, kernel/images.py)
+are blitted with their real pixels; rects/lines/curves draw with their
+recorded colors; chars draw as translucent gray boxes (no font engine —
+the one documented divergence from the reference's pdfium render).
+Overlay semantics (defaults, reprojection, method signatures) follow
+``/root/reference/pdfplumber/display.py:20-397``.
+"""
+
+from __future__ import annotations
+
+import pathlib
+from io import BytesIO
+from typing import Optional
+
+import numpy as np
+
+from .kernel.raster import Canvas, png_encode
+
+
+class COLORS:
+    RED = (255, 0, 0)
+    GREEN = (0, 255, 0)
+    BLUE = (0, 0, 255)
+    TRANSPARENT = (0, 0, 0, 0)
+
+
+DEFAULT_FILL = COLORS.BLUE + (50,)
+DEFAULT_STROKE = COLORS.RED + (200,)
+DEFAULT_STROKE_WIDTH = 1
+DEFAULT_RESOLUTION = 72
+
+_CHAR_FILL = (120, 120, 120, 110)
+_UNSUPPORTED_IMG_FILL = (210, 210, 215)
+
+
+def _to_list(objs):
+    if hasattr(objs, "to_dict"):  # DataFrame
+        return objs.to_dict("records")
+    return list(objs)
+
+
+def _obj_color(raw, fallback):
+    """normalize stored stroking/non_stroking color (floats 0-1 tuple /
+    list / scalar) to an RGB byte triple."""
+    if raw is None or (isinstance(raw, float) and np.isnan(raw)):
+        return fallback
+    try:
+        vals = list(raw) if isinstance(raw, (list, tuple, np.ndarray)) else [raw]
+    except TypeError:
+        return fallback
+    vals = [float(v) for v in vals if v is not None]
+    if not vals:
+        return fallback
+    if len(vals) == 1:
+        g = int(round(vals[0] * 255))
+        return (g, g, g)
+    if len(vals) >= 4:  # CMYK -> RGB
+        c, m, y, k = vals[:4]
+        return tuple(int(round(255 * (1 - min(1, a + k)))) for a in (c, m, y))
+    return tuple(int(round(min(1.0, max(0.0, v)) * 255)) for v in vals[:3])
+
+
+def _render_base(page, scale: float) -> Canvas:
+    """Structural page render at ``scale`` px per point."""
+    w_px = max(1, int(round(page.width * scale)))
+    h_px = max(1, int(round(page.height * scale)))
+    canvas = Canvas(w_px, h_px)
+
+    # 1. rasters with real pixels where decodable
+    interp = getattr(page, "_interp", None)
+    if interp is not None:
+        from .kernel.images import _decode_one
+
+        for rec, xo in zip(interp.images, getattr(interp, "image_objs", [])):
+            # rec layout: (name, x0, x1, y0, y1, top, bottom, doctop, ...)
+            _, x0, x1, _y0, _y1, top, bottom = rec[:7]
+            box = (x0 * scale, top * scale, x1 * scale, bottom * scale)
+            try:
+                d = _decode_one(interp.doc, xo)
+            except Exception:  # noqa: BLE001
+                d = {"status": "error"}
+            if d.get("status") == "ok" and d.get("samples") is not None:
+                iw, ih = d["width"], d["height"]
+                ch = 1 if d["colorspace"] in ("ImageMask",) else (
+                    d["channels"] or 1
+                )
+                arr = np.frombuffer(bytes(d["samples"]), dtype=np.uint8)
+                if ch == 1:
+                    arr = arr.reshape(ih, iw)
+                    bits = d.get("bits") or 8
+                    if bits < 8:  # scale sample codes to full range
+                        arr = (arr.astype(np.uint16) * 255
+                               // ((1 << bits) - 1)).astype(np.uint8)
+                else:
+                    arr = arr.reshape(ih, iw, ch)[:, :, :3]
+                canvas.blit(arr, *box)
+            else:
+                canvas.fill_rect(*box, _UNSUPPORTED_IMG_FILL + (255,))
+                canvas.stroke_rect(*box, (130, 130, 140, 255), 1)
+
+    # 2. vector objects with their recorded colors
+    for r in page.rects:
+        box = (r["x0"] * scale, r["top"] * scale,
+               r["x1"] * scale, r["bottom"] * scale)
+        if r.get("fill"):
+            canvas.fill_rect(
+                *box, _obj_color(r.get("non_stroking_color"), (200, 200, 200))
+                + (255,))
+        if r.get("stroke", True):
+            canvas.stroke_rect(
+                *box, _obj_color(r.get("stroking_color"), (0, 0, 0)) + (255,),
+                max(1, int(round((r.get("linewidth") or 1) * scale))))
+    for ln in page.lines:
+        canvas.line(
+            (ln["x0"] * scale, ln["top"] * scale),
+            (ln["x1"] * scale, ln["bottom"] * scale),
+            _obj_color(ln.get("stroking_color"), (0, 0, 0)) + (255,),
+            max(1, int(round((ln.get("linewidth") or 1) * scale))))
+    for cv in page.curves:
+        # stored pts are (x, top) already (pdfparse _emit_path pts_top)
+        pts = [(x * scale, y * scale) for (x, y) in cv.get("pts") or []]
+        if len(pts) >= 2:
+            canvas.polyline(
+                pts, _obj_color(cv.get("stroking_color"), (0, 0, 0)) + (255,))
+
+    # 3. chars as structural boxes (documented divergence: no glyphs)
+    for c in page.chars:
+        canvas.fill_rect(c["x0"] * scale, c["top"] * scale,
+                         c["x1"] * scale, c["bottom"] * scale, _CHAR_FILL)
+    return canvas
+
+
+class PageImage:
+    """Reference display.PageImage semantics on the numpy canvas."""
+
+    def __init__(self, page, resolution: float = DEFAULT_RESOLUTION):
+        self.page = page
+        self.resolution = resolution
+        self.scale = resolution / 72.0
+        self.bbox = page.bbox
+        self.original = _render_base(page, self.scale)
+        self.reset()
+
+    # --- projection (display.py:128-142) -----------------------------------
+
+    def _reproject(self, coord):
+        x0, top = coord
+        return ((x0 - self.bbox[0]) * self.scale,
+                (top - self.bbox[1]) * self.scale)
+
+    def _reproject_bbox(self, bbox):
+        x0, top, x1, bottom = bbox
+        a = self._reproject((x0, top))
+        b = self._reproject((x1, bottom))
+        return (a[0], a[1], b[0], b[1])
+
+    # --- lifecycle ----------------------------------------------------------
+
+    def reset(self) -> "PageImage":
+        self.annotated = self.original.copy()
+        return self
+
+    def copy(self) -> "PageImage":
+        other = PageImage.__new__(PageImage)
+        other.page = self.page
+        other.resolution = self.resolution
+        other.scale = self.scale
+        other.bbox = self.bbox
+        other.original = self.original.copy()
+        other.annotated = self.annotated.copy()
+        return other
+
+    def save(self, dest, format: str = "PNG", **_kwargs) -> None:
+        if str(format).upper() != "PNG":
+            raise ValueError("only PNG is supported offline")
+        data = png_encode(self.annotated.arr)
+        if isinstance(dest, (str, pathlib.Path)):
+            with open(dest, "wb") as f:
+                f.write(data)
+        else:
+            dest.write(data)
+
+    def _repr_png_(self) -> bytes:
+        b = BytesIO()
+        self.save(b, "PNG")
+        return b.getvalue()
+
+    # --- draw primitives (display.py:177-320) -------------------------------
+
+    def draw_line(self, points_or_obj, stroke=DEFAULT_STROKE,
+                  stroke_width: int = DEFAULT_STROKE_WIDTH) -> "PageImage":
+        if isinstance(points_or_obj, (tuple, list)):
+            points = points_or_obj
+        elif isinstance(points_or_obj, dict) and "pts" in points_or_obj \
+                and points_or_obj["pts"] is not None:
+            points = [(x, y) for x, y in points_or_obj["pts"]]
+        else:
+            o = points_or_obj
+            points = ((o["x0"], o["top"]), (o["x1"], o["bottom"]))
+        proj = [self._reproject(p) for p in points]
+        self.annotated.polyline(proj, stroke, stroke_width)
+        return self
+
+    def draw_lines(self, list_of_lines, stroke=DEFAULT_STROKE,
+                   stroke_width: int = DEFAULT_STROKE_WIDTH) -> "PageImage":
+        for x in _to_list(list_of_lines):
+            self.draw_line(x, stroke=stroke, stroke_width=stroke_width)
+        return self
+
+    def draw_vline(self, location, stroke=DEFAULT_STROKE,
+                   stroke_width: int = DEFAULT_STROKE_WIDTH) -> "PageImage":
+        x0, y0, x1, y1 = self._reproject_bbox(
+            (location, self.bbox[1], location, self.bbox[3]))
+        self.annotated.line((x0, y0), (x1, y1), stroke, stroke_width)
+        return self
+
+    def draw_vlines(self, locations, stroke=DEFAULT_STROKE,
+                    stroke_width: int = DEFAULT_STROKE_WIDTH) -> "PageImage":
+        for x in list(locations):
+            self.draw_vline(x, stroke=stroke, stroke_width=stroke_width)
+        return self
+
+    def draw_hline(self, location, stroke=DEFAULT_STROKE,
+                   stroke_width: int = DEFAULT_STROKE_WIDTH) -> "PageImage":
+        x0, y0, x1, y1 = self._reproject_bbox(
+            (self.bbox[0], location, self.bbox[2], location))
+        self.annotated.line((x0, y0), (x1, y1), stroke, stroke_width)
+        return self
+
+    def draw_hlines(self, locations, stroke=DEFAULT_STROKE,
+                    stroke_width: int = DEFAULT_STROKE_WIDTH) -> "PageImage":
+        for x in list(locations):
+            self.draw_hline(x, stroke=stroke, stroke_width=stroke_width)
+        return self
+
+    def draw_rect(self, bbox_or_obj, fill=DEFAULT_FILL, stroke=DEFAULT_STROKE,
+                  stroke_width: int = DEFAULT_STROKE_WIDTH) -> "PageImage":
+        if isinstance(bbox_or_obj, (tuple, list)):
+            bbox = bbox_or_obj
+        else:
+            o = bbox_or_obj
+            bbox = (o["x0"], o["top"], o["x1"], o["bottom"])
+        x0, y0, x1, y1 = self._reproject_bbox(bbox)
+        if fill is not None:
+            self.annotated.fill_rect(x0, y0, x1, y1, fill)
+        if stroke is not None:
+            self.annotated.stroke_rect(x0, y0, x1, y1, stroke, stroke_width)
+        return self
+
+    def draw_rects(self, list_of_rects, fill=DEFAULT_FILL,
+                   stroke=DEFAULT_STROKE,
+                   stroke_width: int = DEFAULT_STROKE_WIDTH) -> "PageImage":
+        for x in _to_list(list_of_rects):
+            self.draw_rect(x, fill=fill, stroke=stroke,
+                           stroke_width=stroke_width)
+        return self
+
+    def draw_circle(self, center_or_obj, radius: int = 5, fill=DEFAULT_FILL,
+                    stroke=DEFAULT_STROKE) -> "PageImage":
+        if isinstance(center_or_obj, tuple):
+            center = center_or_obj
+        else:
+            o = center_or_obj
+            center = ((o["x0"] + o["x1"]) / 2, (o["top"] + o["bottom"]) / 2)
+        cx, cy = center
+        x0, y0, x1, y1 = self._reproject_bbox(
+            (cx - radius, cy - radius, cx + radius, cy + radius))
+        self.annotated.ellipse(x0, y0, x1, y1, fill, stroke)
+        return self
+
+    def draw_circles(self, list_of_circles, radius: int = 5,
+                     fill=DEFAULT_FILL, stroke=DEFAULT_STROKE) -> "PageImage":
+        for x in _to_list(list_of_circles):
+            self.draw_circle(x, radius=radius, fill=fill, stroke=stroke)
+        return self
+
+    # --- debug composites (display.py:322-389) ------------------------------
+
+    def debug_table(self, table, fill=DEFAULT_FILL, stroke=DEFAULT_STROKE,
+                    stroke_width: int = 1) -> "PageImage":
+        self.draw_rects(table.cells, fill=fill, stroke=stroke,
+                        stroke_width=stroke_width)
+        return self
+
+    def debug_tablefinder(self, tf=None) -> "PageImage":
+        if tf is None or isinstance(tf, dict):
+            finder = self.page.debug_tablefinder(tf)
+        else:
+            finder = tf
+        for table in finder.tables:
+            self.debug_table(table)
+        edges = finder.edges
+        if hasattr(edges, "to_dict"):
+            edges = edges.to_dict("records")
+        self.draw_lines(edges, stroke_width=1)
+        inter = finder.intersections
+        keys = list(inter.keys()) if hasattr(inter, "keys") else list(inter)
+        self.draw_circles(
+            keys, fill=COLORS.TRANSPARENT, stroke=COLORS.BLUE + (200,),
+            radius=3,
+        )
+        return self
+
+    def outline_words(self, stroke=DEFAULT_STROKE, fill=DEFAULT_FILL,
+                      stroke_width: int = DEFAULT_STROKE_WIDTH,
+                      x_tolerance=3, y_tolerance=3) -> "PageImage":
+        words = self.page.extract_words(
+            x_tolerance=x_tolerance, y_tolerance=y_tolerance
+        )
+        self.draw_rects(words, stroke=stroke, fill=fill,
+                        stroke_width=stroke_width)
+        return self
+
+    def outline_chars(self, stroke=(255, 0, 0, 255),
+                      fill=(255, 0, 0, 255 // 4),
+                      stroke_width: int = DEFAULT_STROKE_WIDTH) -> "PageImage":
+        self.draw_rects(self.page.chars, stroke=stroke, fill=fill,
+                        stroke_width=stroke_width)
+        return self

@@ -1,0 +1,184 @@
+"""From-scratch RGB rasterizer + PNG encoder for the visual debug surface
+(reference: ``/root/reference/pdfplumber/display.py``, which delegates to
+PIL/pypdfium2 — neither exists in this environment, so the canvas, the
+alpha blending, and the PNG container are implemented here directly on
+numpy + zlib).
+
+Scope is the DEBUG rendering the reference's PageImage provides: object
+boxes, rule lines, circles, and real blits of the rasters the engine can
+pixel-decode (Flate/LZW/… and CCITT via kernel/images.py). Glyph
+rasterization is NOT attempted (no font engine offline) — chars render as
+structural boxes; documented divergence.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+RGBA = Tuple[int, int, int, int]
+
+
+def _norm_color(color, default_alpha: int = 255) -> Optional[RGBA]:
+    """(r,g,b) / (r,g,b,a) / None -> RGBA or None (= don't draw)."""
+    if color is None:
+        return None
+    c = tuple(int(v) for v in color)
+    if len(c) == 3:
+        return c + (default_alpha,)
+    if len(c) == 4:
+        return c
+    raise ValueError(f"bad color {color!r}")
+
+
+class Canvas:
+    """(height, width, 3) uint8 RGB raster with alpha-blended drawing."""
+
+    def __init__(self, width: int, height: int,
+                 bg: Tuple[int, int, int] = (255, 255, 255)):
+        self.width = int(width)
+        self.height = int(height)
+        self.arr = np.empty((self.height, self.width, 3), dtype=np.uint8)
+        self.arr[:, :] = np.array(bg, dtype=np.uint8)
+
+    def copy(self) -> "Canvas":
+        c = Canvas.__new__(Canvas)
+        c.width, c.height = self.width, self.height
+        c.arr = self.arr.copy()
+        return c
+
+    # --- low-level ---------------------------------------------------------
+
+    def _clip_box(self, x0, y0, x1, y1):
+        ix0 = max(0, min(self.width, int(np.floor(min(x0, x1)))))
+        ix1 = max(0, min(self.width, int(np.ceil(max(x0, x1)))))
+        iy0 = max(0, min(self.height, int(np.floor(min(y0, y1)))))
+        iy1 = max(0, min(self.height, int(np.ceil(max(y0, y1)))))
+        return ix0, iy0, ix1, iy1
+
+    def _blend_slice(self, ys, xs, rgba: RGBA) -> None:
+        a = rgba[3] / 255.0
+        if a <= 0:
+            return
+        region = self.arr[ys, xs].astype(np.float32)
+        col = np.array(rgba[:3], dtype=np.float32)
+        self.arr[ys, xs] = np.clip(
+            region * (1.0 - a) + col * a + 0.5, 0, 255
+        ).astype(np.uint8)
+
+    # --- shapes ------------------------------------------------------------
+
+    def fill_rect(self, x0, y0, x1, y1, color) -> None:
+        rgba = _norm_color(color)
+        if rgba is None:
+            return
+        ix0, iy0, ix1, iy1 = self._clip_box(x0, y0, x1, y1)
+        # zero-area boxes still mark one pixel row/col (visibility)
+        ix1 = max(ix1, ix0 + 1) if ix0 < self.width else ix1
+        iy1 = max(iy1, iy0 + 1) if iy0 < self.height else iy1
+        if ix0 >= ix1 or iy0 >= iy1:
+            return
+        self._blend_slice(slice(iy0, iy1), slice(ix0, ix1), rgba)
+
+    def stroke_rect(self, x0, y0, x1, y1, color, width: int = 1) -> None:
+        rgba = _norm_color(color)
+        if rgba is None:
+            return
+        w = max(1, int(width))
+        self.fill_rect(x0, y0 - w + 1, x1, y0 + 1, rgba)          # top
+        self.fill_rect(x0, y1, x1, y1 + w, rgba)                  # bottom
+        self.fill_rect(x0 - w + 1, y0, x0 + 1, y1, rgba)          # left
+        self.fill_rect(x1, y0, x1 + w, y1, rgba)                  # right
+
+    def line(self, p0, p1, color, width: int = 1) -> None:
+        rgba = _norm_color(color)
+        if rgba is None:
+            return
+        x0, y0 = float(p0[0]), float(p0[1])
+        x1, y1 = float(p1[0]), float(p1[1])
+        n = int(max(abs(x1 - x0), abs(y1 - y0))) + 1
+        xs = np.linspace(x0, x1, n)
+        ys = np.linspace(y0, y1, n)
+        half = (max(1, int(width)) - 1) / 2.0
+        pts = set()
+        for dx in range(-int(np.floor(half)), int(np.ceil(half)) + 1 or 1):
+            for dy in range(-int(np.floor(half)), int(np.ceil(half)) + 1 or 1):
+                for x, y in zip(xs, ys):
+                    px, py = int(round(x + dx)), int(round(y + dy))
+                    if 0 <= px < self.width and 0 <= py < self.height:
+                        pts.add((py, px))
+        if not pts:
+            return
+        idx = np.array(sorted(pts))
+        self._blend_slice(idx[:, 0], idx[:, 1], rgba)
+
+    def polyline(self, points: Sequence, color, width: int = 1) -> None:
+        for a, b in zip(points, points[1:]):
+            self.line(a, b, color, width)
+
+    def ellipse(self, x0, y0, x1, y1, fill=None, stroke=None) -> None:
+        frgba = _norm_color(fill)
+        srgba = _norm_color(stroke)
+        ix0, iy0, ix1, iy1 = self._clip_box(x0, y0, x1, y1)
+        if ix0 >= ix1 or iy0 >= iy1:
+            return
+        cx, cy = (x0 + x1) / 2.0, (y0 + y1) / 2.0
+        rx, ry = max((x1 - x0) / 2.0, 0.5), max((y1 - y0) / 2.0, 0.5)
+        yy, xx = np.mgrid[iy0:iy1, ix0:ix1]
+        d = ((xx + 0.5 - cx) / rx) ** 2 + ((yy + 0.5 - cy) / ry) ** 2
+        if frgba is not None:
+            ys, xs = np.nonzero(d <= 1.0)
+            if len(ys):
+                self._blend_slice(ys + iy0, xs + ix0, frgba)
+        if srgba is not None:
+            ring = (d <= 1.0) & (d >= (1.0 - 2.0 / max(rx, ry)))
+            ys, xs = np.nonzero(ring)
+            if len(ys):
+                self._blend_slice(ys + iy0, xs + ix0, srgba)
+
+    def blit(self, samples: np.ndarray, x0, y0, x1, y1) -> None:
+        """Nearest-neighbour scale of a (h, w) gray or (h, w, 3) RGB
+        sample array into the device-space box."""
+        ix0, iy0, ix1, iy1 = self._clip_box(x0, y0, x1, y1)
+        if ix0 >= ix1 or iy0 >= iy1 or samples.size == 0:
+            return
+        sh, sw = samples.shape[:2]
+        # map each destination pixel back to a source pixel
+        dys = np.arange(iy0, iy1)
+        dxs = np.arange(ix0, ix1)
+        sy = np.clip(((dys + 0.5 - y0) / max(y1 - y0, 1e-9) * sh).astype(int),
+                     0, sh - 1)
+        sx = np.clip(((dxs + 0.5 - x0) / max(x1 - x0, 1e-9) * sw).astype(int),
+                     0, sw - 1)
+        src = samples[np.ix_(sy, sx)]
+        if src.ndim == 2:
+            src = np.repeat(src[:, :, None], 3, axis=2)
+        self.arr[iy0:iy1, ix0:ix1] = src.astype(np.uint8)
+
+
+def png_encode(arr: np.ndarray) -> bytes:
+    """Minimal spec-compliant PNG: 8-bit RGB, filter 0, one IDAT."""
+    h, w = arr.shape[:2]
+    raw = b"".join(
+        b"\x00" + arr[r].astype(np.uint8).tobytes() for r in range(h)
+    )
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        c = tag + data
+        return (struct.pack(">I", len(data)) + c
+                + struct.pack(">I", zlib.crc32(c) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def png_decode_size(png: bytes) -> Tuple[int, int]:
+    """(width, height) from a PNG header — the test-side sanity parser."""
+    if png[:8] != b"\x89PNG\r\n\x1a\n" or png[12:16] != b"IHDR":
+        raise ValueError("not a PNG")
+    w, h = struct.unpack(">II", png[16:24])
+    return w, h
