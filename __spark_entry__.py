@@ -681,6 +681,22 @@ def q_image_metadata(spark, sf_dir):
     )
 
 
+def q_render_png(spark, sf_dir):
+    """Corpus-scale structural debug rendering (round-5 display surface
+    distributed): one row per page with the PNG's dims + sha256. The
+    rasterizer + PNG writer are fully deterministic (pure numpy, pinned
+    zlib level), so the hash is oracle-checkable; the oracle re-runs the
+    same per-payload kernel single-process (extraction-query pattern) —
+    the row proves the DISTRIBUTED plan (url-hash partitioning, Arrow
+    batching) preserves the exact bytes."""
+    from pdfplumber_spark.operators.multimodal import render_debug_png
+
+    return render_debug_png(_pages(spark, sf_dir)).select(
+        "url", "page_number", "width_px", "height_px", "png_bytes",
+        "png_sha256", "status",
+    )
+
+
 def q_image_stats(spark, sf_dir):
     """REAL pixel decode of PDF-embedded raster XObjects (round-3 verdict
     ask #4): 8-bit DeviceRGB/DeviceGray behind the engine's stream filters
@@ -751,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "structure": q_structure,
         "image_metadata": q_image_metadata,
         "image_stats": q_image_stats,
+        "render_png": q_render_png,
     }
 
 

@@ -207,3 +207,70 @@ def binary_features(
             yield pd.DataFrame(rows, columns=["url", "feature", "status"])
 
     return df.select(url_col, bin_col).mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+# --- debug-render sink (round 5) -------------------------------------------
+
+RENDER_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("page_number", T.IntegerType(), False),
+    T.StructField("width_px", T.IntegerType(), True),
+    T.StructField("height_px", T.IntegerType(), True),
+    T.StructField("png_bytes", T.IntegerType(), True),
+    T.StructField("png_sha256", T.StringType(), True),
+    T.StructField("status", T.StringType(), False),
+])
+
+_RENDER_COLS = [f.name for f in RENDER_SCHEMA.fields]
+
+
+def _render_rows(url, payload, resolution: float) -> list:
+    """Per-payload structural debug render -> one row per page with the
+    PNG's size + sha256 (bytes themselves stay out of the result: at
+    corpus scale you write them to object storage from inside the
+    kernel; the hash is what's joinable/checkable). Deterministic: the
+    rasterizer is pure numpy, the PNG writer pins its zlib level."""
+    if payload is None:
+        return []
+    data = bytes(payload)
+    if data[:5] != b"%PDF-":
+        return []
+    try:
+        from .. import api
+
+        pdf = api.open(data)
+    except Exception:  # noqa: BLE001
+        return [(url, 0, None, None, None, None, "error")]
+    out = []
+    for page in pdf.pages:
+        try:
+            im = page.to_image(resolution=resolution)
+            png = im._repr_png_()
+            out.append((
+                url, int(page.page_number), int(im.original.width),
+                int(im.original.height), len(png),
+                hashlib.sha256(png).hexdigest(), "ok",
+            ))
+        except Exception:  # noqa: BLE001
+            out.append((url, int(page.page_number), None, None, None,
+                        None, "error"))
+    return out
+
+
+def render_debug_png(
+    df: DataFrame, url_col: str = "url", bin_col: str = "html",
+    resolution: float = 36,
+) -> DataFrame:
+    """Corpus-scale structural page rendering (display.PageImage): one
+    row per page with PNG dimensions + sha256. mapInPandas over the
+    url-hash partitioning — render is per-doc independent, so the plan
+    is embarrassingly parallel; the PNG payload is hashed, not shuffled."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for url, payload in zip(b[url_col], b[bin_col]):
+                rows.extend(_render_rows(url, payload, resolution))
+            yield pd.DataFrame(rows, columns=_RENDER_COLS)
+
+    return df.select(url_col, bin_col).mapInPandas(run, schema=RENDER_SCHEMA)

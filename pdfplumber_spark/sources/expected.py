@@ -40,7 +40,7 @@ import pandas as pd
 from .corpus import CORPUS_VERSION, corpus_path_for_sf
 
 # bump when any expected-result computation changes
-EXPECTED_VERSION = 6
+EXPECTED_VERSION = 7
 
 
 # ---------------------------------------------------------------------------
@@ -720,6 +720,23 @@ def _b_winnow(sf_dir: str) -> pd.DataFrame:
 # registry + materialization
 # ---------------------------------------------------------------------------
 
+
+def _b_render_png(sf_dir: str) -> pd.DataFrame:
+    """Single-process re-run of the render_debug_png per-payload kernel
+    (the extraction-query oracle pattern: proves the DISTRIBUTED plan
+    preserves the deterministic single-process result; the renderer's own
+    pixel correctness is gated by tests/test_display.py)."""
+    from ..operators.multimodal import _RENDER_COLS, _render_rows
+
+    rows = []
+    for url, payload in _read_corpus(sf_dir):
+        rows.extend(_render_rows(url, payload, 36.0))
+    out = pd.DataFrame(rows, columns=_RENDER_COLS)
+    out["page_number"] = out["page_number"].astype("int32")
+    for c in ("width_px", "height_px", "png_bytes"):
+        out[c] = out[c].astype("Int32")
+    return out
+
 _BUILDERS = {
     "extract_text": _b_extract_text,
     "extract_text_layout": _b_extract_text_layout,
@@ -739,6 +756,7 @@ _BUILDERS = {
     "structure": _b_structure,
     "image_metadata": _b_image_metadata,
     "image_stats": _b_image_stats,
+    "render_png": _b_render_png,
     "winnow": _b_winnow,
     "minhash_pairs": _b_minhash_pairs,
     "minhash_pairs_full": _b_minhash_pairs_full,
