@@ -574,7 +574,7 @@ class StreamObj:
                 data = base64.a85decode(body)
             elif fname in ("RunLengthDecode", "RL"):
                 data = _rle_decode(data)
-            elif fname == "ASCIIHexDecode":
+            elif fname in ("ASCIIHexDecode", "AHx"):
                 hx = re.sub(rb"[^0-9A-Fa-f]", b"", data.split(b">")[0])
                 if len(hx) % 2:
                     hx += b"0"
@@ -1248,6 +1248,82 @@ _CONTENT_TOKEN_RE = re.compile(
 _PLAIN_STR_RE = re.compile(rb"[^()\\]*")
 
 
+_INLINE_KEY_ABBREV = {
+    "W": "Width", "H": "Height", "BPC": "BitsPerComponent",
+    "CS": "ColorSpace", "F": "Filter", "D": "Decode",
+    "DP": "DecodeParms", "IM": "ImageMask", "I": "Interpolate",
+    "L": "Length",
+}
+_INLINE_CS_ABBREV = {"G": "DeviceGray", "RGB": "DeviceRGB",
+                     "CMYK": "DeviceCMYK", "I": "Indexed"}
+_INLINE_CS_CHANNELS = {"DeviceGray": 1, "DeviceRGB": 3, "DeviceCMYK": 4}
+
+
+def _expand_inline_attrs(attrs: dict) -> dict:
+    out = {}
+    for k, v in attrs.items():
+        k = _INLINE_KEY_ABBREV.get(k, k)
+        if k == "ColorSpace" and isinstance(v, Name):
+            v = Name(_INLINE_CS_ABBREV.get(str(v), str(v)))
+        out[k] = v
+    return out
+
+
+def _read_inline_image(data: bytes, pos: int, n: int):
+    """Parse ``BI <dict> ID <bytes> EI`` starting just after BI.
+
+    Returns (expanded_attrs, sample_bytes, new_pos). Data extent: exact
+    row arithmetic when unfiltered (spec-recommended), else /L when
+    present, else a whitespace-guarded EI scan."""
+    lex = Lexer(data, pos)
+    attrs: Dict[str, object] = {}
+    while True:
+        t = lex.next_token()
+        if t is None or (isinstance(t, tuple) and t[1] == "ID"):
+            break
+        v = _parse_from(lex, lex.next_token())
+        if isinstance(t, Name):
+            attrs[str(t)] = v
+    attrs = _expand_inline_attrs(attrs)
+    dpos = lex.pos
+    if dpos < n and data[dpos] in _WS:
+        dpos += 1
+    filt = attrs.get("Filter")
+    length = attrs.get("Length")
+    if filt is None:
+        w = int(attrs.get("Width", 0) or 0)
+        h = int(attrs.get("Height", 0) or 0)
+        bpc = int(attrs.get("BitsPerComponent", 8) or 8)
+        cs = str(attrs.get("ColorSpace", "DeviceGray"))
+        ch = 1 if attrs.get("ImageMask") else _INLINE_CS_CHANNELS.get(cs, 1)
+        end = dpos + ((w * ch * bpc + 7) // 8) * h
+        if end > n:
+            raise ValueError("inline image data truncated")
+    elif isinstance(length, int) and length >= 0:
+        end = min(n, dpos + length)
+    else:
+        i = dpos
+        while True:
+            j = data.find(b"EI", i)
+            if j == -1:
+                end = n
+                break
+            nxt = data[j + 2] if j + 2 < n else 0x20
+            if (j > dpos and data[j - 1] in _WS
+                    and (nxt in _WS or nxt in b"/[]<>(Qq")):
+                end = j
+                break
+            i = j + 2
+    img = data[dpos:end]
+    # advance past trailing ws + EI
+    pos2 = end
+    while pos2 < n and data[pos2] in _WS:
+        pos2 += 1
+    if data[pos2:pos2 + 2] == b"EI":
+        pos2 += 2
+    return attrs, img, pos2
+
+
 def tokenize_content(data: bytes):
     """Yield the same token values Lexer.next_token produces, much faster
     for typical content streams: regex scan for numbers/names/operators,
@@ -1285,9 +1361,14 @@ def tokenize_content(data: bytes):
         elif g == "op":
             op = m.group("op").decode("latin-1")
             if op == "BI":
-                # inline image: skip to EI
-                end = data.find(b"EI", pos)
-                pos = n if end == -1 else end + 2
+                # inline image (ISO 32000 §8.9.7): parse the abbreviated
+                # dict up to ID, slice the sample data, yield one token
+                try:
+                    attrs, img, pos = _read_inline_image(data, pos, n)
+                    yield ("iiop", "INLINE_IMAGE", attrs, img)
+                except Exception:  # noqa: BLE001 — malformed: skip to EI
+                    end = data.find(b"EI", pos)
+                    pos = n if end == -1 else end + 2
                 continue
             yield _intern_kw(op)
         else:  # delim: ( < << [
@@ -1800,9 +1881,15 @@ class PageInterpreter:
                     )
                 elif op == "EMC":
                     self.mc_spans.append((len(self.ch_text), None, None))
+                elif op == "INLINE_IMAGE":
+                    # tokenizer-parsed BI..ID..EI (reference: pdfminer
+                    # emits inline images as LTImage too)
+                    self._emit_image(
+                        "Inline", StreamObj(tok[2], tok[3]), ctm
+                    )
                 elif op in ("BI", "ID", "EI"):
-                    # inline images are skipped inside tokenize_content;
-                    # stray ID/EI just clear operands
+                    # malformed inline image skipped inside
+                    # tokenize_content; stray ID/EI just clear operands
                     stack.clear()
                 else:
                     # unknown operator: drop its operands

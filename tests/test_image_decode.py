@@ -440,3 +440,59 @@ def test_real_world_acrobat_g4_masks_decode():
             seen[key] = (r["width"], r["height"], len(s) - sum(s))
             assert r["colorspace"] == "ImageMask" and r["bits"] == 1
     assert seen == pinned
+
+
+def _inline_image_pdf():
+    import zlib as _zlib
+
+    img_gray = bytes([10, 200, 30, 120])              # 2x2 8-bit gray
+    rgb_fl = _zlib.compress(bytes(range(27)))         # 3x3 RGB, Flate
+    content = (
+        b"q 20 0 0 20 10 10 cm BI /W 2 /H 2 /BPC 8 /CS /G ID "
+        + img_gray + b" EI Q "
+        b"q 30 0 0 30 60 60 cm BI /W 3 /H 3 /BPC 8 /CS /RGB /F /Fl /L "
+        + str(len(rgb_fl)).encode() + b" ID " + rgb_fl + b" EI Q "
+        b"q 10 0 0 10 120 120 cm BI /W 8 /H 2 /BPC 1 /IM true ID "
+        + bytes([0b10101010, 0b01010101]) + b" EI Q"
+    )
+    objs = [
+        b"<</Type/Catalog/Pages 2 0 R>>",
+        b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+        b"<</Type/Page/Parent 2 0 R/MediaBox[0 0 200 200]/Contents 4 0 R>>",
+        b"<</Length %d>>\nstream\n%s\nendstream" % (len(content), content),
+    ]
+    out = bytearray(b"%PDF-1.5\n")
+    offs = []
+    for i, o in enumerate(objs, 1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    xa = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offs:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<</Size %d/Root 1 0 R>>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xa))
+    return bytes(out)
+
+
+def test_inline_images_parse_and_decode():
+    """BI..ID..EI inline images (ISO 32000 §8.9.7, round 5): one paint-
+    order row per BI, abbreviated keys/colorspaces/filters expanded,
+    data extent from row arithmetic (unfiltered), /L (filtered), with
+    the whitespace-guarded EI scan as fallback. Reference parity:
+    pdfminer renders inline images as LTImage objects too."""
+    rows = image_xobjects(_inline_image_pdf())
+    assert [r["name"] for r in rows] == ["Inline"] * 3
+    assert [r["image_index"] for r in rows] == [0, 1, 2]
+    gray, rgb, mask = rows
+    assert (gray["status"], gray["colorspace"]) == ("ok", "DeviceGray")
+    assert list(gray["samples"]) == [10, 200, 30, 120]
+    assert (rgb["status"], rgb["colorspace"]) == ("ok", "DeviceRGB")
+    assert list(rgb["samples"]) == list(range(27))
+    assert (mask["status"], mask["colorspace"]) == ("ok", "ImageMask")
+    assert list(mask["samples"])[:8] == [1, 0, 1, 0, 1, 0, 1, 0]
+    # interpreter emits them as page.images rows without char corruption
+    from pdfplumber_spark.kernel.pdfparse import parse_pdf
+
+    (interp,) = parse_pdf(_inline_image_pdf(), style=False)
+    assert len(interp.images) == 3
