@@ -45,7 +45,7 @@ def char_dicts(draw):
     return rows
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=100, deadline=None)
 @given(rows=char_dicts(), xt=st.sampled_from([0, 1, 3]), yt=st.sampled_from([0, 1, 3]))
 def test_fuzz_extract_words(rows, xt, yt):
     text = ref_module("utils.text")
@@ -63,7 +63,7 @@ def test_fuzz_extract_words(rows, xt, yt):
         assert got["direction"].iloc[i] == e["direction"], i
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=80, deadline=None)
 @given(rows=char_dicts())
 def test_fuzz_extract_text(rows):
     text = ref_module("utils.text")
@@ -72,7 +72,7 @@ def test_fuzz_extract_text(rows):
     assert got == exp
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=60, deadline=None)
 @given(rows=char_dicts())
 def test_fuzz_extract_text_layout(rows):
     text = ref_module("utils.text")
@@ -87,7 +87,7 @@ def test_fuzz_extract_text_layout(rows):
     assert got == exp
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=80, deadline=None)
 @given(rows=char_dicts())
 def test_fuzz_extract_text_simple(rows):
     text = ref_module("utils.text")
