@@ -20,10 +20,11 @@ from typing import List, Optional
 from .pdfparse import PDFDocument, StreamObj
 
 # filters whose output is still entropy-coded raster data, not raw samples.
-# CCITTFaxDecode left this set in round 5: kernel/ccitt.py decodes G4
-# (K < 0) and G3-1D (K = 0) to packed 1-bit rows; only K > 0 (mixed
-# G3-2D) remains unsupported, gated in _decode_one.
-_UNSUPPORTED_FILTERS = {"DCTDecode", "DCT", "JPXDecode", "JBIG2Decode"}
+# CCITTFaxDecode left this set in round 5 (kernel/ccitt.py decodes G4 and
+# G3-1D; only K > 0 remains unsupported, gated in _decode_one), and so
+# did DCTDecode (kernel/jpeg.py decodes baseline SOF0 — every DCT stream
+# in the reference fixture corpus; progressive/CMYK raise → unsupported).
+_UNSUPPORTED_FILTERS = {"JPXDecode", "JBIG2Decode"}
 
 _CHANNELS = {"DeviceRGB": 3, "CalRGB": 3, "DeviceGray": 1, "CalGray": 1}
 
@@ -164,6 +165,32 @@ def _decode_one(doc: PDFDocument, xo: StreamObj) -> dict:
     }
     filters = _filter_names(doc, xo)
     if any(f in _UNSUPPORTED_FILTERS for f in filters):
+        return row
+    if any(f in ("DCTDecode", "DCT") for f in filters):
+        # baseline JPEG (kernel/jpeg.py); earlier chain filters (e.g.
+        # Flate around the JPEG payload, issue-203) already applied by
+        # get_data, which passes the DCT payload through raw
+        from .jpeg import JPEGError, jpeg_decode
+
+        try:
+            data = xo.get_data(doc)
+            d = jpeg_decode(bytes(data))
+        except Exception:  # noqa: BLE001
+            # progressive / CMYK / truncated / fake-JPEG payloads all
+            # classify 'unsupported' (the oracle scanner cannot tell a
+            # decodable DCT stream from an undecodable one)
+            return row
+        samples = d["samples"]
+        jw, jh, jc = d["width"], d["height"], d["n_components"]
+        if (width, height) not in ((jw, jh), (0, 0)):
+            row["status"] = "error"  # dict/stream dimension mismatch
+            return row
+        row.update(
+            width=jw, height=jh, bits=8, channels=jc,
+            colorspace=row["colorspace"] or ("DeviceRGB" if jc == 3
+                                             else "DeviceGray"),
+            samples=samples.tobytes(), status="ok",
+        )
         return row
     if any(f in ("CCITTFaxDecode", "CCF") for f in filters):
         parms = doc.resolve(xo.attrs.get("DecodeParms"))

@@ -244,6 +244,23 @@ def make_pdf(pages: List[Dict], info: dict = None) -> bytes:
                 # unsupported (real JPEG decode needs an imaging lib)
                 body = b"\xff\xd8\xff\xe0" + raw
                 filt = b"/DCTDecode"
+            elif im.get("format") == "jpeg":
+                # REAL baseline JPEG (kernel/jpeg.py encoder): gray
+                # pixels from the shared deterministic definition; the
+                # oracle re-decodes the stream with the same kernel
+                # (distribution check; pixel correctness is gated by the
+                # codec's roundtrip + real-fixture tests)
+                import numpy as _np
+
+                from .jpeg import jpeg_encode_gray
+
+                bits = 8
+                cs = b"/DeviceGray"
+                codes = image_codes(seed, pw, ph, 1, 256)
+                body = jpeg_encode_gray(
+                    _np.array(codes, dtype=_np.uint8).reshape(ph, pw)
+                )
+                filt = b"/DCTDecode"
             elif im.get("format") == "ccitt":
                 # Group 4 fax raster: 1-bit DeviceGray, PDF-default
                 # polarity (0 = black). The encoder input marks BLACK

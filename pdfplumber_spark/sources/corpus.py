@@ -25,7 +25,7 @@ from typing import Iterator, List, Tuple
 from ..kernel.pdfgen import glyph_width, make_pdf
 
 # bump when generated content changes — cache paths embed this
-CORPUS_VERSION = 11
+CORPUS_VERSION = 13
 
 LOREM = (
     "the quick brown fox jumps over a lazy dog while bright vixens watch "
@@ -180,17 +180,46 @@ def _pdf_images(rng: random.Random) -> bytes:
     """Pages with embedded raster image XObjects covering the decode
     matrix of kernel/images.py: Flate 8-bit DeviceRGB/DeviceGray, sub-byte
     (1/2/4-bit) DeviceGray, Indexed(DeviceRGB) palettes, CCITT Group 4
-    bi-level fax (kernel/ccitt.py, round 5), and a fake-JPEG DCT
-    (classified 'unsupported'). Deterministic pixels via
-    pdfgen.image_pixel."""
+    bi-level fax (kernel/ccitt.py, round 5), REAL baseline JPEG
+    (kernel/jpeg.py, round 5), and a fake-JPEG DCT (the 'unsupported'
+    classification path). Deterministic pixels via pdfgen.image_pixel."""
     pages = []
-    for _ in range(rng.randint(1, 2)):
+    for page_i in range(rng.randint(1, 2)):
         texts = []
         top = 72.0
         for line in _wrap_text(rng, 6):
             texts.append({"x": 72.0, "top": top, "size": 12, "text": line})
             top += 14.5
         images = []
+        if page_i == 0:
+            # page 0 carries the FULL decode matrix deterministically —
+            # random sampling at small SF was missing whole kinds (the
+            # sf0.01 board slice drew zero ccitt/jpeg images)
+            for col, kind in enumerate(
+                ["rgb", "subbyte", "palette", "ccitt", "jpeg", "dct"]
+            ):
+                im = {
+                    "x": 72.0 + col * 85.0, "top": top + 30,
+                    "w": 70.0, "h": 55.0,
+                    "pw": 5 + col, "ph": 4 + col,
+                    "channels": 3, "seed": rng.randint(0, 10_000),
+                }
+                if kind == "subbyte":
+                    im["channels"] = 1
+                    im["bits"] = rng.choice([1, 2, 4])
+                elif kind == "palette":
+                    im["palette"] = [
+                        (rng.randrange(256), rng.randrange(256),
+                         rng.randrange(256))
+                        for _ in range(rng.randint(3, 12))
+                    ]
+                    im["bits"] = rng.choice([4, 8])
+                elif kind in ("ccitt", "jpeg"):
+                    im["format"] = kind
+                    im["channels"] = 1
+                elif kind == "dct":
+                    im["format"] = "dct"
+                images.append(im)
         for _ in range(rng.randint(1, 3)):
             im = {
                 "x": 72.0 + rng.random() * 300,
@@ -203,8 +232,12 @@ def _pdf_images(rng: random.Random) -> bytes:
                 "seed": rng.randint(0, 10_000),
             }
             kind = rng.random()
-            if kind < 0.2:
-                im["format"] = "dct"
+            if kind < 0.1:
+                im["format"] = "dct"  # fake JPEG: the unsupported path
+            elif kind < 0.2:
+                # real baseline JPEG (kernel/jpeg.py, round 5)
+                im["format"] = "jpeg"
+                im["channels"] = 1
             elif kind < 0.35:
                 # Group 4 fax (round-5): 1-bit bi-level via kernel/ccitt.py
                 im["format"] = "ccitt"

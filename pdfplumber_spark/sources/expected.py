@@ -404,7 +404,21 @@ def _b_image_stats(sf_dir: str) -> pd.DataFrame:
                 palette = None
                 ch = 1 if b"/DeviceGray" in head else 3
                 raw_ch = ch
-            if b"/CCITTFaxDecode" in head:
+            if b"/DCTDecode" in head:
+                # baseline JPEG: re-decode with the SHARED kernel
+                # (kernel/jpeg.py) — a distribution check like the
+                # extraction builders; the codec's own correctness is
+                # gated by roundtrip + real-fixture tests
+                from ..kernel.jpeg import jpeg_decode
+
+                try:
+                    d = jpeg_decode(body)
+                    px = [int(v) for v in d["samples"].reshape(-1)]
+                    ch = d["n_components"]
+                    status = "ok"
+                except Exception:  # noqa: BLE001 — fake/undecodable
+                    px, status = None, "unsupported"
+            elif b"/CCITTFaxDecode" in head:
                 km = re.search(rb"/K (-?\d+)", head)
                 kparm = int(km.group(1)) if km else 0
                 if kparm >= 0:
