@@ -67,10 +67,19 @@ def _obj_color(raw, fallback):
 
 
 def _render_base(page, scale: float) -> Canvas:
-    """Structural page render at ``scale`` px per point."""
-    w_px = max(1, int(round(page.width * scale)))
-    h_px = max(1, int(round(page.height * scale)))
+    """Structural render of ``page.bbox`` at ``scale`` px per point (a
+    cropped page renders just its crop region, reference display.py:120
+    semantics)."""
+    bx0, by0, bx1, by1 = page.bbox
+    w_px = max(1, int(round((bx1 - bx0) * scale)))
+    h_px = max(1, int(round((by1 - by0) * scale)))
     canvas = Canvas(w_px, h_px)
+
+    def X(x):
+        return (x - bx0) * scale
+
+    def Y(y):
+        return (y - by0) * scale
 
     # 1. rasters with real pixels where decodable
     interp = getattr(page, "_interp", None)
@@ -80,7 +89,7 @@ def _render_base(page, scale: float) -> Canvas:
         for rec, xo in zip(interp.images, getattr(interp, "image_objs", [])):
             # rec layout: (name, x0, x1, y0, y1, top, bottom, doctop, ...)
             _, x0, x1, _y0, _y1, top, bottom = rec[:7]
-            box = (x0 * scale, top * scale, x1 * scale, bottom * scale)
+            box = (X(x0), Y(top), X(x1), Y(bottom))
             try:
                 d = _decode_one(interp.doc, xo)
             except Exception:  # noqa: BLE001
@@ -106,8 +115,7 @@ def _render_base(page, scale: float) -> Canvas:
 
     # 2. vector objects with their recorded colors
     for r in page.rects:
-        box = (r["x0"] * scale, r["top"] * scale,
-               r["x1"] * scale, r["bottom"] * scale)
+        box = (X(r["x0"]), Y(r["top"]), X(r["x1"]), Y(r["bottom"]))
         if r.get("fill"):
             canvas.fill_rect(
                 *box, _obj_color(r.get("non_stroking_color"), (200, 200, 200))
@@ -118,21 +126,21 @@ def _render_base(page, scale: float) -> Canvas:
                 max(1, int(round((r.get("linewidth") or 1) * scale))))
     for ln in page.lines:
         canvas.line(
-            (ln["x0"] * scale, ln["top"] * scale),
-            (ln["x1"] * scale, ln["bottom"] * scale),
+            (X(ln["x0"]), Y(ln["top"])),
+            (X(ln["x1"]), Y(ln["bottom"])),
             _obj_color(ln.get("stroking_color"), (0, 0, 0)) + (255,),
             max(1, int(round((ln.get("linewidth") or 1) * scale))))
     for cv in page.curves:
         # stored pts are (x, top) already (pdfparse _emit_path pts_top)
-        pts = [(x * scale, y * scale) for (x, y) in cv.get("pts") or []]
+        pts = [(X(x), Y(y)) for (x, y) in cv.get("pts") or []]
         if len(pts) >= 2:
             canvas.polyline(
                 pts, _obj_color(cv.get("stroking_color"), (0, 0, 0)) + (255,))
 
     # 3. chars as structural boxes (documented divergence: no glyphs)
     for c in page.chars:
-        canvas.fill_rect(c["x0"] * scale, c["top"] * scale,
-                         c["x1"] * scale, c["bottom"] * scale, _CHAR_FILL)
+        canvas.fill_rect(X(c["x0"]), Y(c["top"]),
+                         X(c["x1"]), Y(c["bottom"]), _CHAR_FILL)
     return canvas
 
 

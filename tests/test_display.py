@@ -137,3 +137,19 @@ def test_decoded_raster_blits_real_pixels():
     }])
     arr2 = api.open(pdf2).pages[0].to_image().annotated.arr
     assert (arr2[100, 100] == [210, 210, 215]).all()
+
+
+def test_cropped_page_renders_crop_region():
+    """Reference display.py:120 semantics: a cropped page's image is the
+    crop region, and equals the same slice of the full-page render."""
+    page = api.open(SCOTUS).pages[0]
+    crop = page.crop((100, 100, 400, 300))
+    im = crop.to_image(resolution=72)
+    assert png_decode_size(im._repr_png_()) == (300, 200)
+    full = page.to_image(resolution=72)
+    assert (im.original.arr == full.original.arr[100:300, 100:400]).all()
+    # overlays reproject into crop coordinates: a rect at absolute
+    # (150, 150) lands at pixel (50, 50)
+    im.draw_rect((150, 150, 160, 160), fill=None, stroke=(0, 255, 0, 255))
+    r = im.annotated.arr
+    assert (r[50, 50] == [0, 255, 0]).all() or (r[50, 51] == [0, 255, 0]).all()
