@@ -127,7 +127,17 @@ def _extend(v: int, t: int) -> int:
 
 def jpeg_decode(data: bytes) -> dict:
     """-> {width, height, n_components, samples} with ``samples`` a
-    (h, w, C) uint8 array (C = 1 gray or 3 RGB)."""
+    (h, w, C) uint8 array (C = 1 gray or 3 RGB). Every malformed-stream
+    failure surfaces as ``JPEGError`` (callers classify, never crash)."""
+    try:
+        return _jpeg_decode_inner(data)
+    except JPEGError:
+        raise
+    except Exception as e:  # noqa: BLE001 — truncated tables, bad reshapes
+        raise JPEGError(f"malformed JPEG: {type(e).__name__}") from e
+
+
+def _jpeg_decode_inner(data: bytes) -> dict:
     if data[:2] != b"\xff\xd8":
         raise JPEGError("not a JPEG (no SOI)")
     pos = 2

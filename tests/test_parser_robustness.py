@@ -109,3 +109,36 @@ def test_ccitt_garbage_streams_error_not_hang():
                 signal.alarm(0)
     finally:
         signal.signal(signal.SIGALRM, old)
+
+
+def test_jpeg_mutations_fail_fast_not_hang():
+    """Mutated baseline-JPEG streams must decode or raise quickly —
+    the entropy loop has no unbounded states."""
+    import numpy as np
+
+    from pdfplumber_spark.kernel.jpeg import jpeg_decode, jpeg_encode_gray
+
+    rng = random.Random(7)
+    base = jpeg_encode_gray(
+        np.linspace(0, 255, 24 * 16).reshape(16, 24).astype(np.uint8)
+    )
+    old = signal.signal(signal.SIGALRM, _alarm)
+    try:
+        muts = [base[: len(base) // 2], base[:-4], b"\xff\xd8" + base[6:]]
+        for _ in range(20):
+            m = bytearray(base)
+            for _ in range(6):
+                m[rng.randrange(len(m))] ^= rng.randrange(1, 256)
+            muts.append(bytes(m))
+        for i, mut in enumerate(muts):
+            signal.alarm(10)
+            try:
+                jpeg_decode(mut)
+            except ValueError:
+                pass  # JPEGError subclasses ValueError
+            except _Hang:
+                pytest.fail(f"jpeg mutation {i} hung")
+            finally:
+                signal.alarm(0)
+    finally:
+        signal.signal(signal.SIGALRM, old)
