@@ -139,15 +139,16 @@ def main() -> None:
             "quick per-round pair on a small corpus (walls of a few sec are "
             "scheduler-dominated); protocol-grade measurement (128k docs, "
             "BENCH/scaling_protocol.py --interleave) in BENCH/BASELINE.md: "
-            "round-4 interleaved 4->16, two passes, six cycles: 1.114/0.802/"
-            "0.837/0.995/0.762/0.735, aggregate median 0.82 PASS (first "
-            "pass 3/3 >= 0.8; second pass cycle 0 = 0.995, then the "
-            "ceiling sagged below even the 16-leg); 8->32 the same night "
-            "was ceiling-capped (32-leg <= 3,082 docs/s vs 4,203 in "
-            "round-3 fast windows; with the 8-leg at its historical top "
-            "~1,150 docs/s, 8->32 parity needs ~4.6k aggregate — above "
-            "the best ceiling ever observed). Prior passes: round-3 8->32 "
-            "0.896 and 0.852, round-2 4->16 0.877."
+            "ROUND-5 interleaved 4->16, two passes, six cycles: "
+            "0.938/0.918/0.642/0.898/0.812/0.968 — aggregate median "
+            "0.908 PASS, 5/6 cycles >= 0.8 (second pass 3/3, the one "
+            "0.642 coincides with a logged ceiling sag); 8->32 "
+            "attempted twice incl. inside a fast window (probe 3,882): "
+            "cycles 0.557-0.758, median ~0.70 — every cycle beats "
+            "round-4's best; the 8-leg accelerates WITH the window "
+            "(1,347 docs/s all-time high) so the parity bar moves with "
+            "it — quantified in BENCH/BASELINE.md. Prior records: "
+            "round-4 4->16 0.82, round-3 8->32 0.896/0.852."
         ),
     }
     print(json.dumps(out))
