@@ -43,7 +43,7 @@ def main(argv=None) -> int:
     ap.add_argument(
         "cmd",
         choices=["extract", "objects", "words", "tables", "structure",
-                 "structure-text", "metadata"],
+                 "structure-text", "metadata", "render"],
     )
     ap.add_argument("--input", required=True, help="pages table path (parquet/iceberg)")
     ap.add_argument("--output", required=True)
@@ -56,6 +56,8 @@ def main(argv=None) -> int:
     ap.add_argument("--buckets", type=int, default=0,
                     help="checkpointed run with N url-hash buckets (resumable)")
     ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--resolution", type=float, default=36,
+                    help="render: pixels per 72 points")
     ap.add_argument("--local-cores", type=int, default=0,
                     help="local[N] session (0 = cluster session from spark-submit)")
     ap.add_argument("--vertical-strategy", default="lines")
@@ -91,6 +93,16 @@ def main(argv=None) -> int:
             with_text=args.cmd == "structure-text",
             laparams=args.laparams,
         )
+        _write(out, args)
+        print(json.dumps({"cmd": args.cmd, "output": args.output,
+                          "rows": out.count()}))
+        return 0
+    if args.cmd == "render":
+        # distributed structural debug rendering (display.PageImage):
+        # one row per page with PNG dims + sha256; --format parquet/json
+        from .operators.multimodal import render_debug_png
+
+        out = render_debug_png(pages, resolution=args.resolution)
         _write(out, args)
         print(json.dumps({"cmd": args.cmd, "output": args.output,
                           "rows": out.count()}))

@@ -166,3 +166,26 @@ def test_jobs_cli_laparams(corpus, tmp_path, spark):
     )
     exp_chars = [c["text"] for c in page.chars]
     assert got_chars == exp_chars
+
+
+def test_jobs_cli_render(corpus, tmp_path):
+    """spark-submit surface for the round-5 debug renderer: one row per
+    page with PNG dims + sha256."""
+    out = str(tmp_path / "render")
+    res = subprocess.run(
+        [sys.executable, "-m", "pdfplumber_spark.jobs", "render",
+         "--input", corpus, "--output", out, "--local-cores", "2",
+         "--resolution", "24"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["rows"] > 0
+    import pandas as pd
+
+    df = pd.read_parquet(out)
+    ok = df[df["status"] == "ok"]
+    assert len(ok) > 0
+    assert ok["png_sha256"].str.len().eq(64).all()
+    assert (ok["width_px"] > 0).all()
