@@ -4,9 +4,10 @@ parameters). Closes the largest deterministic slice of the entropy-coded
 raster gap (round-4 verdict ask #5): unlike DCT/JPX there is no
 quantization, so an exact pixel oracle is possible.
 
-Scope: ``K < 0`` (pure 2-D, Group 4 / T.6 — what PDF producers emit) and
-``K = 0`` (1-D MH, Group 3); ``K > 0`` (mixed-mode G3-2D) remains
-classified unsupported upstream. Output is packed 1-bit rows, MSB-first,
+Scope: ``K < 0`` (pure 2-D, Group 4 / T.6 — what PDF producers emit),
+``K = 0`` (1-D MH, Group 3), and ``K > 0`` (mixed G3-2D: per-row EOL +
+1-bit tag selecting 1-D or 2-D coding, T.4 §4.2.1.3.4 — needs a known
+row count since there is no EOFB). Output is packed 1-bit rows, MSB-first,
 each row padded to a byte boundary — exactly the sample layout
 ``images._unpack_rows`` expects — with bit polarity per the PDF default
 (0 = black) unless ``black_is_1``.
@@ -210,8 +211,10 @@ def ccittfax_decode(
     byte-aligned rows). ``rows == 0`` decodes until EOFB/RTC or data end."""
     if columns <= 0:
         raise CCITTError("Columns must be positive")
-    if k > 0:
-        raise CCITTError("K > 0 (mixed G3-2D) not supported")
+    if k > 0 and not rows:
+        # mixed G3-2D has no EOFB; the row count must come from
+        # /Rows or the image dict Height (get_data passes it)
+        raise CCITTError("K > 0 requires a known row count")
     br = _BitReader(data)
     out = bytearray()
     row_bytes = (columns + 7) // 8
@@ -244,10 +247,19 @@ def ccittfax_decode(
         if encoded_byte_align and k < 0:
             br.align()
         # EOL / EOFB handling: any number of EOLs may precede a row; two
-        # consecutive EOLs (EOFB) end the image
+        # consecutive EOLs (EOFB) end the image. For K > 0 (mixed G3-2D,
+        # T.4 §4.2.1.3.4) each EOL is followed by a 1-bit tag selecting
+        # the row coding: 1 = 1-D MH, 0 = 2-D.
         saw_eol = False
+        tag_one_d = True  # rows without a leading EOL default to 1-D
         while (not br.eof()) and br.peek(12) == 1:
             br.skip(12)
+            if k > 0:
+                saw_eol = True
+                if not br.eof():
+                    tag_one_d = br.peek(1) == 1
+                    br.skip(1)
+                break  # exactly one EOL+tag per row
             if saw_eol:
                 br.pos = br.n
                 break
@@ -256,7 +268,7 @@ def ccittfax_decode(
             break
         if k == 0 and encoded_byte_align and not saw_eol:
             br.align()
-        if k == 0:
+        if k == 0 or (k > 0 and tag_one_d):
             # 1-D MH row: alternating white/black runs from an implicit
             # white start; a colour transition sits at every run boundary
             # inside the row
@@ -274,7 +286,7 @@ def ccittfax_decode(
             ref = changes
             n_rows += 1
             continue
-        # --- G4 (T.6) 2-D row ---
+        # --- 2-D row (G4 / T.6; also the 2-D rows of mixed K > 0) ---
         a0 = -1
         color = 0
         changes: List[int] = []

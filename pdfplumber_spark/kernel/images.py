@@ -3,14 +3,16 @@
 here the non-DCT path is implemented from scratch on the PDF stream-filter
 machinery of ``pdfparse.py``).
 
-Supported for REAL decode: 1/2/4/8-bit DeviceGray, 8-bit DeviceRGB, and
+Supported for REAL decode: 1/2/4/8-bit DeviceGray, 8-bit DeviceRGB,
 Indexed(DeviceRGB/DeviceGray) palettes at any of those index widths —
 row-padded MSB-first sample layout per ISO 32000 §8.9.5.2 — behind any of
 the engine's stream filters (Flate incl. PNG predictors, LZW, A85, AHx,
-RL); i.e. everything except the entropy-coded raster families. DCT (JPEG)
-/ JPX / CCITT stay classified as ``unsupported``: decoding them needs an
-imaging library that is not in this container; the classification and the
-stream plumbing are real, the entropy decode is the documented stub.
+RL), plus CCITT Group 3/4 fax (``kernel/ccitt.py``: K < 0, K = 0 and
+mixed K > 0; ImageMask stencils included) and baseline JPEG
+(``kernel/jpeg.py``, SOF0 — every DCT stream in the reference fixture
+corpus). Remaining ``unsupported``: JPX (JPEG 2000), JBIG2, progressive
+JPEG, CMYK JPEG — lossy/arithmetic entropy formats with poor
+value-per-effort offline.
 """
 
 from __future__ import annotations
@@ -20,8 +22,8 @@ from typing import List, Optional
 from .pdfparse import PDFDocument, StreamObj
 
 # filters whose output is still entropy-coded raster data, not raw samples.
-# CCITTFaxDecode left this set in round 5 (kernel/ccitt.py decodes G4 and
-# G3-1D; only K > 0 remains unsupported, gated in _decode_one), and so
+# CCITTFaxDecode left this set in round 5 (kernel/ccitt.py decodes G4,
+# G3-1D, and mixed K > 0), and so
 # did DCTDecode (kernel/jpeg.py decodes baseline SOF0 — every DCT stream
 # in the reference fixture corpus; progressive/CMYK raise → unsupported).
 _UNSUPPORTED_FILTERS = {"JPXDecode", "JBIG2Decode"}
@@ -192,13 +194,6 @@ def _decode_one(doc: PDFDocument, xo: StreamObj) -> dict:
             samples=samples.tobytes(), status="ok",
         )
         return row
-    if any(f in ("CCITTFaxDecode", "CCF") for f in filters):
-        parms = doc.resolve(xo.attrs.get("DecodeParms"))
-        plist = [parms] if isinstance(parms, dict) else (parms or [])
-        for p in plist:
-            p = doc.resolve(p)
-            if isinstance(p, dict) and int(doc.resolve(p.get("K", 0)) or 0) > 0:
-                return row  # mixed G3-2D: unsupported
     if bool(doc.resolve(xo.attrs.get("ImageMask", False))):
         # stencil mask: 1-bit, no colorspace; sample code 0 paints by
         # default (/Decode [0 1], ISO 32000 §8.9.6.2). Validated against

@@ -310,17 +310,32 @@ def test_ccitt_oracle_decoder_differential():
         assert (oracle_rows == img).all()
 
 
-def test_ccitt_k_positive_stays_unsupported():
-    pdf = make_pdf([{
-        "width": 612, "height": 792,
-        "texts": [{"x": 72, "top": 72, "size": 12, "text": "x"}],
-        "images": [{"x": 72, "top": 150, "w": 100, "h": 80, "pw": 8,
-                    "ph": 8, "seed": 1, "format": "ccitt", "channels": 1}],
-    }])
-    # flip the emitted K -1 to K 2 (mixed G3-2D)
-    broken = pdf.replace(b"/K -1", b"/K 2")
-    (im,) = image_xobjects(broken)
-    assert im["status"] == "unsupported"
+def test_ccitt_k_positive_mixed_mode_decodes():
+    """K > 0 (mixed G3-2D, T.4 §4.2.1.3.4): every row is EOL + a 1-bit
+    tag choosing 1-D MH or 2-D coding. Hand-build a 2-row stream: row 0
+    1-D (white4 black2 white2), row 1 2-D V0s (copies row 0)."""
+    from pdfplumber_spark.kernel.ccitt import ccittfax_decode
+
+    eol = "000000000001"
+    row_1d = "1011" + "11" + "0111"          # white4=1011 black2=11 white2=0111
+    row_2d = "1" * 3                          # V0 at each of 3 transitions... 
+    # row 0 transitions (to-black at 4, to-white at 6); row 1 identical:
+    # V0 on b1=4 (color flips to black), V0 on b1=6 (to white), then a0=6
+    # color white, b1=columns=8 -> V0 ends the row
+    bits = eol + "1" + row_1d + eol + "0" + row_2d
+    bits += "0" * ((-len(bits)) % 8)
+    data = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    dec = ccittfax_decode(data, columns=8, rows=2, k=2)
+    rows = _unpack_bits(dec, 8, 2)
+    # PDF default polarity: black -> 0
+    assert list(rows[0]) == [1, 1, 1, 1, 0, 0, 1, 1]
+    assert (rows[1] == rows[0]).all()
+    # rows=0 with K>0 must raise (no EOFB exists in mixed mode)
+    import pytest as _pytest
+    from pdfplumber_spark.kernel.ccitt import CCITTError
+
+    with _pytest.raises(CCITTError):
+        ccittfax_decode(data, columns=8, rows=0, k=2)
 
 
 def _minimal_pdf_multi_paint():
