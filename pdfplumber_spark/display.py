@@ -4,10 +4,12 @@ PNG export) re-implemented on the from-scratch rasterizer
 (``kernel/raster.py``) because PIL/pypdfium2 are absent offline.
 
 The base render is STRUCTURAL, not glyph-accurate: rasters the engine can
-pixel-decode (Flate families + CCITT G4 + ImageMask, kernel/images.py)
-are blitted with their real pixels; rects/lines/curves draw with their
-recorded colors; chars draw as translucent gray boxes (no font engine —
-the one documented divergence from the reference's pdfium render).
+pixel-decode (Flate families + CCITT + baseline JPEG + ImageMask,
+kernel/images.py) are blitted with their real pixels; rects/lines/curves
+draw with their recorded colors; chars render as APPROXIMATE 5x7 bitmap
+glyphs (kernel/font5x7.py — readable, not typographically accurate; the
+remaining divergence from the reference's pdfium render) with a faint
+box fallback for uncovered glyphs/tiny boxes.
 Overlay semantics (defaults, reprojection, method signatures) follow
 ``/root/reference/pdfplumber/display.py:20-397``.
 """
@@ -36,6 +38,7 @@ DEFAULT_STROKE_WIDTH = 1
 DEFAULT_RESOLUTION = 72
 
 _CHAR_FILL = (120, 120, 120, 110)
+_GLYPH_INK = (40, 40, 45, 235)
 _UNSUPPORTED_IMG_FILL = (210, 210, 215)
 
 
@@ -145,26 +148,41 @@ def _render_base(page, scale: float) -> Canvas:
             canvas.polyline(
                 pts, _obj_color(cv.get("stroking_color"), (0, 0, 0)) + (255,))
 
-    # 3. chars as structural boxes (documented divergence: no glyphs) —
-    # one batch difference-array fill from the raw frame, no per-char
-    # Python dict conversion
+    # 3. chars: approximate 5x7 bitmap glyphs where the box is big
+    # enough and the glyph is in the classic LCD set (kernel/font5x7.py),
+    # a faint structural box otherwise. Not glyph-ACCURATE (no font
+    # engine offline — the documented divergence), but renders readable.
     chars = getattr(page, "_chars", None)
-    if chars is not None and len(chars):
+    if chars is None:
+        chars_rows = [
+            (c["x0"], c["top"], c["x1"], c["bottom"], c.get("text"))
+            for c in page.chars
+        ]
+    else:
         import numpy as _np
 
         cb = chars[["x0", "top", "x1", "bottom"]].to_numpy(_np.float64)
-        boxes = _np.empty_like(cb)
-        boxes[:, 0] = (cb[:, 0] - bx0) * scale
-        boxes[:, 1] = (cb[:, 1] - by0) * scale
-        boxes[:, 2] = (cb[:, 2] - bx0) * scale
-        boxes[:, 3] = (cb[:, 3] - by0) * scale
-        canvas.fill_rects_batch(boxes, _CHAR_FILL)
-    elif chars is None:
-        canvas.fill_rects_batch(
-            [(X(c["x0"]), Y(c["top"]), X(c["x1"]), Y(c["bottom"]))
-             for c in page.chars],
-            _CHAR_FILL,
-        )
+        texts = chars["text"].tolist() if "text" in chars.columns \
+            else [None] * len(cb)
+        chars_rows = [
+            (cb[i, 0], cb[i, 1], cb[i, 2], cb[i, 3], texts[i])
+            for i in range(len(cb))
+        ]
+    from .kernel.font5x7 import glyph_mask
+
+    box_fallback = []
+    for cx0, ctop, cx1, cbot, text in chars_rows:
+        gx0, gy0 = X(cx0), Y(ctop)
+        gx1, gy1 = X(cx1), Y(cbot)
+        mask = glyph_mask(text[0]) if text else None
+        if mask is not None and (gx1 - gx0) >= 3 and (gy1 - gy0) >= 5:
+            if text == " ":
+                continue
+            canvas.stamp_mask(mask, gx0, gy0, gx1, gy1, _GLYPH_INK)
+        else:
+            box_fallback.append((gx0, gy0, gx1, gy1))
+    if box_fallback:
+        canvas.fill_rects_batch(box_fallback, _CHAR_FILL)
     return canvas
 
 

@@ -174,6 +174,27 @@ class Canvas:
             if len(ys):
                 self._blend_slice(ys + iy0, xs + ix0, srgba)
 
+    def stamp_mask(self, mask: np.ndarray, x0, y0, x1, y1, color) -> None:
+        """Nearest-neighbour scale a boolean mask into the box and blend
+        ``color`` where True (glyph stamping)."""
+        rgba = _norm_color(color)
+        if rgba is None:
+            return
+        ix0, iy0, ix1, iy1 = self._clip_box(x0, y0, x1, y1)
+        if ix0 >= ix1 or iy0 >= iy1 or mask.size == 0:
+            return
+        sh, sw = mask.shape
+        dys = np.arange(iy0, iy1)
+        dxs = np.arange(ix0, ix1)
+        sy = np.clip(((dys + 0.5 - y0) / max(y1 - y0, 1e-9) * sh).astype(int),
+                     0, sh - 1)
+        sx = np.clip(((dxs + 0.5 - x0) / max(x1 - x0, 1e-9) * sw).astype(int),
+                     0, sw - 1)
+        sub = mask[np.ix_(sy, sx)]
+        ys, xs = np.nonzero(sub)
+        if len(ys):
+            self._blend_slice(ys + iy0, xs + ix0, rgba)
+
     def blit(self, samples: np.ndarray, x0, y0, x1, y1) -> None:
         """Nearest-neighbour scale of a (h, w) gray or (h, w, 3) RGB
         sample array into the device-space box."""
