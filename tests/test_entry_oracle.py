@@ -47,6 +47,13 @@ ORACLE_NAMES = sorted(E.oracle_sql().keys())
 ROWS_ONLY = sorted(set(E.queries()) - set(ORACLE_NAMES))
 
 
+def test_every_query_has_an_oracle():
+    """The zero-rows-only invariant (held since round 4): every board
+    query is DuckDB-checkable, and no oracle is orphaned."""
+    assert ROWS_ONLY == []
+    assert sorted(set(ORACLE_NAMES) - set(E.queries())) == []
+
+
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_query_matches_oracle(spark, ddb, name):
     q = E.queries()[name]
