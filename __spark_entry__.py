@@ -406,6 +406,20 @@ def q_cosine_near_pairs_lsh(spark, sf_dir):
     ).select("doc_a", "doc_b", "cosine")
 
 
+def q_cosine_near_pairs_lsh_prod(spark, sf_dir):
+    """The PRODUCTION LSH regime (round-4 memo: t >= 0.9 with
+    planes=8/tables=16 prunes to <25% candidate fraction at total
+    recall on randomized corpora) — driver-oracle-checked here instead
+    of pytest-only: the bucketed output must equal the banding-free
+    exact SQL at ROUND(cosine,6) >= 0.90 row-for-row."""
+    from pdfplumber_spark.operators.similarity import cosine_near_pairs
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return cosine_near_pairs(
+        emb, threshold=0.90, method="lsh", n_planes=8, n_tables=16
+    ).select("doc_a", "doc_b", "cosine")
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF (k-means inverted-file) ANN — the second scale path next to
     hyperplane LSH. Deterministic Lloyd's index (smallest-id init,
@@ -751,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "cosine_near_pairs": q_cosine_near_pairs,
         "cosine_near_pairs_lsh": q_cosine_near_pairs_lsh,
+        "cosine_near_pairs_lsh_prod": q_cosine_near_pairs_lsh_prod,
         "extract_text": q_extract_text,
         "extract_text_layout": q_extract_text_layout,
         "document_text": q_document_text,
@@ -1115,6 +1130,7 @@ def oracle_sql() -> dict[str, str]:
         # corpus (recall 1.0 with >=2-table margin at planes=3/tables=24),
         # so it is checked against the SAME banding-free exact oracle
         "cosine_near_pairs_lsh": _COSINE_PAIRS_SQL,
+        "cosine_near_pairs_lsh_prod": _COSINE_PAIRS_SQL.replace("0.40", "0.90"),
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                        FROM embeddings WHERE vec_id < 5),
