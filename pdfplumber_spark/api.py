@@ -377,6 +377,12 @@ class Page:
         settings, rest = _split_kwargs(kwargs)
         layout = bool(rest.pop("layout", False))
         layout_kwargs = {}
+        # render directions apply to BOTH layout and plain assembly
+        # (reference text.py extract_text kwargs) — route them through
+        # instead of silently dropping (round-5 reference-port finding)
+        for k in ("line_dir_render", "char_dir_render"):
+            if k in rest:
+                layout_kwargs[k] = rest.pop(k)
         if layout:
             layout_kwargs = dict(
                 layout_bbox=rest.pop("layout_bbox", self.bbox),

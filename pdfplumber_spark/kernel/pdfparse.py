@@ -342,6 +342,90 @@ _WINANSI = {
 }
 
 
+# Adobe Glyph List subset for /Differences arrays (public AGL): the
+# standard Latin set + the names real PDFs actually put in Differences
+# (ligatures, typographic punctuation, common accents). uniXXXX / uXXXX+
+# names resolve by pattern.
+_GLYPH_NAMES = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "fi": "ﬁ", "fl": "ﬂ", "ff": "ﬀ", "ffi": "ﬃ",
+    "ffl": "ﬄ",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "dagger": "†", "daggerdbl": "‡", "ellipsis": "…",
+    "trademark": "™", "copyright": "©", "registered": "®",
+    "degree": "°", "Euro": "€", "euro": "€",
+    "cent": "¢", "sterling": "£", "yen": "¥",
+    "section": "§", "paragraph": "¶", "periodcentered": "·",
+    "middot": "·", "guillemotleft": "«",
+    "guillemotright": "»", "guilsinglleft": "‹",
+    "guilsinglright": "›", "exclamdown": "¡",
+    "questiondown": "¿", "germandbls": "ß",
+    "ae": "æ", "AE": "Æ", "oe": "œ", "OE": "Œ",
+    "oslash": "ø", "Oslash": "Ø", "aring": "å",
+    "Aring": "Å", "nbspace": " ", "minus": "−",
+    "divide": "÷", "multiply": "×", "plusminus": "±",
+    "fraction": "⁄", "florin": "ƒ", "perthousand": "‰",
+    "circumflex": "ˆ", "tilde": "˜", "caron": "ˇ",
+    "breve": "˘", "dotaccent": "˙", "ring": "˚",
+    "cedilla": "¸", "hungarumlaut": "˝", "ogonek": "˛",
+    "macron": "¯", "dieresis": "¨", "acute": "´",
+    "brokenbar": "¦", "currency": "¤", "dotlessi": "ı",
+    "Lslash": "Ł", "lslash": "ł", "Zcaron": "Ž",
+    "zcaron": "ž", "Scaron": "Š", "scaron": "š",
+    "Ydieresis": "Ÿ",
+}
+for _base, _ch in (("a", "a"), ("e", "e"), ("i", "i"), ("o", "o"),
+                   ("u", "u"), ("A", "A"), ("E", "E"), ("I", "I"),
+                   ("O", "O"), ("U", "U"), ("n", "n"), ("N", "N"),
+                   ("c", "c"), ("C", "C"), ("y", "y")):
+    import unicodedata as _ud
+
+    for _acc, _mark in (("acute", "́"), ("grave", "̀"),
+                        ("circumflex", "̂"), ("dieresis", "̈"),
+                        ("tilde", "̃"), ("cedilla", "̧")):
+        try:
+            _comp = _ud.normalize("NFC", _ch + _mark)
+            if len(_comp) == 1:
+                _GLYPH_NAMES.setdefault(_base + _acc, _comp)
+        except Exception:  # noqa: BLE001
+            pass
+for _c in range(ord("A"), ord("Z") + 1):
+    _GLYPH_NAMES.setdefault(chr(_c), chr(_c))
+for _c in range(ord("a"), ord("z") + 1):
+    _GLYPH_NAMES.setdefault(chr(_c), chr(_c))
+
+
+def glyphname_to_unicode(name: str) -> Optional[str]:
+    """AGL-style resolution: direct names, uniXXXX, uXXXX[XX]."""
+    hit = _GLYPH_NAMES.get(name)
+    if hit is not None:
+        return hit
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            return None
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return None
+    return None
+
+
 # CP936-bytes fontname normalization (reference page.py:76-94; map via
 # the public mupdf pdf-font.c table)
 CP936_FONTNAMES = {
@@ -395,6 +479,28 @@ class Font:
             # fallback: deterministic base table (ASCII)
             self.widths = {32 + i: float(w) for i, w in enumerate(WIDTHS)}
         self.to_unicode = self._parse_tounicode(doc, spec.get("ToUnicode"))
+        # /Encoding: base name (WinAnsi default-compatible fallback kept)
+        # + /Differences glyph-name remaps (round-5 reference-port
+        # finding: MacRomanEncoding fonts decoded 0xDE as Þ, not ﬁ)
+        self.base_encoding = ""
+        self.diff_map: Dict[int, str] = {}
+        enc = doc.resolve(spec.get("Encoding"))
+        if isinstance(enc, dict):
+            self.base_encoding = str(doc.resolve(enc.get("BaseEncoding", "")))
+            diffs = doc.resolve(enc.get("Differences"))
+            if isinstance(diffs, list):
+                code = 0
+                for item in diffs:
+                    item = doc.resolve(item)
+                    if isinstance(item, (int, float)):
+                        code = int(item)
+                    elif isinstance(item, Name):
+                        u = glyphname_to_unicode(str(item))
+                        if u is not None:
+                            self.diff_map[code] = u
+                        code += 1
+        elif enc is not None:
+            self.base_encoding = str(enc)
         subtype = str(doc.resolve(spec.get("Subtype", "")))
         # Type3: widths live in glyph space, scaled by FontMatrix (pdfminer
         # PDFType3Font: hscale/vscale = apply_matrix_norm(matrix, (1,1)))
@@ -513,6 +619,13 @@ class Font:
             return self.to_unicode[cid]
         if self.multibyte:
             return "�"
+        if cid in self.diff_map:
+            return self.diff_map[cid]
+        if self.base_encoding.startswith("MacRoman"):
+            try:
+                return bytes([cid]).decode("mac_roman")
+            except Exception:  # noqa: BLE001
+                return "�"
         if cid in _WINANSI:
             return _WINANSI[cid]
         try:
@@ -1684,10 +1797,19 @@ class PageInterpreter:
             op = tok[1]
             try:
                 if op == "q":
-                    gs_stack.append((ctm, linewidth, stroke_color, fill_color))
+                    # text state (Tc/Tw/Tz/TL/Tf/Ts) is PART of the
+                    # graphics state (ISO 32000 §9.3.1) — a -0.02 Tc set
+                    # inside a q..Q block must not leak into later text
+                    # (round-5 reference-port finding, issue-987)
+                    gs_stack.append((ctm, linewidth, stroke_color,
+                                     fill_color, charspace, wordspace,
+                                     scaling, leading, rise, font,
+                                     fontsize))
                 elif op == "Q":
                     if gs_stack:
-                        ctm, linewidth, stroke_color, fill_color = gs_stack.pop()
+                        (ctm, linewidth, stroke_color, fill_color,
+                         charspace, wordspace, scaling, leading, rise,
+                         font, fontsize) = gs_stack.pop()
                 elif op == "cm":
                     f_, e_, d_, c_, b_, a_ = (float(stack.pop()) for _ in range(6))
                     ctm = mat_mult((a_, b_, c_, d_, e_, f_), ctm)

@@ -1,0 +1,186 @@
+"""Round-5 ports of reference test_utils.py cases onto the api facade —
+each is the reference's own fixture + its exact expected output
+(/root/reference/tests/test_utils.py line refs per test). These are the
+hardest parity anchors available: real-world PDFs with pinned strings."""
+
+import re
+from itertools import groupby
+from operator import itemgetter
+
+import pytest
+
+import pdfplumber_spark.api as api
+
+PDFS = "/root/reference/tests/pdfs"
+
+
+def test_x_tolerance_ratio():
+    """test_utils.py:67-76 (issue-987)."""
+    page = api.open(f"{PDFS}/issue-987-test.pdf").pages[0]
+    assert page.extract_text() == "Big Te xt\nSmall Text"
+    assert page.extract_text(x_tolerance=4) == "Big Te xt\nSmallText"
+    assert page.extract_text(x_tolerance_ratio=0.15) == "Big Text\nSmall Text"
+    words = page.extract_words(x_tolerance_ratio=0.15)
+    assert "|".join(w["text"] for w in words) == "Big|Text|Small|Text"
+
+
+def test_extract_words_directions():
+    """test_utils.py:78-100 (issue-192)."""
+    p = api.open(f"{PDFS}/issue-192-example.pdf").pages[0]
+    words = p.extract_words(vertical_ttb=False)
+    words_attr = p.extract_words(vertical_ttb=False, extra_attrs=["size"])
+    words_w_spaces = p.extract_words(vertical_ttb=False,
+                                     keep_blank_chars=True)
+    words_rtl = p.extract_words(horizontal_ltr=False)
+
+    assert words[0]["text"] == "Agaaaaa:"
+    assert words[0]["direction"] == "ltr"
+    assert "size" not in words[0]
+    assert round(words_attr[0]["size"], 2) == 9.96
+    assert words_w_spaces[0]["text"] == "Agaaaaa: AAAA"
+    vertical = [w for w in words if w["upright"] == 0]
+    assert vertical[0]["text"] == "Aaaaaabag8"
+    assert vertical[0]["direction"] == "btt"
+    assert words_rtl[1]["text"] == "baaabaaA/AAA"
+    assert words_rtl[1]["direction"] == "rtl"
+
+
+def test_text_rotation_all_eight():
+    """test_utils.py:102-133 (issue-848 — parseable since the round-5
+    lexer fix): each rotated page re-reads to the page-0 text under its
+    rotation's direction parameters."""
+    rotations = [
+        ("ltr", "ttb"), ("rtl", "ttb"), ("rtl", "btt"), ("ltr", "btt"),
+        ("ttb", "rtl"), ("btt", "rtl"), ("btt", "ltr"), ("ttb", "ltr"),
+    ]
+    pdf = api.open(f"{PDFS}/issue-848.pdf")
+    expected = pdf.pages[0].extract_text()
+    for i, (char_dir, line_dir) in enumerate(rotations):
+        if i == 0:
+            continue
+        p = pdf.pages[i].filter(lambda obj: obj.get("text") != " ")
+        out = p.extract_text(
+            x_tolerance=2, y_tolerance=2,
+            char_dir=char_dir, line_dir=line_dir,
+            char_dir_rotated=char_dir, line_dir_rotated=line_dir,
+            char_dir_render="ltr", line_dir_render="ttb",
+        )
+        assert out == expected, f"rotation index {i}"
+
+
+def test_text_render_directions():
+    """test_utils.py:172-190 (line-char-render-example): all 8 render
+    direction combinations, exact strings."""
+    targets = {
+        ("ttb", "ltr"): "first line\nsecond line\nthird line",
+        ("ttb", "rtl"): "enil tsrif\nenil dnoces\nenil driht",
+        ("btt", "ltr"): "third line\nsecond line\nfirst line",
+        ("btt", "rtl"): "enil driht\nenil dnoces\nenil tsrif",
+        ("ltr", "ttb"): "fst\nieh\nrci\nsor\ntnd\n d \nl l\nili\nnin\nene\n e ",
+        ("ltr", "btt"): " s \nfet\nich\nroi\nsnr\ntdd\n   \nlll\niii\nnnn\neee",
+        ("rtl", "ttb"): "tsf\nhei\nicr\nros\ndnt\n d \nl l\nili\nnin\nene\n e ",
+        ("rtl", "btt"): " s \ntef\nhci\nior\nrns\nddt\n   \nlll\niii\nnnn\neee",
+    }
+    page = api.open(f"{PDFS}/line-char-render-example.pdf").pages[0]
+    for (line_dir, char_dir), target in targets.items():
+        text = page.extract_text(line_dir_render=line_dir,
+                                 char_dir_render=char_dir)
+        assert text == target, (line_dir, char_dir)
+
+
+def test_invalid_directions():
+    """test_utils.py:192-208."""
+    page = api.open(f"{PDFS}/line-char-render-example.pdf").pages[0]
+    for kwargs in (
+        dict(line_dir="xxx", char_dir="ltr"),
+        dict(line_dir="ttb", char_dir="a"),
+        dict(line_dir="rtl", char_dir="ltr"),
+        dict(line_dir="ttb", char_dir="btt"),
+        dict(line_dir_rotated="ttb", char_dir="btt"),
+        dict(line_dir_render="ttb", char_dir_render="btt"),
+    ):
+        with pytest.raises(ValueError):
+            page.extract_text(**kwargs)
+
+
+def test_extra_attrs():
+    """test_utils.py:210-229 (extra-attrs-example), exact strings."""
+    page = api.open(f"{PDFS}/extra-attrs-example.pdf").pages[0]
+    assert page.extract_text() == "BlackRedArial"
+    assert page.extract_text(
+        extra_attrs=["non_stroking_color"]) == "Black RedArial"
+    assert page.extract_text(extra_attrs=["fontname"]) == "BlackRed Arial"
+    assert page.extract_text(
+        extra_attrs=["non_stroking_color", "fontname"]) == "Black Red Arial"
+    assert page.extract_text(
+        layout=True, use_text_flow=True,
+        extra_attrs=["non_stroking_color", "fontname"],
+    )
+
+
+def test_words_punctuation():
+    """test_utils.py:231-276 (test-punkt), exact tokens per page."""
+    pdf = api.open(f"{PDFS}/test-punkt.pdf")
+    custom = r"!\"&'()*+,.:;<=>?@[]^`{|}~"
+
+    w_a = pdf.pages[0].extract_words(split_at_punctuation=True)
+    w_b = pdf.pages[0].extract_words(split_at_punctuation=False)
+    w_c = pdf.pages[0].extract_words(split_at_punctuation=custom)
+    assert w_a[0]["text"] == "https"
+    assert w_b[0]["text"] == \
+        "https://dell-research-harvard.github.io/HJDataset/"
+    assert w_c[2]["text"] == "//dell-research-harvard"
+
+    w_a = pdf.pages[1].extract_words(split_at_punctuation=True)
+    w_b = pdf.pages[1].extract_words(split_at_punctuation=False)
+    w_c = pdf.pages[1].extract_words(split_at_punctuation=custom)
+    assert (len(w_a), len(w_b), len(w_c)) == (4, 2, 2)
+
+    w_a = pdf.pages[2].extract_words(split_at_punctuation=True)
+    w_b = pdf.pages[2].extract_words(split_at_punctuation=False)
+    w_c = pdf.pages[2].extract_words(split_at_punctuation=custom)
+    assert (w_a[1]["text"], w_b[1]["text"], w_c[1]["text"]) == ("[", "[2,", "[")
+
+    w_a = pdf.pages[3].extract_words(split_at_punctuation=True)
+    w_b = pdf.pages[3].extract_words(split_at_punctuation=False)
+    w_c = pdf.pages[3].extract_words(split_at_punctuation=custom)
+    assert (w_a[2]["text"], w_b[2]["text"], w_c[2]["text"]) == ("al", "al.", "al")
+
+    text = pdf.pages[0].extract_text(layout=True, split_at_punctuation=True)
+    assert "https " in text
+
+
+def test_text_flow_federal_register():
+    """test_utils.py:287-309: use_text_flow changes the word stream on a
+    two-column federal register page, pinned target block."""
+    def words_to_text(words):
+        grouped = groupby(words, key=itemgetter("top"))
+        return "\n".join(
+            " ".join(w["text"] for w in grp) for _, grp in grouped
+        )
+
+    p0 = api.open(f"{PDFS}/federal-register-2020-17221.pdf").pages[0]
+    using_flow = p0.extract_words(use_text_flow=True)
+    not_using_flow = p0.extract_words()
+    target_text = (
+        "The FAA proposes to\n"
+        "supersede Airworthiness Directive (AD)\n"
+        "2018–23–51, which applies to all The\n"
+        "Boeing Company Model 737–8 and 737–\n"
+        "9 (737 MAX) airplanes. Since AD 2018–\n"
+    )
+    assert target_text in words_to_text(using_flow)
+    assert target_text not in words_to_text(not_using_flow)
+
+
+def test_text_flow_overlapping():
+    """test_utils.py:311-325 (issue-912)."""
+    p0 = api.open(f"{PDFS}/issue-912.pdf").pages[0]
+    using_flow = p0.extract_text(use_text_flow=True, layout=True,
+                                 x_tolerance=1)
+    not_using_flow = p0.extract_text(layout=True, x_tolerance=1)
+    assert re.search("2015 RICE PAYMENT 26406576 0 1207631 Cr", using_flow)
+    assert re.search("124644,06155766", using_flow) is None
+    assert re.search("124644,06155766", not_using_flow)
+    assert re.search(
+        "2015 RICE PAYMENT 26406576 0 1207631 Cr", not_using_flow) is None
