@@ -411,36 +411,55 @@ class Page:
         words, _, _ = extract_words_frame(self._chars, settings)
         return words.to_dict("records")
 
-    def search(self, pattern, regex: bool = True, case: bool = True,
-               main_group: int = 0, **kwargs) -> List[dict]:
-        settings, _ = _split_kwargs(kwargs)
+    def _textmap(self, settings, layout: bool):
+        """(rendered, provenance) in layout or plain mode (reference
+        get_textmap: layout=False is the DEFAULT for search/lines)."""
         words, cwid, cwpos = extract_words_frame(self._chars, settings)
         if len(words) == 0:
-            return []
+            return None
         wc = build_word_chars(self._chars, cwid, cwpos, len(words))
-        rendered, prov = assemble_text_layout(
-            words, wc, layout_bbox=self.bbox,
-            layout_width=self.bbox[2] - self.bbox[0],
-            layout_height=self.bbox[3] - self.bbox[1],
-        )
-        out = search_text(rendered, prov, self._chars, pattern,
-                          regex=regex, case=case, main_group=main_group)
-        return out.to_dict("records")
+        if layout:
+            return assemble_text_layout(
+                words, wc, layout_bbox=self.bbox,
+                layout_width=self.bbox[2] - self.bbox[0],
+                layout_height=self.bbox[3] - self.bbox[1],
+            )
+        from .kernel.layout import assemble_text_plain_map
 
-    def extract_text_lines(self, strip: bool = True, **kwargs) -> List[dict]:
+        return assemble_text_plain_map(
+            words, wc, y_tolerance=settings.y_tolerance,
+            use_text_flow=settings.use_text_flow,
+        )
+
+    def search(self, pattern, regex: bool = True, case: bool = True,
+               main_group: int = 0, return_chars: bool = True,
+               **kwargs) -> List[dict]:
+        layout = bool(kwargs.pop("layout", False))
+        settings, _ = _split_kwargs(kwargs)
+        tm = self._textmap(settings, layout)
+        if tm is None:
+            return []
+        rendered, prov = tm
+        out = search_text(rendered, prov, self._chars, pattern,
+                          regex=regex, case=case, main_group=main_group,
+                          return_chars=return_chars)
+        recs = out.to_dict("records")
+        for r in recs:  # reference returns groups as a tuple
+            r["groups"] = tuple(r["groups"])
+        return recs
+
+    def extract_text_lines(self, strip: bool = True,
+                           return_chars: bool = True, **kwargs) -> List[dict]:
+        layout = bool(kwargs.pop("layout", False))
         pat = r" *([^\n]+?) *(\n|$)" if strip else r"([^\n]+)"
         settings, _ = _split_kwargs(kwargs)
-        words, cwid, cwpos = extract_words_frame(self._chars, settings)
-        if len(words) == 0:
+        tm = self._textmap(settings, layout)
+        if tm is None:
             return []
-        wc = build_word_chars(self._chars, cwid, cwpos, len(words))
-        rendered, prov = assemble_text_layout(
-            words, wc, layout_bbox=self.bbox,
-            layout_width=self.bbox[2] - self.bbox[0],
-            layout_height=self.bbox[3] - self.bbox[1],
-        )
+        rendered, prov = tm
         return search_text(
-            rendered, prov, self._chars, pat, main_group=1
+            rendered, prov, self._chars, pat, main_group=1,
+            return_chars=return_chars,
         ).to_dict("records")
 
     # --- tables --------------------------------------------------------------

@@ -451,24 +451,88 @@ def build_word_chars(
     return out
 
 
+def assemble_text_plain_map(
+    words: pd.DataFrame,
+    word_chars: List[pd.DataFrame],
+    line_dir: str = "ttb",
+    y_tolerance: float = DEFAULT_Y_TOLERANCE,
+    use_text_flow: bool = False,
+    expand_ligatures: bool = True,
+) -> Tuple[str, np.ndarray]:
+    """NON-layout textmap with provenance (``text.py`` TextMap with
+    layout=False — the reference default for ``Page.search`` and
+    ``extract_text_lines``): words joined by one space within a line,
+    lines joined by newlines, no positional padding. Line grouping
+    matches ``assemble_text``."""
+    if len(words) == 0:
+        return "", np.zeros(0, dtype=np.int64)
+    expansions = LIGATURES if expand_ligatures else {}
+    vals = word_line_key(words, line_dir)
+    cids = assign_clusters(vals, y_tolerance)
+    groups = group_rows_by_cluster(cids, preserve_order=use_text_flow)
+    out: List[str] = []
+    prov: List[np.ndarray] = []
+    for gi, grp in enumerate(groups):
+        if gi:
+            out.append("\n")
+            prov.append(np.full(1, -1, dtype=np.int64))
+        for k, wi in enumerate(grp):
+            if k:
+                out.append(" ")
+                prov.append(np.full(1, -1, dtype=np.int64))
+            wc = word_chars[wi]
+            if isinstance(wc, tuple):
+                txts, rows = wc
+            else:
+                txts = wc["text"].to_numpy(dtype=object)
+                rows = wc["_row"].to_numpy(dtype=np.int64)
+            pieces: List[str] = []
+            prow: List[int] = []
+            for t, r in zip(txts, rows):
+                expanded = expansions.get(t, t)
+                pieces.append(expanded)
+                prow.extend([r] * len(expanded))
+            txt = "".join(pieces)
+            if txt:
+                out.append(txt)
+                prov.append(np.asarray(prow, dtype=np.int64))
+    return "".join(out), (
+        np.concatenate(prov) if prov else np.zeros(0, dtype=np.int64)
+    )
+
+
 def search_text(
     text: str,
     provenance: np.ndarray,
     chars: pd.DataFrame,
-    pattern: str,
+    pattern,
     regex: bool = True,
     case: bool = True,
     main_group: int = 0,
+    return_chars: bool = False,
 ) -> pd.DataFrame:
     """Regex search over assembled text, spans mapped back to chars
     (``text.py:172-210``). Returns a frame with text/x0/top/x1/bottom/
-    start/end/groups columns; zero-length and whitespace-only matches are
-    dropped.
+    start/end/groups columns (+ ``chars`` records when requested);
+    zero-length and whitespace-only matches are dropped.
     """
-    if not regex:
-        pattern = re.escape(pattern)
-    flags = 0 if case else re.I
-    compiled = re.compile(pattern, flags)
+    if isinstance(pattern, re.Pattern):
+        # reference parity (text.py search): compiled patterns conflict
+        # with regex=False / case=False
+        if regex is False:
+            raise ValueError(
+                "Cannot pass a compiled pattern *and* regex=False together."
+            )
+        if case is False:
+            raise ValueError(
+                "Cannot pass a compiled pattern *and* case=False together."
+            )
+        compiled = pattern
+    else:
+        if not regex:
+            pattern = re.escape(pattern)
+        flags = 0 if case else re.I
+        compiled = re.compile(pattern, flags)
     rows = []
     for m in compiled.finditer(text):
         frag = m.group(main_group)
@@ -479,21 +543,23 @@ def search_text(
         if len(src) == 0:
             continue
         sub = chars.iloc[np.unique(src)]
-        rows.append(
-            {
-                "text": frag,
-                "x0": float(sub["x0"].min()),
-                "top": float(sub["top"].min()),
-                "x1": float(sub["x1"].max()),
-                "bottom": float(sub["bottom"].max()),
-                "start": m.start(main_group),
-                "end": m.end(main_group),
-                "groups": list(m.groups()),
-            }
-        )
-    return pd.DataFrame(
-        rows, columns=["text", "x0", "top", "x1", "bottom", "start", "end", "groups"]
-    )
+        rec = {
+            "text": frag,
+            "x0": float(sub["x0"].min()),
+            "top": float(sub["top"].min()),
+            "x1": float(sub["x1"].max()),
+            "bottom": float(sub["bottom"].max()),
+            "start": m.start(main_group),
+            "end": m.end(main_group),
+            "groups": list(m.groups()),
+        }
+        if return_chars:
+            rec["chars"] = sub.to_dict("records")
+        rows.append(rec)
+    cols = ["text", "x0", "top", "x1", "bottom", "start", "end", "groups"]
+    if return_chars:
+        cols.append("chars")
+    return pd.DataFrame(rows, columns=cols)
 
 
 def extract_text_lines_frame(

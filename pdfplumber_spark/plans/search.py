@@ -39,17 +39,26 @@ MATCHES_SCHEMA = T.StructType(
 
 
 def _page_matches(chars: pd.DataFrame, pattern: str, regex: bool, case: bool,
-                  strip_lines: bool) -> pd.DataFrame:
+                  strip_lines: bool, layout: bool = False) -> pd.DataFrame:
     s = WordSettings()
     words, cwid, cwpos = extract_words_frame(chars, s)
     if len(words) == 0:
         return pd.DataFrame()
     wc = build_word_chars(chars, cwid, cwpos, len(words))
-    bbox = frame_bbox(chars)
-    rendered, prov = assemble_text_layout(
-        words, wc, layout_bbox=bbox,
-        layout_width=bbox[2] - bbox[0], layout_height=bbox[3] - bbox[1],
-    )
+    if layout:
+        bbox = frame_bbox(chars)
+        rendered, prov = assemble_text_layout(
+            words, wc, layout_bbox=bbox,
+            layout_width=bbox[2] - bbox[0], layout_height=bbox[3] - bbox[1],
+        )
+    else:
+        # reference default (get_textmap layout=False): plain textmap
+        from ..kernel.layout import assemble_text_plain_map
+
+        rendered, prov = assemble_text_plain_map(
+            words, wc, y_tolerance=s.y_tolerance,
+            use_text_flow=s.use_text_flow,
+        )
     if strip_lines:
         pattern = r" *([^\n]+?) *(\n|$)"
         return search_text(rendered, prov, chars, pattern, main_group=1)

@@ -184,3 +184,79 @@ def test_text_flow_overlapping():
     assert re.search("124644,06155766", not_using_flow)
     assert re.search(
         "2015 RICE PAYMENT 26406576 0 1207631 Cr", not_using_flow) is None
+
+
+def test_pdffill_extract_text_exact():
+    """test_utils.py:327-352: exact 14 lines + simple + empty-crop."""
+    pdf = api.open(f"{PDFS}/pdffill-demo.pdf")
+    goal = "\n".join([
+        "First Page Previous Page Next Page Last Page",
+        "Print",
+        "PDFill: PDF Drawing",
+        "You can open a PDF or create a blank PDF by PDFill.",
+        "Online Help",
+        "Here are the PDF drawings created by PDFill",
+        "Please save into a new PDF to see the effect!",
+        "Goto Page 2: Line Tool",
+        "Goto Page 3: Arrow Tool",
+        "Goto Page 4: Tool for Rectangle, Square and Rounded Corner",
+        "Goto Page 5: Tool for Circle, Ellipse, Arc, Pie",
+        "Goto Page 6: Tool for Basic Shapes",
+        "Goto Page 7: Tool for Curves",
+        "Here are the tools to change line width, style, arrow style and"
+        " colors",
+    ])
+    assert pdf.pages[0].extract_text() == goal
+    assert pdf.pages[0].extract_text_simple() == goal
+    assert pdf.pages[0].crop((0, 0, 1, 1)).extract_text() == ""
+
+
+def test_search_reference_semantics():
+    """test_utils.py:400-482: compiled/uncompiled/string search, the
+    layout switch, groups-as-tuples, and empty/whitespace safety."""
+    sc = api.open(f"{PDFS}/scotus-transcript-p1.pdf").pages[0]
+    r = sc.search(re.compile(r"supreme\s+(\w+)", re.I))
+    assert r[0]["text"] == "SUPREME COURT" and r[0]["groups"] == ("COURT",)
+    assert r[1]["text"] == "Supreme Court" and r[1]["groups"] == ("Court",)
+    with pytest.raises(ValueError):
+        sc.search(re.compile(r"x"), regex=False)
+    with pytest.raises(ValueError):
+        sc.search(re.compile(r"x"), case=False)
+    r = sc.search(r"supreme\s+(\w+)", case=False)
+    assert r[0]["text"] == "SUPREME COURT" and r[0]["groups"] == ("COURT",)
+    r = sc.search("SUPREME COURT", regex=False)
+    assert r[0]["text"] == "SUPREME COURT" and r[0]["groups"] == ()
+    assert len(sc.search("supreme court", regex=False)) == 0
+    assert len(sc.search("supreme court", regex=False, case=False)) == 2
+    assert len(sc.search("supreme court", regex=True, case=False)) == 2
+    assert len(sc.search(r"supreme\s+(\w+)", regex=False)) == 0
+    # the layout switch: plain textmap single-spaces the gap
+    assert len(sc.search(r"10 Tuesday", layout=False)) == 1
+    assert len(sc.search(r"10 Tuesday", layout=True)) == 0
+    for regex in (True, False):
+        assert len(sc.search("\n", regex=regex)) == 0
+    assert len(sc.search("(sdfsd)?")) == 0
+    assert len(sc.search("")) == 0
+
+
+def test_extract_text_lines_reference_semantics():
+    """test_utils.py:448-470: plain default with chars records, layout /
+    strip / return_chars variants — exact strings."""
+    sc = api.open(f"{PDFS}/scotus-transcript-p1.pdf").pages[0]
+    lines = sc.extract_text_lines()
+    assert len(lines) == 28
+    assert "chars" in lines[0]
+    assert lines[0]["text"] == "Official - Subject to Final Review"
+    assert lines[10]["text"] == "10 Tuesday, January 13, 2009"
+    alt = sc.extract_text_lines(layout=True, strip=False, return_chars=False)
+    assert "chars" not in alt[0]
+    assert alt[0]["text"] == (
+        "                                   "
+        "Official - Subject to Final Review               "
+    )
+    assert alt[10]["text"] == (
+        "            10                          "
+        "Tuesday, January 13, 2009                   "
+    )
+    assert sc.extract_text_lines(layout=True)[10]["text"] == \
+        "10                          Tuesday, January 13, 2009"
