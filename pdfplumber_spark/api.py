@@ -248,6 +248,10 @@ class Page:
         recs = frame.to_dict("records")
         for r in recs:  # reference process_object adds page_number
             r["page_number"] = self.page_number
+            for ck in ("stroking_color", "non_stroking_color"):
+                v = r.get(ck)
+                if isinstance(v, list):  # reference colors are tuples
+                    r[ck] = tuple(v)
         return recs
 
     @property

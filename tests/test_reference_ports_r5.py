@@ -260,3 +260,82 @@ def test_extract_text_lines_reference_semantics():
     )
     assert sc.extract_text_lines(layout=True)[10]["text"] == \
         "10                          Tuesday, January 13, 2009"
+
+
+# --- test_basics.py ports ---------------------------------------------------
+
+def test_basics_fixture_pins():
+    """test_basics.py:29-60: metadata / page count / repr / hyperlinks."""
+    pdf = api.open(f"{PDFS}/nics-background-checks-2015-11.pdf")
+    pdf2 = api.open(f"{PDFS}/pdffill-demo.pdf")
+    assert isinstance(pdf.metadata["Producer"], str)
+    assert len(pdf.pages) == 1
+    assert pdf.pages[0].page_number == 1
+    assert str(pdf.pages[0]) == "<Page:1>"
+    assert len(pdf2.hyperlinks) == 17
+    assert pdf2.hyperlinks[0]["uri"] == \
+        "http://www.pdfill.com/pdf_drawing.html"
+
+
+def test_basics_crop_filter_outside():
+    """test_basics.py:62-120: crop/within/outside/relative semantics with
+    the reference's exact expectations."""
+    page = api.open(f"{PDFS}/nics-background-checks-2015-11.pdf").pages[0]
+    bbox = (0, 0, 200, 200)
+    cropped = page.crop(bbox)
+    assert cropped.width == 200
+    assert len(cropped.rects) > 0
+    assert len(cropped.chars) < len(page.chars)
+    within = page.within_bbox(bbox)
+    assert 0 < len(within.chars) < len(cropped.chars)
+    filtered = cropped.filter(lambda o: o["object_type"] == "char")
+    assert len(filtered.rects) == 0
+
+    outside = page.outside_bbox(page.find_tables()[0].bbox)
+    assert outside.extract_text() == "Page 1 of 205"
+    assert outside.bbox == page.bbox
+
+    rc = page.crop((10, 10, 40, 40)).crop((10, 15, 20, 25), relative=True)
+    assert rc.bbox == (20, 25, 30, 35)
+    rw = page.crop((10, 10, 40, 40)).within_bbox((10, 15, 20, 25),
+                                                 relative=True)
+    assert rw.bbox == (20, 25, 30, 35)
+    # issue-245 / issue-914 relative crops must keep objects
+    bottom = page.crop((0, 0.8 * float(page.height), page.width,
+                        page.height))
+    bottom.crop((0, 0, 0.5 * float(bottom.width), bottom.height),
+                relative=True)
+    crop_right = page.crop((page.width / 2, 0, page.width, page.height))
+    again = crop_right.crop((0, 0, crop_right.width / 2, page.height),
+                            relative=True)
+    assert len(again.chars)
+
+
+def test_basics_invalid_crops():
+    """test_basics.py:113-141."""
+    page = api.open(f"{PDFS}/nics-background-checks-2015-11.pdf").pages[0]
+    for bad in [(0, 0, 0, 0), (0, 0, 10000, 10), (-10, 0, 10, 10),
+                (100, 0, 0, 100), (0, 100, 100, 0)]:
+        with pytest.raises(ValueError):
+            page.crop(bad)
+    bottom = page.crop((0, 0.8 * float(page.height), page.width,
+                        page.height))
+    with pytest.raises(ValueError):
+        bottom.crop((0, 0, 0.5 * float(bottom.width), bottom.height))
+    with pytest.raises(ValueError):
+        page.crop((0, 0, page.width + 10, page.height + 10))
+    page.crop((0, 0, page.width + 10, page.height + 10), strict=False)
+
+
+def test_basics_rotation_password_colors():
+    """test_basics.py:143-165: rotated dims, password open, exact
+    colors (tuples, like the reference)."""
+    page = api.open(f"{PDFS}/nics-background-checks-2015-11.pdf").pages[0]
+    assert (page.width, page.height) == (1008, 612)
+    rot = api.open(
+        f"{PDFS}/nics-background-checks-2015-11-rotated.pdf").pages[0]
+    assert (rot.width, rot.height) == (612, 1008)
+    pw = api.open(f"{PDFS}/password-example.pdf", password="test")
+    assert len(pw.pages[0].chars) > 0
+    assert page.rects[0]["non_stroking_color"] == (0.8, 1, 1)
+    assert page.chars[3358]["non_stroking_color"] == (1, 0, 0)
