@@ -339,3 +339,121 @@ def test_basics_rotation_password_colors():
     assert len(pw.pages[0].chars) > 0
     assert page.rects[0]["non_stroking_color"] == (0.8, 1, 1)
     assert page.chars[3358]["non_stroking_color"] == (1, 0, 0)
+
+
+# --- test_dedupe_chars.py + test_ctm.py + test_list_metadata.py ports -------
+
+def test_dedupe_chars_reference_pins():
+    """test_dedupe_chars.py:23-73 — exact CJK doubled/deduped strings,
+    word geometry to 3 decimals, and the y_tolerance=6 case."""
+    page = api.open(f"{PDFS}/issue-71-duplicate-chars.pdf").pages[0]
+    doubled = "微微软软 培培训训课课程程：： 名名模模意意义义一一些些有有意意义义一一些些"
+    deduped = "微软 培训课程： 名模意义一些有意义一些"
+    assert page.extract_text().split("\n")[-1] == doubled
+    assert page.dedupe_chars().extract_text().split("\n")[-1] == deduped
+    assert page.extract_table()[1][1].split("\n")[-1] == doubled
+    assert page.dedupe_chars().extract_table()[1][1].split("\n")[-1] == deduped
+
+    w1 = page.extract_words()[-1]
+    w2 = page.dedupe_chars().extract_words()[-1]
+    assert round(w1["x0"], 3) == 440.143 and round(w1["x1"], 3) == 534.992
+    assert round(w2["x0"], 3) == 440.143 and round(w2["x1"], 3) == 534.719
+    assert round(w1["top"], 3) in (791.849, 794.357)
+    assert round(w1["bottom"], 3) == 802.961
+    assert w1["upright"] == 1 and w2["upright"] == 1
+
+    page2 = api.open(f"{PDFS}/issue-71-duplicate-chars-2.pdf").pages[0]
+    assert page2.dedupe_chars().extract_text(
+        y_tolerance=6).splitlines()[4] == "UE 8. Circulation - Métabolismes"
+
+
+def test_ctm_reference_pins():
+    """test_ctm.py:12-38 — rotated-char matrices on pdffill-demo p4."""
+    from pdfplumber_spark.api import CTM
+
+    p3 = api.open(f"{PDFS}/pdffill-demo.pdf").pages[3]
+    left = CTM(*p3.chars[97]["matrix"])
+    right = CTM(*p3.chars[105]["matrix"])
+    assert round(left.translation_x) == 126
+    assert round(right.translation_x) == 372
+    assert round(left.translation_y) == 519
+    assert round(right.translation_y) == 562
+    assert left.skew_x == 45 and right.skew_x == -45
+    assert left.skew_y == 45 and right.skew_y == -45
+    assert round(left.scale_x, 3) == 1 and round(right.scale_x, 3) == 1
+    assert round(left.scale_y, 3) == 1 and round(right.scale_y, 3) == 1
+
+
+def test_list_metadata_loads():
+    """test_list_metadata.py: metadata with list values must load."""
+    pdf = api.open(f"{PDFS}/cupertino_usd_4-6-16.pdf")
+    assert len(pdf.metadata)
+
+
+# --- test_table.py ports ----------------------------------------------------
+
+def test_table_lines_strict_exact_row():
+    """test_table.py:54-74 (issue-140)."""
+    t = api.open(f"{PDFS}/issue-140-example.pdf").pages[0].extract_table(
+        {"vertical_strategy": "lines_strict",
+         "horizontal_strategy": "lines_strict"})
+    assert t[-1] == ["", "0085648100300", "CENTRAL KMA",
+                     "LILYS 55% DARK CHOC BAR", "415", "$ 0.61",
+                     "$ 253.15", "0.0000", ""]
+
+
+def test_table_text_tolerance_exact_rows():
+    """test_table.py:91-134 (senate-expenditures): text_x_tolerance
+    changes the final row exactly as the reference pins."""
+    cropped = api.open(f"{PDFS}/senate-expenditures.pdf").pages[0].crop(
+        (70.332, 130.986, 420, 509.106))
+    base = {"horizontal_strategy": "text", "vertical_strategy": "text",
+            "min_words_vertical": 20}
+    t = cropped.extract_table(base)
+    t_tol = cropped.extract_table({**base, "text_x_tolerance": 1})
+    t_tables = cropped.extract_tables({**base, "text_x_tolerance": 1})[0]
+    assert t[-1] == ["DHAW20190070", "09/09/2019", "CITIBANK-TRAVELCBACARD",
+                     "08/12/2019", "08/14/2019"]
+    assert t_tol[-1] == ["DHAW20190070", "09/09/2019",
+                         "CITIBANK - TRAVEL CBA CARD", "08/12/2019",
+                         "08/14/2019"]
+    assert t_tol[-1] == t_tables[-1]
+
+
+def test_table_text_layout_cell():
+    """test_table.py:137-144 (issue-53): per-cell layout render."""
+    t = api.open(f"{PDFS}/issue-53-example.pdf").pages[0].extract_table(
+        {"text_layout": True})
+    assert t[3][0] == "   FY2013   \n   FY2014   "
+
+
+def test_table_order_issue_336():
+    tabs = api.open(f"{PDFS}/issue-336-example.pdf").pages[0].extract_tables()
+    assert [len(t) for t in tabs] == [8, 11, 2]
+
+
+def test_table_mixed_strategy_issue_466():
+    tabs = api.open(f"{PDFS}/issue-466-example.pdf").pages[0].extract_tables(
+        {"vertical_strategy": "lines", "horizontal_strategy": "text",
+         "snap_tolerance": 8, "intersection_tolerance": 4})
+    for t in tabs:
+        assert len(t) == 4 and len(t[0]) == 3
+        for cell in t[3]:
+            assert "last" in cell
+
+
+def test_table_full_settings_discussion_539():
+    page = api.open(f"{PDFS}/nics-background-checks-2015-11.pdf").pages[0]
+    ts = {"vertical_strategy": "lines", "horizontal_strategy": "lines",
+          "explicit_vertical_lines": [], "explicit_horizontal_lines": [],
+          "snap_tolerance": 3, "join_tolerance": 3, "edge_min_length": 3,
+          "min_words_vertical": 3, "min_words_horizontal": 1,
+          "text_keep_blank_chars": False, "text_tolerance": 3,
+          "intersection_tolerance": 3}
+    assert page.extract_table(ts)
+    assert page.extract_tables(ts)
+
+
+def test_table_curves_present():
+    assert len(api.open(
+        f"{PDFS}/table-curves-example.pdf").pages[0].curves) == 33
