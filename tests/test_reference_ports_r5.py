@@ -457,3 +457,37 @@ def test_table_full_settings_discussion_539():
 def test_table_curves_present():
     assert len(api.open(
         f"{PDFS}/table-curves-example.pdf").pages[0].curves) == 33
+
+
+def test_issue_316_nested_metadata():
+    pdf = api.open(f"{PDFS}/issue-316-example.pdf")
+    assert pdf.metadata["Changes"][0]["CreationDate"] == \
+        "D:20061207105020Z00'00'"
+
+
+def test_issue_463_utf16_annot_contents():
+    pdf = api.open(f"{PDFS}/issue-463-example.pdf")
+    assert pdf.pages[0].annots[0]["contents"] == "日本語"
+
+
+def test_issue_982_text_flow_words_match_text():
+    page = api.open(f"{PDFS}/issue-982-example.pdf").pages[0]
+    text = re.sub(r"\s+", " ", page.extract_text(use_text_flow=True))
+    words = " ".join(
+        w["text"] for w in page.extract_words(use_text_flow=True))
+    assert text[:100] == words[:100]
+
+
+def test_issue_598_expand_ligatures_toggle():
+    page = api.open(f"{PDFS}/issue-598-example.pdf").pages[0]
+    a = page.extract_text()
+    assert "fiction" in a and "ﬁction" not in a
+    b = page.extract_text(expand_ligatures=False)
+    assert "ﬁction" in b and "fiction" not in b
+    assert page.extract_words()[53]["text"] == "fiction"
+    assert page.extract_words(expand_ligatures=False)[53]["text"] == "ﬁction"
+
+
+def test_issue_683_ligature_search():
+    page = api.open(f"{PDFS}/issue-71-duplicate-chars-2.pdf").pages[0]
+    page.search(r"\d+", regex=True)  # must not raise
