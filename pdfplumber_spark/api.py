@@ -709,6 +709,17 @@ class PDF:
                 )
                 chars["upright"] = chars["upright"].astype(int)
                 chars["object_type"] = "char"
+                if interp.mc_spans:
+                    mcid_arr = np.full(n, None, dtype=object)
+                    tag_arr = np.full(n, None, dtype=object)
+                    spans = interp.mc_spans
+                    for i, (start, mcid, mtag) in enumerate(spans):
+                        end = spans[i + 1][0] if i + 1 < len(spans) else n
+                        if end > start:
+                            mcid_arr[start:end] = mcid
+                            tag_arr[start:end] = mtag
+                    chars["mcid"] = mcid_arr
+                    chars["tag"] = tag_arr
                 if len(interp.ch_style) == n:
                     chars["matrix"] = [
                         tuple(s[0]) for s in interp.ch_style

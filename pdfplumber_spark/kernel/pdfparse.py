@@ -1550,7 +1550,7 @@ CHAR_COLUMNS = [
 LINE_COLUMNS = [
     "x0", "x1", "y0", "y1", "top", "bottom", "doctop", "width", "height",
     "linewidth", "stroke", "fill", "stroking_color", "non_stroking_color",
-    "pts",
+    "pts", "mcid", "tag",
 ]
 
 
@@ -1598,6 +1598,8 @@ class PageInterpreter:
         # marked-content runs: (chars_emitted_before_change, mcid, tag)
         # (page.py:128-176 semantics, recorded as spans not per-char)
         self.mc_spans: List[tuple] = []
+        # current marked-content (mcid, tag) for path/image rows
+        self._cur_mc: tuple = (None, None)
         self.lines: List[tuple] = []
         self.rects: List[tuple] = []
         self.curves: List[tuple] = []
@@ -1996,13 +1998,20 @@ class PageInterpreter:
                     self.mc_spans.append(
                         (len(self.ch_text), mcid, str(tag) if tag is not None else None)
                     )
+                    self._cur_mc = (
+                        mcid, str(tag) if tag is not None else None
+                    )
                 elif op == "BMC":
                     tag = stack.pop() if stack else None
                     self.mc_spans.append(
                         (len(self.ch_text), None, str(tag) if tag is not None else None)
                     )
+                    self._cur_mc = (
+                        None, str(tag) if tag is not None else None
+                    )
                 elif op == "EMC":
                     self.mc_spans.append((len(self.ch_text), None, None))
+                    self._cur_mc = (None, None)
                 elif op == "INLINE_IMAGE":
                     # tokenizer-parsed BI..ID..EI (reference: pdfminer
                     # emits inline images as LTImage too)
@@ -2187,10 +2196,11 @@ class PageInterpreter:
         y0, y1 = min(ys), max(ys)
         top, bottom = self._flip(y1), self._flip(y0)
         pts_top = [(px, self._flip(py)) for (px, py) in pts_dev]
+        mcid, mctag = self._cur_mc
         row = (
             x0, x1, y0, y1, top, bottom, self.initial_doctop + top,
             x1 - x0, bottom - top, linewidth, stroke, fill,
-            list(stroke_color), list(fill_color), pts_top,
+            list(stroke_color), list(fill_color), pts_top, mcid, mctag,
         )
         if len(sub) == 2 and kinds == "ml":
             self.lines.append(row)

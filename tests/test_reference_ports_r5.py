@@ -491,3 +491,29 @@ def test_issue_598_expand_ligatures_toggle():
 def test_issue_683_ligature_search():
     page = api.open(f"{PDFS}/issue-71-duplicate-chars-2.pdf").pages[0]
     page.search(r"\d+", regex=True)  # must not raise
+
+
+def test_mcids_reference_pins():
+    """test_mcids.py: per-char MCID/tag spans AND marked-content on
+    line/curve objects (round-5: paths now carry the enclosing
+    BDC/EMC's mcid+tag, like pdfminer)."""
+    page = api.open(f"{PDFS}/mcid_example.pdf").pages[0]
+    mcids = []
+    for c in page.chars:
+        if c.get("mcid") is not None:
+            m = int(c["mcid"])
+            while len(mcids) <= m:
+                mcids.append("")
+            if not mcids[m]:
+                mcids[m] = str(c["tag"]) + ": "
+            mcids[m] += c["text"]
+    assert mcids == [
+        "Standard: Test of figures", "", "P: 1 ligne", "P: 2 ligne",
+        "P: 3 ligne", "P: 4 ligne", "P: 0", "P: 2", "P: 4", "P: 6",
+        "P: 8", "P: 10", "P: 12", "P: Figure 1: Chart", "",
+        "P: 1 colonne", "P: 2 colonne", "P: 3 colonne",
+    ]
+    assert all(x["tag"] == "Figure" for x in page.lines)
+    assert all(x["tag"] == "Figure" for x in page.curves)
+    assert {x["mcid"] for x in page.lines} & {1, 14}
+    assert {x["mcid"] for x in page.curves} & {1, 14}
