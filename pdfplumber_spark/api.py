@@ -525,18 +525,22 @@ class Page:
         return best.extract()
 
     # --- visual debug render --------------------------------------------------
-    def to_image(self, resolution: float = 72, antialias: bool = False,
-                 **_kwargs):
+    def to_image(self, resolution: Optional[float] = None,
+                 width: Optional[float] = None,
+                 height: Optional[float] = None,
+                 antialias: bool = False, **_kwargs):
         """Structural page render + overlay surface (reference
         ``page.py`` `Page.to_image` -> ``display.PageImage``). Offline
         from-scratch rasterizer: decodable rasters blit real pixels,
-        vector objects draw with recorded colors, chars render as boxes
-        (no glyph engine — documented divergence); all draw_*/outline_*/
-        debug_tablefinder overlay methods match the reference API."""
-        del antialias  # no font/AA engine offline; accepted for parity
+        vector objects draw with recorded colors, chars stamp 5x7
+        bitmap glyphs; all draw_*/outline_*/debug_tablefinder overlay
+        methods match the reference API. Exactly one of resolution /
+        width / height may be given (reference get_page_image)."""
+        del antialias  # no AA engine offline; accepted for parity
         from .display import PageImage
 
-        return PageImage(self, resolution=resolution)
+        return PageImage(self, resolution=resolution, width=width,
+                         height=height)
 
     # --- derived pages --------------------------------------------------------
     def crop(self, bbox, relative: bool = False, strict: bool = True) -> "Page":

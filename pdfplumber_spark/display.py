@@ -189,7 +189,20 @@ def _render_base(page, scale: float) -> Canvas:
 class PageImage:
     """Reference display.PageImage semantics on the numpy canvas."""
 
-    def __init__(self, page, resolution: float = DEFAULT_RESOLUTION):
+    def __init__(self, page, resolution: Optional[float] = None,
+                 width: Optional[float] = None,
+                 height: Optional[float] = None):
+        # reference get_page_image: resolution XOR width XOR height
+        if sum(x is not None for x in (resolution, width, height)) > 1:
+            raise ValueError(
+                "Only one of resolution, width, height can be given."
+            )
+        if width is not None:
+            resolution = width / page.width * 72.0
+        elif height is not None:
+            resolution = height / page.height * 72.0
+        elif resolution is None:
+            resolution = DEFAULT_RESOLUTION
         self.page = page
         self.resolution = resolution
         self.scale = resolution / 72.0
@@ -247,8 +260,8 @@ class PageImage:
                   stroke_width: int = DEFAULT_STROKE_WIDTH) -> "PageImage":
         if isinstance(points_or_obj, (tuple, list)):
             points = points_or_obj
-        elif isinstance(points_or_obj, dict) and "pts" in points_or_obj \
-                and points_or_obj["pts"] is not None:
+        elif isinstance(points_or_obj, dict) and isinstance(
+                points_or_obj.get("pts"), (list, tuple)):
             points = [(x, y) for x, y in points_or_obj["pts"]]
         else:
             o = points_or_obj
@@ -341,8 +354,12 @@ class PageImage:
     def debug_tablefinder(self, tf=None) -> "PageImage":
         if tf is None or isinstance(tf, dict):
             finder = self.page.debug_tablefinder(tf)
-        else:
+        elif hasattr(tf, "tables") and hasattr(tf, "edges"):
             finder = tf
+        else:
+            raise ValueError(
+                "Argument must be a TableFinder or a settings dict."
+            )
         for table in finder.tables:
             self.debug_table(table)
         edges = finder.edges

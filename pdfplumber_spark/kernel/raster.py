@@ -22,10 +22,23 @@ import numpy as np
 RGBA = Tuple[int, int, int, int]
 
 
+_NAMED_COLORS = {
+    "red": (255, 0, 0), "green": (0, 128, 0), "blue": (0, 0, 255),
+    "black": (0, 0, 0), "white": (255, 255, 255), "yellow": (255, 255, 0),
+    "orange": (255, 165, 0), "purple": (128, 0, 128), "gray": (128, 128, 128),
+    "grey": (128, 128, 128), "cyan": (0, 255, 255), "magenta": (255, 0, 255),
+}
+
+
 def _norm_color(color, default_alpha: int = 255) -> Optional[RGBA]:
-    """(r,g,b) / (r,g,b,a) / None -> RGBA or None (= don't draw)."""
+    """(r,g,b) / (r,g,b,a) / PIL-style name / None -> RGBA or None."""
     if color is None:
         return None
+    if isinstance(color, str):
+        named = _NAMED_COLORS.get(color.lower())
+        if named is None:
+            raise ValueError(f"unknown color name {color!r}")
+        return named + (default_alpha,)
     c = tuple(int(v) for v in color)
     if len(c) == 3:
         return c + (default_alpha,)
@@ -49,6 +62,19 @@ class Canvas:
         c.width, c.height = self.width, self.height
         c.arr = self.arr.copy()
         return c
+
+    @property
+    def size(self) -> Tuple[int, int]:
+        """(width, height) — PIL Image.size parity for ported tests."""
+        return (self.width, self.height)
+
+    def __eq__(self, other) -> bool:  # content equality, like PIL images
+        return (isinstance(other, Canvas)
+                and self.size == other.size
+                and bool((self.arr == other.arr).all()))
+
+    def __ne__(self, other) -> bool:
+        return not self.__eq__(other)
 
     # --- low-level ---------------------------------------------------------
 

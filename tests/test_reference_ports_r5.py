@@ -517,3 +517,55 @@ def test_mcids_reference_pins():
     assert all(x["tag"] == "Figure" for x in page.curves)
     assert {x["mcid"] for x in page.lines} & {1, 14}
     assert {x["mcid"] for x in page.curves} & {1, 14}
+
+
+# --- test_display.py ports --------------------------------------------------
+
+def test_display_reference_surface():
+    """test_display.py:30-125 (the PIL-independent subset): draw ops,
+    width/height kwargs, finder validation, crop size, copy equality,
+    string colors, password, _repr_png_."""
+    import io
+
+    pdf = api.open(f"{PDFS}/nics-background-checks-2015-11.pdf")
+    page = pdf.pages[0]
+    im = page.to_image()
+    im.reset()
+    im.draw_rects(page.rects)
+    im.draw_circle(page.chars[0])
+    im.draw_line(page.edges[0])
+    im.draw_vlines([10])
+    im.draw_hlines([10])
+
+    with pytest.raises(ValueError):
+        page.to_image(resolution=72, height=100)
+    assert page.to_image(width=503).original.width == 503
+    assert page.to_image(height=805).original.height == 805
+
+    im.reset()
+    settings = {"horizontal_strategy": "text", "intersection_tolerance": 5}
+    im.debug_tablefinder(settings)
+    im.debug_tablefinder(page.debug_tablefinder(settings))
+    im.debug_tablefinder(None)
+    with pytest.raises(ValueError):
+        im.debug_tablefinder(0)
+
+    # bytes stream
+    api.open(open(f"{PDFS}/nics-background-checks-2015-11.pdf",
+                  "rb").read()).pages[0].to_image()
+
+    assert page.crop((10, 20, 30, 50)).to_image().original.size == (20, 30)
+    assert im.copy().original == im.original
+    im.outline_words(stroke="blue", fill=(0, 200, 10), stroke_width=2,
+                     x_tolerance=5, y_tolerance=5)
+    im.outline_chars(stroke="blue", fill=(0, 200, 10), stroke_width=2)
+    png = im._repr_png_()
+    assert isinstance(png, bytes) and len(png) > 1000
+
+    api.open(f"{PDFS}/password-example.pdf",
+             password="test").pages[0].to_image()
+
+
+def test_display_draw_curves():
+    page = api.open(f"{PDFS}/table-curves-example.pdf").pages[0]
+    page.to_image().draw_lines(page.curves)
