@@ -29,22 +29,15 @@ def test_with_laparams():
 
 
 def test_vertical_texts():
-    # reference test_laparams.py:35-46. detect_vertical parity is exact
-    # (11 vertical lines / 6 vertical boxes, matching pdfminer). The
-    # horizontal counts still deviate from pdfminer's pins (142 lines /
-    # 74 boxes). Round-3 investigation narrowed the cause:
-    #   - char stream parity verified: counts, texts, widths (raw /W arrays
-    #     checked byte-level), word extraction (all reference issue-192 word
-    #     pins pass), rotated-text handling (all 193 rotated chars group
-    #     into the exact 11/6 vertical lines/boxes);
-    #   - the PScript5 positive-/Descent quirk is now corrected like
-    #     pdfminer pdffont.py does (RM 9.8.1), which moved boxes 135 -> 132;
-    #   - our sequential grouping has ZERO pairs that satisfy pdfminer's
-    #     merge predicate yet split (checked programmatically), and no
-    #     char_margin/line_overlap/neighbor-rule variation reaches 142/74
-    #     without breaking the exact issue-13 79/27 pins.
-    # The residual delta needs a live pdfminer to diff per-line; pinned
-    # here so any regression or improvement is visible.
+    # reference test_laparams.py:35-46 — ALL FOUR counts now match
+    # pdfminer exactly. The horizontal counts (142 lines / 74 boxes)
+    # deviated for three rounds (157/132 at the worst) and were carried
+    # as the one "needs live pdfminer" weak item; the round-5 fix that
+    # closed it was the q/Q TEXT-STATE restore (ISO 32000 §9.3.1): a
+    # char-spacing value leaking across q..Q blocks shifted char
+    # geometry on this CID fixture just enough to split pdfminer's line
+    # groups. Found via the reference-test porting sweep, not a
+    # laparams change at all.
     path = f"{PDFS}/issue-192-example.pdf"
     laparams = {"detect_vertical": True}
     with pdfplumber.open(path, laparams=laparams) as pdf:
@@ -53,8 +46,8 @@ def test_vertical_texts():
         assert len(page.textboxverticals) == 6
         assert "text" in page.textboxverticals[0]
         assert "text" in page.textlineverticals[0]
-        assert len(page.textlinehorizontals) == 157  # pdfminer: 142
-        assert len(page.textboxhorizontals) == 132  # pdfminer: 74
+        assert len(page.textlinehorizontals) == 142  # == pdfminer
+        assert len(page.textboxhorizontals) == 74   # == pdfminer
 
 
 def test_issue_383():
