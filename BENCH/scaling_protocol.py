@@ -21,7 +21,8 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_TOTAL = int(sys.argv[1]) if len(sys.argv) > 1 else 64_000
+N_TOTAL = (int(sys.argv[1]) if len(sys.argv) > 1
+           and not sys.argv[1].startswith("--") else 64_000)
 BASE_DOCS = 600
 
 
@@ -70,6 +71,36 @@ def run_once(spark, path: str) -> float:
         "overwrite"
     ).save()
     return time.time() - t0
+
+
+def main_quick(small: int, big: int):
+    """ONE warm+measured leg per level, big first — built to fit inside
+    a short host fast-window (round-5 finding: fast windows can be
+    briefer than one full interleaved cycle). Total wall ~2 min at 64k
+    docs. Report is a single-cycle efficiency, clearly labeled quick."""
+    from pdfplumber_spark.session import get_spark
+
+    path = big_corpus()
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(path).num_rows
+    dps = {}
+    for cores in (big, small):  # big leg FIRST, while the window holds
+        spark = get_spark(app_name=f"scale-q{cores}", cores=cores,
+                          shuffle_partitions=max(cores * 2, 8))
+        run_once(spark, path)  # warm
+        wall = run_once(spark, path)
+        spark.stop()
+        dps[cores] = n_docs / wall
+        log(f"quick local[{cores}]: {wall:.1f}s {dps[cores]:.0f} docs/s")
+    eff = dps[big] / ((big / small) * dps[small])
+    print(json.dumps({
+        "n_docs": n_docs, "mode": f"quick {small}->{big} (big leg first)",
+        "small_dps": round(dps[small]), "big_dps": round(dps[big]),
+        "efficiency": round(eff, 3), "criterion": ">=0.8",
+        "note": "single-cycle window-chasing mode; the interleaved "
+                "protocol remains the standard evidence",
+    }))
 
 
 def main_interleaved(small: int, big: int, cycles: int = 3):
@@ -158,7 +189,12 @@ def main():
 
 if __name__ == "__main__":
     # usage: scaling_protocol.py [n_docs] [--interleave [small big [cycles]]]
-    if "--interleave" in sys.argv:
+    if "--quick" in sys.argv:
+        i = sys.argv.index("--quick")
+        rest = [int(x) for x in sys.argv[i + 1:]]
+        small, big = (rest[0], rest[1]) if len(rest) >= 2 else (8, 32)
+        main_quick(small, big)
+    elif "--interleave" in sys.argv:
         i = sys.argv.index("--interleave")
         rest = [int(x) for x in sys.argv[i + 1:]]
         small, big = (rest[0], rest[1]) if len(rest) >= 2 else (8, 32)
