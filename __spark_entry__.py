@@ -277,21 +277,25 @@ def q_token_count(spark, sf_dir):
 
 
 def q_quality(spark, sf_dir):
-    from pdfplumber_spark.operators.text_analysis import with_quality
+    """Per-doc quality signals: C4-style surface ratios (with_quality)
+    JOINED with the Gopher-style repetition stats (dup-word / top-word /
+    top-bigram / dup-line fractions — explode + lead() window + two-level
+    agg), both mirrored in pure SQL. One board row covers BOTH operator
+    families (merged round 6: the driver board records at most 50 rows —
+    r4 had 51 queries/50 rows, r5 54/50, missing = the last dict keys —
+    so variant rows are consolidated to keep every family driver-checked;
+    the standalone plans stay pinned in tests/test_plan_shapes.py)."""
+    from pdfplumber_spark.operators.text_analysis import (
+        repetition_stats,
+        with_quality,
+    )
 
     docs = _tbl(spark, sf_dir, "documents")
-    q = with_quality(docs, "text")
-    return q.select("doc_id", "n_chars", "n_words", "alpha_ratio", "punct_ratio")
-
-
-def q_repetition(spark, sf_dir):
-    """Gopher-style repetition quality signals (dup-word / top-word /
-    top-bigram / dup-line fractions) — explode + lead() window + two-level
-    agg, mirrored in pure SQL."""
-    from pdfplumber_spark.operators.text_analysis import repetition_stats
-
-    docs = _tbl(spark, sf_dir, "documents")
-    return repetition_stats(docs, "doc_id", "text")
+    q = with_quality(docs, "text").select(
+        "doc_id", "n_chars", "n_words", "alpha_ratio", "punct_ratio"
+    )
+    rep = repetition_stats(docs, "doc_id", "text").drop("n_words")
+    return q.join(rep, "doc_id")
 
 
 def q_tokenize(spark, sf_dir):
@@ -397,27 +401,25 @@ def q_cosine_near_pairs_lsh(spark, sf_dir):
     the board corpus collides in >= 2 tables (recall 1.0 with margin —
     measured, and re-measured over randomized corpora with a pinned >=0.95
     floor in tests/test_dedup_ops.py), so the LSH output must EQUAL the
-    exact output row-for-row; any recall loss fails the row count."""
+    exact output row-for-row; any recall loss fails the row count.
+
+    ALSO carries the PRODUCTION regime as a second leg (round-4 memo:
+    t >= 0.9 with planes=8/tables=16 prunes to <25% candidate fraction at
+    total recall) under ``regime='prod'`` — one board row driver-checks
+    both regimes against the banding-free exact SQL (consolidated round 6
+    for the 50-row driver board cap)."""
     from pdfplumber_spark.operators.similarity import cosine_near_pairs
 
     emb = _tbl(spark, sf_dir, "embeddings")
-    return cosine_near_pairs(
+    verify = cosine_near_pairs(
         emb, threshold=0.40, method="lsh", n_planes=3, n_tables=24
-    ).select("doc_a", "doc_b", "cosine")
-
-
-def q_cosine_near_pairs_lsh_prod(spark, sf_dir):
-    """The PRODUCTION LSH regime (round-4 memo: t >= 0.9 with
-    planes=8/tables=16 prunes to <25% candidate fraction at total
-    recall on randomized corpora) — driver-oracle-checked here instead
-    of pytest-only: the bucketed output must equal the banding-free
-    exact SQL at ROUND(cosine,6) >= 0.90 row-for-row."""
-    from pdfplumber_spark.operators.similarity import cosine_near_pairs
-
-    emb = _tbl(spark, sf_dir, "embeddings")
-    return cosine_near_pairs(
+    ).select(F.lit("verify").alias("regime"), "doc_a", "doc_b", "cosine")
+    prod = cosine_near_pairs(
         emb, threshold=0.90, method="lsh", n_planes=8, n_tables=16
-    ).select("doc_a", "doc_b", "cosine")
+    ).select(F.lit("prod").alias("regime"), "doc_a", "doc_b", "cosine")
+    return verify.unionByName(prod)
+
+
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -452,29 +454,25 @@ def q_minhash_dedup_cc(spark, sf_dir):
     Components come from distributed min-label propagation
     (operators/dedup.py connected_components); the oracle recomputes them
     with a RECURSIVE CTE over the materialized pairs parquet, so the
-    propagation loop itself is DuckDB-checked."""
+    propagation loop itself is DuckDB-checked.
+
+    Runs BOTH distributed CC algorithms — min-label propagation
+    (``algorithm='labelprop'``) and the large-star/small-star alternation
+    (Kiveris et al., MR'14 — O(log n) rounds on ANY graph shape,
+    ``algorithm='star'``) — in one board row; the survivor set is
+    algorithm-independent, so each leg is independently checked against
+    the same recursive CTE (consolidated round 6 for the 50-row driver
+    board cap)."""
     from pdfplumber_spark.operators.dedup import minhash_dedup_cc
 
     docs = _tbl(spark, sf_dir, "documents").where("doc_id < 300")
-    return minhash_dedup_cc(docs, "doc_id", "text", threshold=0.8).select(
-        "doc_id"
+    lp = minhash_dedup_cc(docs, "doc_id", "text", threshold=0.8).select(
+        F.lit("labelprop").alias("algorithm"), "doc_id"
     )
-
-
-def q_minhash_dedup_cc_star(spark, sf_dir):
-    """Same survivor semantics as ``minhash_dedup_cc`` with components
-    from the large-star/small-star alternation (Kiveris et al., MR'14 —
-    O(log n) rounds on ANY graph shape, the swap-in for long thin
-    components at corpus scale) instead of min-label propagation. The
-    oracle is the identical recursive CTE: the survivor set is
-    algorithm-independent, so a green row driver-checks the star
-    implementation itself (previously pytest-only)."""
-    from pdfplumber_spark.operators.dedup import minhash_dedup_cc
-
-    docs = _tbl(spark, sf_dir, "documents").where("doc_id < 300")
-    return minhash_dedup_cc(
+    star = minhash_dedup_cc(
         docs, "doc_id", "text", threshold=0.8, cc_algorithm="star"
-    ).select("doc_id")
+    ).select(F.lit("star").alias("algorithm"), "doc_id")
+    return lp.unionByName(star)
 
 
 def q_curated_corpus(spark, sf_dir):
@@ -512,34 +510,36 @@ def q_minhash_pairs(spark, sf_dir):
     return minhash_lsh_candidates(sigs).select("doc_a", "doc_b", "est_jaccard")
 
 
-def q_minhash_pairs_full(spark, sf_dir):
-    """MinHash-LSH candidates over the WHOLE documents table — no toy
-    doc_id slice (round-3 verdict ask #7)."""
-    from pdfplumber_spark.operators.dedup import (
-        minhash_lsh_candidates,
-        minhash_signatures,
-    )
+def q_minhash_pairs_scale(spark, sf_dir):
+    """MinHash-LSH candidates at scale, two regimes in one board row
+    (consolidated round 6 for the 50-row driver board cap):
 
-    docs = _tbl(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id", "text")
-    return minhash_lsh_candidates(sigs).select("doc_a", "doc_b", "est_jaccard")
-
-
-def q_minhash_pairs_skewed(spark, sf_dir):
-    """Full table + the deterministic boilerplate mega-bucket family (121
-    identical texts): the per-bucket cap (window count over the bucket key)
-    must drop every pair of the replica group while ordinary near-pairs
-    still surface — the distributed skew guard checked against the
-    single-process derivation of the same input."""
+    - ``regime='full'``: the WHOLE documents table — no toy doc_id slice
+      (round-3 verdict ask #7);
+    - ``regime='skewed'``: full table + the deterministic boilerplate
+      mega-bucket family (121 identical texts) — the per-bucket cap
+      (window count over the bucket key) must drop every pair of the
+      replica group while ordinary near-pairs still surface, the
+      distributed skew guard checked against the single-process
+      derivation of the same input."""
     from pdfplumber_spark.operators.dedup import (
         minhash_lsh_candidates,
         minhash_signatures,
         with_boilerplate_skew,
     )
 
-    docs = with_boilerplate_skew(_tbl(spark, sf_dir, "documents"))
-    sigs = minhash_signatures(docs, "doc_id", "text")
-    return minhash_lsh_candidates(sigs).select("doc_a", "doc_b", "est_jaccard")
+    docs = _tbl(spark, sf_dir, "documents")
+    full = minhash_lsh_candidates(
+        minhash_signatures(docs, "doc_id", "text")
+    ).select(
+        F.lit("full").alias("regime"), "doc_a", "doc_b", "est_jaccard"
+    )
+    skewed = minhash_lsh_candidates(
+        minhash_signatures(with_boilerplate_skew(docs), "doc_id", "text")
+    ).select(
+        F.lit("skewed").alias("regime"), "doc_a", "doc_b", "est_jaccard"
+    )
+    return full.unionByName(skewed)
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -728,11 +728,23 @@ def q_image_stats(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # HARD INVARIANT: at most 50 entries. The driver's correctness board
+    # records at most 50 rows in dict order (observed: round 4 ran 50 of 51
+    # queries, round 5 ran 50 of 54 — the missing rows were exactly the last
+    # dict keys both times). Variant rows are therefore merged into their
+    # parent query (regime/algorithm discriminator columns) and the four
+    # rows that lost driver coverage in round 5 (structure, image_metadata,
+    # image_stats, render_png) sit early in the dict. Enforced by
+    # tests/test_entry_oracle.py::test_board_fits_driver_cap.
     return {
         "cluster_1d": q_cluster_1d,
         "interval_merge": q_interval_merge,
         "snap_mean": q_snap_mean,
         "cumsum": q_cumsum,
+        "structure": q_structure,
+        "image_metadata": q_image_metadata,
+        "image_stats": q_image_stats,
+        "render_png": q_render_png,
         "topk_per_group": q_topk_per_group,
         "dedupe_keepfirst": q_dedupe_keepfirst,
         "collate_line": q_collate_line,
@@ -745,7 +757,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "token_count": q_token_count,
         "quality": q_quality,
-        "repetition": q_repetition,
         "tokenize": q_tokenize,
         "ngram_counts": q_ngram_counts,
         "quality_filter": q_quality_filter,
@@ -754,18 +765,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "embedding_topk": q_embedding_topk,
         "minhash_pairs": q_minhash_pairs,
-        "minhash_pairs_full": q_minhash_pairs_full,
-        "minhash_pairs_skewed": q_minhash_pairs_skewed,
+        "minhash_pairs_scale": q_minhash_pairs_scale,
         "minhash_dedup": q_minhash_dedup,
         "minhash_dedup_cc": q_minhash_dedup_cc,
-        "minhash_dedup_cc_star": q_minhash_dedup_cc_star,
         "curated_corpus": q_curated_corpus,
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "cosine_near_pairs": q_cosine_near_pairs,
         "cosine_near_pairs_lsh": q_cosine_near_pairs_lsh,
-        "cosine_near_pairs_lsh_prod": q_cosine_near_pairs_lsh_prod,
         "extract_text": q_extract_text,
         "extract_text_layout": q_extract_text_layout,
         "document_text": q_document_text,
@@ -779,10 +787,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_salted": q_extract_text_salted,
         "hyperlinks": q_hyperlinks,
         "metadata": q_metadata,
-        "structure": q_structure,
-        "image_metadata": q_image_metadata,
-        "image_stats": q_image_stats,
-        "render_png": q_render_png,
     }
 
 
@@ -1001,15 +1005,74 @@ def oracle_sql() -> dict[str, str]:
                    GREATEST(len(regexp_extract_all(text, '\\S+')), 1) AS n_ws_tokens
             FROM documents
         """,
+        # surface ratios JOIN repetition fractions — one row checks both
+        # operator families (round-6 board consolidation)
         "quality": r"""
-            SELECT doc_id,
-                   length(text) AS n_chars,
-                   GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS n_words,
-                   ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                         / GREATEST(length(text), 1), 6) AS alpha_ratio,
-                   ROUND(CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE)
-                         / GREATEST(length(text), 1), 6) AS punct_ratio
-            FROM documents
+            WITH surface AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS n_words,
+                       ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                             / GREATEST(length(text), 1), 6) AS alpha_ratio,
+                       ROUND(CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE)
+                             / GREATEST(length(text), 1), 6) AS punct_ratio
+                FROM documents
+            ), base AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\S+') AS words,
+                       string_split(text, chr(10)) AS lines
+                FROM documents
+            ), counts AS (
+                SELECT doc_id,
+                       len(words) AS rep_n_words,
+                       len(list_distinct(words)) AS n_distinct_words,
+                       len(lines) AS n_lines,
+                       len(list_distinct(lines)) AS n_distinct_lines
+                FROM base
+            ), w AS (
+                SELECT doc_id, unnest(words) AS word,
+                       generate_subscripts(words, 1) AS pos
+                FROM base
+            ), grams AS (
+                SELECT doc_id, word,
+                       lead(word) OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS nxt
+                FROM w
+            ), word_top AS (
+                SELECT doc_id, MAX(c) AS top_word_cnt FROM (
+                    SELECT doc_id, word, COUNT(*) AS c
+                    FROM w GROUP BY doc_id, word) t
+                GROUP BY doc_id
+            ), bigram_top AS (
+                SELECT doc_id, MAX(c) AS top_bigram_cnt FROM (
+                    SELECT doc_id, word || ' ' || nxt AS bigram,
+                           COUNT(*) AS c
+                    FROM grams WHERE nxt IS NOT NULL
+                    GROUP BY doc_id, bigram) t
+                GROUP BY doc_id
+            ), rep AS (
+                SELECT c.doc_id,
+                       CASE WHEN c.rep_n_words = 0 THEN 0.0
+                            ELSE ROUND(1 - CAST(c.n_distinct_words AS DOUBLE)
+                                       / c.rep_n_words, 6) END AS dup_word_frac,
+                       CASE WHEN c.rep_n_words = 0 THEN 0.0
+                            ELSE ROUND(CAST(wt.top_word_cnt AS DOUBLE)
+                                       / c.rep_n_words, 6) END AS top_word_frac,
+                       CASE WHEN c.rep_n_words <= 1 THEN 0.0
+                            ELSE ROUND(CAST(bt.top_bigram_cnt AS DOUBLE)
+                                       / (c.rep_n_words - 1), 6) END
+                           AS top_bigram_frac,
+                       CASE WHEN c.n_lines = 0 THEN 0.0
+                            ELSE ROUND(1 - CAST(c.n_distinct_lines AS DOUBLE)
+                                       / c.n_lines, 6) END AS dup_line_frac
+                FROM counts c
+                LEFT JOIN word_top wt USING (doc_id)
+                LEFT JOIN bigram_top bt USING (doc_id)
+            )
+            SELECT s.doc_id, s.n_chars, s.n_words, s.alpha_ratio,
+                   s.punct_ratio, r.dup_word_frac, r.top_word_frac,
+                   r.top_bigram_frac, r.dup_line_frac
+            FROM surface s JOIN rep r USING (doc_id)
         """,
         "langid": f"""
             WITH h AS (SELECT doc_id, {hits_cols} FROM documents)
@@ -1072,65 +1135,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, reject_reason IS NULL AS keep, reject_reason
             FROM rules
         """,
-        "repetition": r"""
-            WITH base AS (
-                SELECT doc_id,
-                       regexp_extract_all(lower(text), '\S+') AS words,
-                       string_split(text, chr(10)) AS lines
-                FROM documents
-            ), counts AS (
-                SELECT doc_id,
-                       len(words) AS n_words,
-                       len(list_distinct(words)) AS n_distinct_words,
-                       len(lines) AS n_lines,
-                       len(list_distinct(lines)) AS n_distinct_lines
-                FROM base
-            ), w AS (
-                SELECT doc_id, unnest(words) AS word,
-                       generate_subscripts(words, 1) AS pos
-                FROM base
-            ), grams AS (
-                SELECT doc_id, word,
-                       lead(word) OVER (PARTITION BY doc_id ORDER BY pos)
-                           AS nxt
-                FROM w
-            ), word_top AS (
-                SELECT doc_id, MAX(c) AS top_word_cnt FROM (
-                    SELECT doc_id, word, COUNT(*) AS c
-                    FROM w GROUP BY doc_id, word) t
-                GROUP BY doc_id
-            ), bigram_top AS (
-                SELECT doc_id, MAX(c) AS top_bigram_cnt FROM (
-                    SELECT doc_id, word || ' ' || nxt AS bigram,
-                           COUNT(*) AS c
-                    FROM grams WHERE nxt IS NOT NULL
-                    GROUP BY doc_id, bigram) t
-                GROUP BY doc_id
-            )
-            SELECT c.doc_id, c.n_words,
-                   CASE WHEN c.n_words = 0 THEN 0.0
-                        ELSE ROUND(1 - CAST(c.n_distinct_words AS DOUBLE)
-                                   / c.n_words, 6) END AS dup_word_frac,
-                   CASE WHEN c.n_words = 0 THEN 0.0
-                        ELSE ROUND(CAST(wt.top_word_cnt AS DOUBLE)
-                                   / c.n_words, 6) END AS top_word_frac,
-                   CASE WHEN c.n_words <= 1 THEN 0.0
-                        ELSE ROUND(CAST(bt.top_bigram_cnt AS DOUBLE)
-                                   / (c.n_words - 1), 6) END
-                       AS top_bigram_frac,
-                   CASE WHEN c.n_lines = 0 THEN 0.0
-                        ELSE ROUND(1 - CAST(c.n_distinct_lines AS DOUBLE)
-                                   / c.n_lines, 6) END AS dup_line_frac
-            FROM counts c
-            LEFT JOIN word_top wt USING (doc_id)
-            LEFT JOIN bigram_top bt USING (doc_id)
-        """,
         "cosine_near_pairs": _COSINE_PAIRS_SQL,
         # the lsh scale path must reproduce the exact result on the board
         # corpus (recall 1.0 with >=2-table margin at planes=3/tables=24),
-        # so it is checked against the SAME banding-free exact oracle
-        "cosine_near_pairs_lsh": _COSINE_PAIRS_SQL,
-        "cosine_near_pairs_lsh_prod": _COSINE_PAIRS_SQL.replace("0.40", "0.90"),
+        # so it is checked against the SAME banding-free exact oracle;
+        # the prod leg (t=0.90, planes=8/tables=16) rides the same row
+        "cosine_near_pairs_lsh": f"""
+            SELECT 'verify' AS regime, * FROM ({_COSINE_PAIRS_SQL})
+            UNION ALL
+            SELECT 'prod' AS regime, *
+            FROM ({_COSINE_PAIRS_SQL.replace("0.40", "0.90")})
+        """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                        FROM embeddings WHERE vec_id < 5),
@@ -1156,7 +1171,16 @@ def oracle_sql() -> dict[str, str]:
         **{
             name: f"SELECT * FROM read_parquet('{path}')"
             for name, path in _expected_oracle_paths().items()
+            # full/skewed are legs of the merged minhash_pairs_scale row
+            if name not in ("minhash_pairs_full", "minhash_pairs_skewed")
         },
+        "minhash_pairs_scale": f"""
+            SELECT 'full' AS regime, doc_a, doc_b, est_jaccard
+            FROM read_parquet('{_expected_oracle_paths()["minhash_pairs_full"]}')
+            UNION ALL
+            SELECT 'skewed' AS regime, doc_a, doc_b, est_jaccard
+            FROM read_parquet('{_expected_oracle_paths()["minhash_pairs_skewed"]}')
+        """,
         # containment-overlap pairs recomputed in PURE SQL over the
         # materialized winnow parquet — the inverted-index join, posting
         # cap, and ratio logic are DuckDB logic
@@ -1234,7 +1258,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # connected components recomputed in PURE SQL (recursive CTE:
         # labels reachable along edges; component = MIN reachable label) —
-        # checks the distributed min-label-propagation loop itself
+        # checks the distributed min-label-propagation loop itself; the
+        # star leg is identical by construction, so the same survivor CTE
+        # feeds both algorithm labels of the merged row
         "minhash_dedup_cc": f"""
             WITH RECURSIVE hits AS (
                 SELECT doc_a, doc_b
@@ -1251,32 +1277,14 @@ def oracle_sql() -> dict[str, str]:
                     ON e.src = r.node
             ), comp AS (
                 SELECT node, MIN(label) AS component FROM reach GROUP BY node
+            ), surv AS (
+                SELECT doc_id FROM documents
+                WHERE doc_id < 300 AND doc_id NOT IN (
+                    SELECT node FROM comp WHERE node <> component)
             )
-            SELECT doc_id FROM documents
-            WHERE doc_id < 300 AND doc_id NOT IN (
-                SELECT node FROM comp WHERE node <> component)
-        """,
-        # star-CC survivors are identical by construction — same CTE
-        "minhash_dedup_cc_star": f"""
-            WITH RECURSIVE hits AS (
-                SELECT doc_a, doc_b
-                FROM read_parquet('{_expected_oracle_paths()["minhash_pairs"]}')
-                WHERE est_jaccard >= 0.8
-            ), edges AS (
-                SELECT doc_a AS src, doc_b AS dst FROM hits
-                UNION ALL
-                SELECT doc_b AS src, doc_a AS dst FROM hits
-            ), reach(node, label) AS (
-                SELECT src, src FROM edges
-                UNION
-                SELECT e.dst, r.label FROM reach r JOIN edges e
-                    ON e.src = r.node
-            ), comp AS (
-                SELECT node, MIN(label) AS component FROM reach GROUP BY node
-            )
-            SELECT doc_id FROM documents
-            WHERE doc_id < 300 AND doc_id NOT IN (
-                SELECT node FROM comp WHERE node <> component)
+            SELECT 'labelprop' AS algorithm, doc_id FROM surv
+            UNION ALL
+            SELECT 'star' AS algorithm, doc_id FROM surv
         """,
     }
 

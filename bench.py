@@ -92,10 +92,10 @@ def main() -> None:
         "collate_line", "bbox_agg", "rect_edges", "edge_intersections",
         "exact_dedup", "jaccard_pairs", "minhash_pairs", "minhash_dedup",
         "minhash_dedup_cc", "curated_corpus", "simhash_pairs",
-        "token_count", "quality", "repetition", "tokenize", "ngram_counts", "quality_filter", "winnow_overlap", "langid",
+        "token_count", "quality", "tokenize", "ngram_counts", "quality_filter", "winnow_overlap", "langid",
         "embedding_topk", "lsh_topk",
         "ivf_topk", "cosine_near_pairs", "cosine_near_pairs_lsh",
-        "image_stats",
+        "image_stats", "structure", "render_png",
     ]
     import pdfplumber_spark
 

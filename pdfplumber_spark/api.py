@@ -388,7 +388,7 @@ class Page:
             if k in rest:
                 layout_kwargs[k] = rest.pop(k)
         if layout:
-            layout_kwargs = dict(
+            layout_kwargs.update(
                 layout_bbox=rest.pop("layout_bbox", self.bbox),
                 layout_width=rest.pop(
                     "layout_width", self.bbox[2] - self.bbox[0]
@@ -713,17 +713,19 @@ class PDF:
                 )
                 chars["upright"] = chars["upright"].astype(int)
                 chars["object_type"] = "char"
-                if interp.mc_spans:
-                    mcid_arr = np.full(n, None, dtype=object)
-                    tag_arr = np.full(n, None, dtype=object)
-                    spans = interp.mc_spans
-                    for i, (start, mcid, mtag) in enumerate(spans):
-                        end = spans[i + 1][0] if i + 1 < len(spans) else n
-                        if end > start:
-                            mcid_arr[start:end] = mcid
-                            tag_arr[start:end] = mtag
-                    chars["mcid"] = mcid_arr
-                    chars["tag"] = tag_arr
+                # mcid/tag are ALWAYS present (reference emits the keys as
+                # None on untagged pages — round-5 ADVICE: schema must not
+                # differ between tagged and untagged documents)
+                mcid_arr = np.full(n, None, dtype=object)
+                tag_arr = np.full(n, None, dtype=object)
+                spans = interp.mc_spans
+                for i, (start, mcid, mtag) in enumerate(spans):
+                    end = spans[i + 1][0] if i + 1 < len(spans) else n
+                    if end > start:
+                        mcid_arr[start:end] = mcid
+                        tag_arr[start:end] = mtag
+                chars["mcid"] = mcid_arr
+                chars["tag"] = tag_arr
                 if len(interp.ch_style) == n:
                     chars["matrix"] = [
                         tuple(s[0]) for s in interp.ch_style
@@ -739,7 +741,7 @@ class PDF:
                     columns=["char_index", "text", "fontname", "size", "adv",
                              "upright", "x0", "x1", "y0", "y1", "top",
                              "bottom", "doctop", "width", "height",
-                             "object_type"]
+                             "object_type", "mcid", "tag"]
                 )
             lines = pd.DataFrame(
                 [ln for ln in interp.lines], columns=LINE_COLUMNS

@@ -184,7 +184,11 @@ def _decode_one(doc: PDFDocument, xo: StreamObj) -> dict:
             return row
         samples = d["samples"]
         jw, jh, jc = d["width"], d["height"], d["n_components"]
-        if (width, height) not in ((jw, jh), (0, 0)):
+        # per-axis check, 0/missing = unspecified: real consumers trust
+        # the SOF dimensions, so only a NONZERO dict dim that disagrees
+        # with the SOF dim is an error (round-5 ADVICE: (jw, 0) with a
+        # fine decode used to flag 'error')
+        if (width and width != jw) or (height and height != jh):
             row["status"] = "error"  # dict/stream dimension mismatch
             return row
         row.update(

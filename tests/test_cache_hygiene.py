@@ -23,7 +23,7 @@ CACHING_QUERIES = [
     "jaccard_pairs",
     "cosine_near_pairs",
     "lsh_topk",
-    "repetition",
+    "quality",  # carries the repetition join since the round-6 board merge
     "quality_filter",
     "winnow_overlap",
 ]

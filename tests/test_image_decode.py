@@ -614,3 +614,56 @@ def test_dct_image_xobjects_decode_end_to_end():
     assert row["status"] == "ok"
     assert (row["width"], row["height"], row["channels"]) == (6, 6, 1)
     assert set(row["samples"]) == {99}
+
+
+def _dct_pdf(dims: bytes) -> bytes:
+    """One-image PDF whose XObject dict carries ``dims`` (e.g. b"/Width 6")
+    around a real 6x6 baseline-JPEG stream."""
+    from pdfplumber_spark.kernel.jpeg import jpeg_encode_gray
+
+    real = jpeg_encode_gray(np.full((6, 6), 99, dtype=np.uint8))
+    objs = [
+        b"<</Type/Catalog/Pages 2 0 R>>",
+        b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+        b"<</Type/Page/Parent 2 0 R/MediaBox[0 0 100 100]"
+        b"/Resources<</XObject<</Im0 4 0 R>>>>/Contents 5 0 R>>",
+        b"<</Type/XObject/Subtype/Image " + dims +
+        b"/ColorSpace/DeviceGray/BitsPerComponent 8/Filter/DCTDecode"
+        b"/Length %d>>\nstream\n%s\nendstream" % (len(real), real),
+        b"<</Length 33>>\nstream\nq 50 0 0 50 10 10 cm /Im0 Do Q\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.5\n")
+    offs = []
+    for i, o in enumerate(objs, 1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    xa = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offs:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<</Size %d/Root 1 0 R>>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xa))
+    return bytes(out)
+
+
+@pytest.mark.parametrize(
+    "dims,status",
+    [
+        (b"/Width 6/Height 6", "ok"),     # both agree
+        (b"/Width 6", "ok"),              # missing axis = unspecified
+        (b"/Height 6", "ok"),
+        (b"/Width 6/Height 0", "ok"),     # zero = unspecified
+        (b"", "ok"),                      # SOF dims trusted outright
+        (b"/Width 7/Height 6", "error"),  # nonzero disagreement per axis
+        (b"/Width 6/Height 5", "error"),
+    ],
+)
+def test_dct_dict_dims_checked_per_axis(dims, status):
+    """Round-5 ADVICE (images.py:187): a dict that specifies only ONE axis
+    (or zero) must not flag 'error' when the JPEG decoded fine — real
+    consumers trust the SOF dimensions; only a NONZERO dict dim that
+    disagrees with SOF is a mismatch."""
+    (row,) = image_xobjects(_dct_pdf(dims))
+    assert row["status"] == status, (dims, row["status"])
+    if status == "ok":
+        assert (row["width"], row["height"]) == (6, 6)

@@ -25,7 +25,7 @@ NO_CARTESIAN = [
     "minhash_dedup_cc",
     "simhash_pairs",
     "jaccard_pairs",
-    "repetition",
+    "quality",  # carries the repetition join since the round-6 board merge
     "ngram_counts",
     "quality_filter",
 ]
