@@ -688,10 +688,15 @@ def q_structure(spark, sf_dir):
 
 
 def q_image_metadata(spark, sf_dir):
+    """Standalone image-file metadata via REAL decode (round 6:
+    kernel/imagefile.py — PNG chunk walk + engine PNG predictors, JPEG
+    via kernel/jpeg.py): dims + channels come from decoded pixels, so
+    the corpus's image/file rows verify the decoders end-to-end."""
     from pdfplumber_spark.operators.multimodal import image_metadata
 
     return image_metadata(_pages(spark, sf_dir)).select(
-        "url", "n_bytes", "format", "sha256", "status"
+        "url", "n_bytes", "format", "width", "height", "channels",
+        "sha256", "status"
     )
 
 

@@ -154,6 +154,21 @@ class _BitReader:
         self.pos = (self.pos + 7) & ~7
 
 
+def _eol_bits(br: _BitReader) -> int:
+    """Bits consumed by an EOL starting at ``br.pos``, tolerating FILL:
+    T.4 §4.1.2 allows variable-length runs of 0 fill bits before the
+    000000000001 EOL, so any >= 11 zeros followed by a 1 is fill+EOL
+    (no valid MH/MR code sequence contains 11 consecutive zeros).
+    Returns 0 if the bits at ``pos`` are not a (filled) EOL."""
+    p, n, d = br.pos, br.n, br.data
+    zeros = 0
+    while p + zeros < n and not ((d[(p + zeros) >> 3] >> (7 - ((p + zeros) & 7))) & 1):
+        zeros += 1
+    if zeros >= 11 and p + zeros < n:
+        return zeros + 1
+    return 0
+
+
 def _read_run(br: _BitReader, table: dict) -> int:
     """One complete MH run: zero or more makeup codes + a terminating code."""
     total = 0
@@ -252,8 +267,8 @@ def ccittfax_decode(
         # the row coding: 1 = 1-D MH, 0 = 2-D.
         saw_eol = False
         tag_one_d = True  # rows without a leading EOL default to 1-D
-        while (not br.eof()) and br.peek(12) == 1:
-            br.skip(12)
+        while (not br.eof()) and (nb := _eol_bits(br)):
+            br.skip(nb)
             if k > 0:
                 saw_eol = True
                 if not br.eof():
@@ -380,54 +395,108 @@ def _enc_run(run: int, color: int) -> str:
     return "".join(bits)
 
 
+def _enc_2d_row(cur: List[int], ref: List[int], width: int) -> str:
+    """One 2-D-coded row (T.6 / the 2-D rows of T.4 K>0). Adaptive mode
+    choice so decode exercises pass/vertical/horizontal paths."""
+    bits: List[str] = []
+    a0 = -1
+    color = 0
+    while a0 < width:
+        b1, b2 = _b1_b2(ref, a0, color, width)
+        # a1: next change in cur after a0 (of the opposite colour —
+        # by construction transitions alternate)
+        i = bisect_right(cur, a0)
+        want = 0 if color == 0 else 1
+        while i < len(cur) and (i & 1) != want:
+            i += 1
+        a1 = cur[i] if i < len(cur) else width
+        if b2 < a1:
+            bits.append("0001")  # pass
+            a0 = b2
+            continue
+        delta = a1 - b1
+        if -3 <= delta <= 3:
+            bits.append({0: "1", 1: "011", 2: "000011", 3: "0000011",
+                         -1: "010", -2: "000010", -3: "0000010"}[delta])
+            a0 = a1
+            color ^= 1
+        else:
+            # horizontal: two runs from max(a0,0)
+            j = i + 1
+            a2 = cur[j] if j < len(cur) else width
+            base = a0 if a0 > 0 else 0
+            bits.append("001")
+            bits.append(_enc_run(a1 - base, color))
+            bits.append(_enc_run(a2 - a1, color ^ 1))
+            a0 = a2
+    return "".join(bits)
+
+
+def _enc_1d_row(cur: List[int], width: int) -> str:
+    """One 1-D MH row: alternating white/black runs from an implicit
+    white start (a zero-length leading white run is valid T.4 coding
+    when the row begins black)."""
+    bounds = [0] + list(cur) + [width]
+    color = 0
+    bits: List[str] = []
+    for i in range(len(bounds) - 1):
+        bits.append(_enc_run(bounds[i + 1] - bounds[i], color))
+        color ^= 1
+    return "".join(bits)
+
+
+def _row_changes(pixels, r: int, width: int) -> List[int]:
+    row = [int(v) for v in pixels[r]]
+    if len(row) != width:
+        raise CCITTError("row width mismatch")
+    return _changes_of_row(row)
+
+
 def ccitt_g4_encode(
     pixels, width: int, height: int, black_is_1: bool = False
 ) -> bytes:
     """Encode a 2-D 0/1 matrix (list of rows or ndarray; 1 = black in the
     matrix regardless of ``black_is_1`` — polarity only affects DECODE
-    output) to a Group 4 stream with EOFB. Adaptive mode choice per T.6 so
-    decode exercises pass/vertical/horizontal paths."""
+    output) to a Group 4 stream with EOFB."""
     bits: List[str] = []
     ref: List[int] = []
     for r in range(height):
-        row = [int(v) for v in pixels[r]]
-        if len(row) != width:
-            raise CCITTError("row width mismatch")
-        cur = _changes_of_row(row)
-        a0 = -1
-        color = 0
-        ci = 0  # index into cur of next transition > a0 matching color flip
-        while a0 < width:
-            b1, b2 = _b1_b2(ref, a0, color, width)
-            # a1: next change in cur after a0 (of the opposite colour —
-            # by construction transitions alternate, tracked via ci)
-            i = bisect_right(cur, a0)
-            want = 0 if color == 0 else 1
-            while i < len(cur) and (i & 1) != want:
-                i += 1
-            a1 = cur[i] if i < len(cur) else width
-            if b2 < a1:
-                bits.append("0001")  # pass
-                a0 = b2
-                continue
-            delta = a1 - b1
-            if -3 <= delta <= 3:
-                bits.append({0: "1", 1: "011", 2: "000011", 3: "0000011",
-                             -1: "010", -2: "000010", -3: "0000010"}[delta])
-                a0 = a1
-                color ^= 1
-            else:
-                # horizontal: two runs from max(a0,0)
-                j = i + 1
-                a2 = cur[j] if j < len(cur) else width
-                base = a0 if a0 > 0 else 0
-                bits.append("001")
-                bits.append(_enc_run(a1 - base, color))
-                bits.append(_enc_run(a2 - a1, color ^ 1))
-                a0 = a2
+        cur = _row_changes(pixels, r, width)
+        bits.append(_enc_2d_row(cur, ref, width))
         ref = cur
     bits.append(_EOL)
     bits.append(_EOL)  # EOFB
+    s = "".join(bits)
+    pad = (-len(s)) % 8
+    s += "0" * pad
+    return bytes(int(s[i:i + 8], 2) for i in range(0, len(s), 8))
+
+
+def ccitt_g3_encode(
+    pixels, width: int, height: int, k: int = 0, fill: int = 0
+) -> bytes:
+    """Encode a 0/1 matrix (1 = black) as Group 3: K=0 emits EOL + 1-D MH
+    per row (T.4 §4.1); K>0 emits EOL + tag bit per row, one 1-D row
+    followed by up to K-1 2-D rows (T.4 §4.2.1.3.4). ``fill`` zero bits
+    precede every EOL (T.4 §4.1.2 FILL — real fax streams pad this way,
+    and the decoder must tolerate it)."""
+    if k < 0:
+        raise CCITTError("ccitt_g3_encode handles K >= 0 only")
+    bits: List[str] = []
+    ref: List[int] = []
+    for r in range(height):
+        cur = _row_changes(pixels, r, width)
+        bits.append("0" * fill + _EOL)
+        if k > 0:
+            use_2d = (r % k) != 0  # row 0 of each K-group is 1-D
+            bits.append("0" if use_2d else "1")
+            bits.append(
+                _enc_2d_row(cur, ref, width) if use_2d
+                else _enc_1d_row(cur, width)
+            )
+        else:
+            bits.append(_enc_1d_row(cur, width))
+        ref = cur
     s = "".join(bits)
     pad = (-len(s)) % 8
     s += "0" * pad

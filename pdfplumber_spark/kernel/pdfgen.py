@@ -268,7 +268,7 @@ def make_pdf(pages: List[Dict], info: dict = None) -> bytes:
                 # (dark) is black — decoded sample codes then equal
                 # image_codes(seed, pw, ph, 1, 2) exactly, the same
                 # ground truth the sub-byte gray family uses.
-                from .ccitt import ccitt_g4_encode
+                from .ccitt import ccitt_g3_encode, ccitt_g4_encode
 
                 bits = 1
                 cs = b"/DeviceGray"
@@ -277,10 +277,21 @@ def make_pdf(pages: List[Dict], info: dict = None) -> bytes:
                     [1 - codes[r * pw + c] for c in range(pw)]
                     for r in range(ph)
                 ]
-                body = ccitt_g4_encode(black, pw, ph)
+                # ccitt_k selects the coding regime: -1 (default) = G4,
+                # 0 = G3 1-D, >0 = mixed G3 2-D; G3 streams carry FILL
+                # zeros before each EOL (T.4 §4.1.2) so decoders must
+                # exercise the fill-tolerant EOL scan
+                ck = int(im.get("ccitt_k", -1))
+                if ck < 0:
+                    body = ccitt_g4_encode(black, pw, ph)
+                else:
+                    body = ccitt_g3_encode(
+                        black, pw, ph, k=ck, fill=(seed % 7)
+                    )
                 filt = b"/CCITTFaxDecode"
                 parms = (
-                    b"/DecodeParms<</K -1/Columns %d/Rows %d>>" % (pw, ph)
+                    b"/DecodeParms<</K %d/Columns %d/Rows %d>>"
+                    % (ck, pw, ph)
                 )
             else:
                 body = zlib.compress(raw, 9)

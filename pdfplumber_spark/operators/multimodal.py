@@ -1,15 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Round-4 status: PDF-embedded image XObjects get a REAL pixel decode for
-8-bit DeviceRGB/DeviceGray rasters behind the engine's own stream filters
-(``pdf_image_stats`` -> kernel/images.py; Flate incl. PNG predictors, LZW,
-A85, AHx, RL). Entropy-coded rasters (JPEG/DCT, JPX, CCITT) and standalone
-image-file decode still need an imaging library that is not in this
-container, so those paths remain STUBBED behind deterministic fakes
-(clearly marked) — the Spark-side plumbing (schemas, batching,
-partitioning, UDF signatures) is real and tested. On a real cluster, swap
-``_decode_image_stub`` for a Pillow/ffmpeg call with the same signature;
-nothing else changes.
+PDF-embedded image XObjects get a REAL pixel decode behind the engine's
+own stream filters (``pdf_image_stats`` -> kernel/images.py; Flate incl.
+PNG predictors, LZW, A85, AHx, RL, CCITT G3/G4, baseline JPEG).
+Standalone image FILES decode through ``kernel/imagefile.py`` (round 6 —
+the former ``_decode_image_stub`` is gone): PNG via chunk walk + zlib +
+the engine's PNG-predictor reconstruction, JPEG via kernel/jpeg.py.
+GIF/WEBP/JPX/progressive-JPEG classify 'unsupported' (documented — no
+from-scratch decoder). Reference analogue: PIL decode in display.py:36-90.
 """
 
 from __future__ import annotations
@@ -28,6 +26,7 @@ IMAGE_META_SCHEMA = T.StructType(
         T.StructField("format", T.StringType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
         T.StructField("sha256", T.StringType(), True),
         T.StructField("status", T.StringType(), False),
     ]
@@ -42,50 +41,35 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _sniff_format(data: bytes) -> str:
-    if data[:8] == b"\x89PNG\r\n\x1a\n":
-        return "png"
-    if data[:3] == b"\xff\xd8\xff":
-        return "jpeg"
-    if data[:6] in (b"GIF87a", b"GIF89a"):
-        return "gif"
-    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
-        return "webp"
-    if data[:5] == b"%PDF-":
-        return "pdf"
-    return "unknown"
-
-
-def _decode_image_stub(data: bytes):
-    """STUB: deterministic fake decode (no imaging libs in this container).
-
-    Real deployment: replace body with e.g. PIL.Image.open(BytesIO(data));
-    signature and callers stay identical.
-    """
-    fmt = _sniff_format(data)
-    if fmt in ("png", "jpeg", "gif", "webp"):
-        # dims parsed from real headers where trivially possible (png)
-        if fmt == "png" and len(data) >= 24:
-            w = int.from_bytes(data[16:20], "big")
-            h = int.from_bytes(data[20:24], "big")
-            return fmt, w, h
-        return fmt, None, None
-    raise NotImplementedError(f"decode not available for format={fmt}")
-
-
 def _payload_to_image_row(url, payload) -> tuple:
     """Per-payload metadata row (IMAGE_META_SCHEMA order) — shared by the
-    Spark operator and the materialized single-process oracle."""
+    Spark operator and the materialized single-process oracle. REAL
+    decode (kernel/imagefile.py): PNG/JPEG payloads return actual
+    dimensions + channel counts from decoded pixels; GIF/WEBP/PDF/unknown
+    classify 'unsupported', broken PNG/JPEG 'error'."""
+    from ..kernel.imagefile import (
+        ImageFileError,
+        UnsupportedImageError,
+        decode_image,
+        sniff_format,
+    )
+
     if payload is None:
-        return (url, 0, None, None, None, None, "error")
+        return (url, 0, None, None, None, None, None, "error")
     data = bytes(payload)
     sha = hashlib.sha256(data).hexdigest()
+    fmt = sniff_format(data)
     try:
-        fmt, w, h = _decode_image_stub(data)
-        return (url, len(data), fmt, w, h, sha, "ok")
-    except NotImplementedError:
-        return (url, len(data), _sniff_format(data), None, None, sha,
-                "unsupported")
+        d = decode_image(data)
+        return (url, len(data), d["format"], d["width"], d["height"],
+                d["channels"], sha, "ok")
+    except UnsupportedImageError:
+        return (url, len(data), fmt, None, None, None, sha, "unsupported")
+    except ImageFileError:
+        return (url, len(data), fmt, None, None, None, sha, "error")
+    except Exception:  # noqa: BLE001 — decoder bug on hostile bytes:
+        # still an error row, never a task failure (robustness contract)
+        return (url, len(data), fmt, None, None, None, sha, "error")
 
 
 def image_metadata(df: DataFrame, url_col: str = "url", bin_col: str = "html") -> DataFrame:

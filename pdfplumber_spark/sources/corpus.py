@@ -10,6 +10,7 @@ table as parquet. Families stress specific reference behaviors:
 - ``pdf/dupchars``      double-painted chars (dedupe)
 - ``pdf/mega``          one many-page document (skew fixture)
 - ``pdf/images``        embedded Flate/DCT raster XObjects (pixel decode)
+- ``image/file``        standalone PNG/JPEG payloads (imagefile decode)
 - ``html/news``         main content in nav/footer boilerplate
 - ``broken``            truncated payloads (error-row path)
 
@@ -25,7 +26,7 @@ from typing import Iterator, List, Tuple
 from ..kernel.pdfgen import glyph_width, make_pdf
 
 # bump when generated content changes — cache paths embed this
-CORPUS_VERSION = 13
+CORPUS_VERSION = 15
 
 LOREM = (
     "the quick brown fox jumps over a lazy dog while bright vixens watch "
@@ -176,6 +177,51 @@ def _pdf_ligatures(rng: random.Random) -> bytes:
     return make_pdf([{"width": 612, "height": 792, "texts": texts}])
 
 
+def _image_file(rng: random.Random) -> bytes:
+    """Standalone image FILE payloads (round 6 — kernel/imagefile.py):
+    PNGs across color types 0/2/3/4/6 and all five row filters, baseline
+    JPEGs, plus the classification tail (GIF header -> 'unsupported',
+    truncated PNG -> 'error')."""
+    import numpy as np
+
+    from ..kernel.imagefile import png_file_encode
+
+    kind = rng.random()
+    h, w = rng.randint(4, 24), rng.randint(4, 24)
+    px = np.array(
+        [[(r * 31 + c * 17 + rng.randint(0, 40)) % 256 for c in range(w)]
+         for r in range(h)],
+        dtype=np.uint8,
+    )
+    if kind < 0.55:
+        ft = rng.randint(0, 4)
+        ct = rng.random()
+        if ct < 0.3:
+            return png_file_encode(px, filter_type=ft)  # gray
+        if ct < 0.55:
+            rgb = np.stack([px, px[::-1], (px + 80) % 256], axis=2)
+            return png_file_encode(rgb.astype(np.uint8), filter_type=ft)
+        if ct < 0.75:
+            n_pal = rng.randint(3, 12)
+            pal = [(rng.randrange(256), rng.randrange(256),
+                    rng.randrange(256)) for _ in range(n_pal)]
+            idx = (px % n_pal).astype(np.uint8)
+            return png_file_encode(idx, palette=pal, filter_type=ft)
+        rgba = np.stack([px, (px + 30) % 256, (px + 90) % 256,
+                         (px + 150) % 256], axis=2)
+        return png_file_encode(rgba.astype(np.uint8), filter_type=ft)
+    if kind < 0.85:
+        from ..kernel.jpeg import jpeg_encode_gray
+
+        return jpeg_encode_gray(px)
+    if kind < 0.93:
+        # unsupported-format row
+        return b"GIF89a" + bytes(rng.randrange(256) for _ in range(64))
+    # broken-payload row: a valid PNG cut mid-IDAT
+    good = png_file_encode(px)
+    return good[: rng.randint(24, max(25, len(good) - 16))]
+
+
 def _pdf_images(rng: random.Random) -> bytes:
     """Pages with embedded raster image XObjects covering the decode
     matrix of kernel/images.py: Flate 8-bit DeviceRGB/DeviceGray, sub-byte
@@ -196,11 +242,12 @@ def _pdf_images(rng: random.Random) -> bytes:
             # random sampling at small SF was missing whole kinds (the
             # sf0.01 board slice drew zero ccitt/jpeg images)
             for col, kind in enumerate(
-                ["rgb", "subbyte", "palette", "ccitt", "jpeg", "dct"]
+                ["rgb", "subbyte", "palette", "ccitt", "ccitt_g3",
+                 "ccitt_mixed", "jpeg", "dct"]
             ):
                 im = {
-                    "x": 72.0 + col * 85.0, "top": top + 30,
-                    "w": 70.0, "h": 55.0,
+                    "x": 72.0 + col * 64.0, "top": top + 30,
+                    "w": 55.0, "h": 55.0,
                     "pw": 5 + col, "ph": 4 + col,
                     "channels": 3, "seed": rng.randint(0, 10_000),
                 }
@@ -217,6 +264,14 @@ def _pdf_images(rng: random.Random) -> bytes:
                 elif kind in ("ccitt", "jpeg"):
                     im["format"] = kind
                     im["channels"] = 1
+                elif kind in ("ccitt_g3", "ccitt_mixed"):
+                    # Group 3 regimes (round 6): K=0 pure 1-D and K=2
+                    # mixed 2-D, both with FILL zeros before EOLs —
+                    # exercises the fill-tolerant EOL scan on engine AND
+                    # oracle (kernel/ccitt.py vs expected._oracle_g3_rows)
+                    im["format"] = "ccitt"
+                    im["channels"] = 1
+                    im["ccitt_k"] = 0 if kind == "ccitt_g3" else 2
                 elif kind == "dct":
                     im["format"] = "dct"
                 images.append(im)
@@ -239,9 +294,11 @@ def _pdf_images(rng: random.Random) -> bytes:
                 im["format"] = "jpeg"
                 im["channels"] = 1
             elif kind < 0.35:
-                # Group 4 fax (round-5): 1-bit bi-level via kernel/ccitt.py
+                # bi-level fax via kernel/ccitt.py: mostly G4, with G3
+                # K=0 / K=2 sprinkled in (round 6)
                 im["format"] = "ccitt"
                 im["channels"] = 1
+                im["ccitt_k"] = rng.choice([-1, -1, 0, 2])
             elif kind < 0.45:
                 im["channels"] = 1
                 im["bits"] = rng.choice([1, 2, 4])
@@ -297,7 +354,11 @@ def generate_rows(
         # family's cumulative range — and thus its membership and payload
         # bytes per doc index — is unchanged from v8
         ("pdf/images", 0.04),
-        ("html/news", 0.15),
+        # inserted v15 (round 6), again taking weight from html/news only:
+        # standalone PNG/JPEG/GIF payloads for the image_metadata real
+        # decode (kernel/imagefile.py)
+        ("image/file", 0.03),
+        ("html/news", 0.12),
         ("broken", 0.05),
     ]
     cum = []
@@ -340,6 +401,8 @@ def generate_rows(
             )
         elif fam == "pdf/images":
             payload = _pdf_images(rng)
+        elif fam == "image/file":
+            payload = _image_file(rng)
         elif fam == "html/news":
             payload, _ = _html_news(rng)
         else:  # broken

@@ -40,7 +40,7 @@ import pandas as pd
 from .corpus import CORPUS_VERSION, corpus_path_for_sf
 
 # bump when any expected-result computation changes
-EXPECTED_VERSION = 10
+EXPECTED_VERSION = 11
 
 
 # ---------------------------------------------------------------------------
@@ -238,11 +238,117 @@ def _b_image_metadata(sf_dir: str) -> pd.DataFrame:
     ]
     out = pd.DataFrame(
         rows,
-        columns=["url", "n_bytes", "format", "width", "height", "sha256",
-                 "status"],
+        columns=["url", "n_bytes", "format", "width", "height", "channels",
+                 "sha256", "status"],
     )
     out["n_bytes"] = out["n_bytes"].astype("int64")
-    return out[["url", "n_bytes", "format", "sha256", "status"]]
+    for c in ("width", "height", "channels"):
+        out[c] = out[c].astype("Int32")
+    return out[["url", "n_bytes", "format", "width", "height", "channels",
+                "sha256", "status"]]
+
+
+def _ccitt_tables():
+    from ..kernel.ccitt import _BLACK_CODES, _EXT_CODES, _WHITE_CODES
+
+    wdec = {bits: run for run, bits in _WHITE_CODES + _EXT_CODES}
+    bdec = {bits: run for run, bits in _BLACK_CODES + _EXT_CODES}
+    return wdec, bdec
+
+
+def _oracle_read_run(s: str, pos: int, table) -> tuple:
+    """One complete MH run (makeups + terminating) at ``pos``; returns
+    (run_length, new_pos)."""
+    total = 0
+    while True:
+        for ln in range(2, 14):
+            run = table.get(s[pos:pos + ln])
+            if run is not None:
+                pos += ln
+                break
+        else:
+            raise ValueError(f"bad MH code at {pos}")
+        total += run
+        if run < 64:
+            return total, pos
+
+
+def _oracle_1d_row(s: str, pos: int, columns: int, wdec, bdec) -> tuple:
+    """One 1-D MH row by pixel fill; returns (row, new_pos)."""
+    row = [0] * columns
+    at, color = 0, 0
+    while at < columns:
+        run, pos = _oracle_read_run(s, pos, wdec if color == 0 else bdec)
+        for p in range(at, min(at + run, columns)):
+            row[p] = color
+        at += run
+        color ^= 1
+    return row, pos
+
+
+def _oracle_2d_row(s: str, pos: int, prev, columns: int, wdec, bdec) -> tuple:
+    """One 2-D-coded row (T.6 / T.4 K>0) by pixel fill against the
+    reference row ``prev``; returns (row, new_pos)."""
+    # transitions of the reference row (index parity: even = to-black)
+    tr = []
+    last = 0
+    for i, v in enumerate(prev):
+        if v != last:
+            tr.append(i)
+            last = v
+    row = [0] * columns
+
+    def fill(start, end, color):
+        for p in range(max(start, 0), min(end, columns)):
+            row[p] = color
+
+    a0, color = -1, 0
+    while a0 < columns:
+        b1 = b2 = columns
+        for idx, t in enumerate(tr):
+            if t > a0 and ((idx % 2 == 0) == (color == 0)):
+                b1 = t
+                b2 = tr[idx + 1] if idx + 1 < len(tr) else columns
+                break
+        if s.startswith("0001", pos):
+            pos += 4
+            fill(max(a0, 0), b2, color)
+            a0 = b2
+        elif s.startswith("001", pos):
+            pos += 3
+            base = max(a0, 0)
+            r1, pos = _oracle_read_run(s, pos, wdec if color == 0 else bdec)
+            r2, pos = _oracle_read_run(s, pos, bdec if color == 0 else wdec)
+            fill(base, base + r1, color)
+            fill(base + r1, base + r1 + r2, color ^ 1)
+            a0 = base + r1 + r2
+        else:
+            vcode = None
+            for code, delta in (("1", 0), ("011", 1), ("010", -1),
+                                ("000011", 2), ("000010", -2),
+                                ("0000011", 3), ("0000010", -3)):
+                if s.startswith(code, pos):
+                    vcode = (len(code), delta)
+                    break
+            if vcode is None:
+                raise ValueError(f"bad 2-D mode at {pos}")
+            pos += vcode[0]
+            a1 = b1 + vcode[1]
+            fill(max(a0, 0), a1, color)
+            a0 = a1
+            color ^= 1
+    return row, pos
+
+
+def _oracle_skip_eol(s: str, pos: int) -> tuple:
+    """Consume [fill zeros]+EOL if present at ``pos`` (T.4 §4.1.2: any
+    >= 11 zeros followed by a 1); returns (consumed?, new_pos)."""
+    z = pos
+    while z < len(s) and s[z] == "0":
+        z += 1
+    if z - pos >= 11 and z < len(s):
+        return True, z + 1
+    return False, pos
 
 
 def _oracle_g4_rows(body: bytes, columns: int, n_rows: int):
@@ -252,81 +358,44 @@ def _oracle_g4_rows(body: bytes, columns: int, n_rows: int):
     implementation (only the public ITU T.4 code TABLES are shared,
     like the AFM width constants). Returns ``n_rows`` lists of 0/1 ints
     (1 = black)."""
-    from ..kernel.ccitt import _BLACK_CODES, _EXT_CODES, _WHITE_CODES
-
-    wdec = {bits: run for run, bits in _WHITE_CODES + _EXT_CODES}
-    bdec = {bits: run for run, bits in _BLACK_CODES + _EXT_CODES}
+    wdec, bdec = _ccitt_tables()
     s = "".join(f"{x:08b}" for x in body)
     pos = 0
-
-    def read_run(table):
-        nonlocal pos
-        total = 0
-        while True:
-            for ln in range(2, 14):
-                run = table.get(s[pos:pos + ln])
-                if run is not None:
-                    pos += ln
-                    break
-            else:
-                raise ValueError(f"bad MH code at {pos}")
-            total += run
-            if run < 64:
-                return total
-
     prev = [0] * columns
     out = []
     for _ in range(n_rows):
         while s.startswith("000000000001", pos):
             pos += 12
-        # transitions of the reference row (index parity: even = to-black)
-        tr = []
-        last = 0
-        for i, v in enumerate(prev):
-            if v != last:
-                tr.append(i)
-                last = v
-        row = [0] * columns
+        row, pos = _oracle_2d_row(s, pos, prev, columns, wdec, bdec)
+        out.append(row)
+        prev = row
+    return out
 
-        def fill(start, end, color):
-            for p in range(max(start, 0), min(end, columns)):
-                row[p] = color
 
-        a0, color = -1, 0
-        while a0 < columns:
-            b1 = b2 = columns
-            for idx, t in enumerate(tr):
-                if t > a0 and ((idx % 2 == 0) == (color == 0)):
-                    b1 = t
-                    b2 = tr[idx + 1] if idx + 1 < len(tr) else columns
-                    break
-            if s.startswith("0001", pos):
-                pos += 4
-                fill(max(a0, 0), b2, color)
-                a0 = b2
-            elif s.startswith("001", pos):
-                pos += 3
-                base = max(a0, 0)
-                r1 = read_run(wdec if color == 0 else bdec)
-                r2 = read_run(bdec if color == 0 else wdec)
-                fill(base, base + r1, color)
-                fill(base + r1, base + r1 + r2, color ^ 1)
-                a0 = base + r1 + r2
-            else:
-                vcode = None
-                for code, delta in (("1", 0), ("011", 1), ("010", -1),
-                                    ("000011", 2), ("000010", -2),
-                                    ("0000011", 3), ("0000010", -3)):
-                    if s.startswith(code, pos):
-                        vcode = (len(code), delta)
-                        break
-                if vcode is None:
-                    raise ValueError(f"bad 2-D mode at {pos}")
-                pos += vcode[0]
-                a1 = b1 + vcode[1]
-                fill(max(a0, 0), a1, color)
-                a0 = a1
-                color ^= 1
+def _oracle_g3_rows(body: bytes, columns: int, n_rows: int, k: int):
+    """Independent Group-3 decode (K=0 pure 1-D; K>0 mixed EOL+tag) for
+    the image_stats oracle — same string pixel-fill shape as
+    ``_oracle_g4_rows``, tolerating FILL zeros before every EOL. Returns
+    ``n_rows`` lists of 0/1 ints (1 = black)."""
+    wdec, bdec = _ccitt_tables()
+    s = "".join(f"{x:08b}" for x in body)
+    pos = 0
+    prev = [0] * columns
+    out = []
+    for _ in range(n_rows):
+        saw, pos = _oracle_skip_eol(s, pos)
+        one_d = True
+        if k > 0:
+            if not saw:
+                raise ValueError(f"K>0 row without EOL at {pos}")
+            if pos >= len(s):
+                raise ValueError("truncated tag bit")
+            one_d = s[pos] == "1"
+            pos += 1
+        if one_d:
+            row, pos = _oracle_1d_row(s, pos, columns, wdec, bdec)
+        else:
+            row, pos = _oracle_2d_row(s, pos, prev, columns, wdec, bdec)
         out.append(row)
         prev = row
     return out
@@ -419,18 +488,21 @@ def _b_image_stats(sf_dir: str) -> pd.DataFrame:
                 except Exception:  # noqa: BLE001 — fake/undecodable
                     px, status = None, "unsupported"
             elif b"/CCITTFaxDecode" in head:
+                # all K regimes decode (round-5 ADVICE: the engine decodes
+                # K>=0 as 'ok' via kernel/ccitt.py, so the oracle must
+                # agree — independent G3 path below, G4 for K<0)
                 km = re.search(rb"/K (-?\d+)", head)
                 kparm = int(km.group(1)) if km else 0
-                if kparm >= 0:
-                    px, status = None, "unsupported"
-                else:
-                    try:
+                try:
+                    if kparm >= 0:
+                        rows_px = _oracle_g3_rows(body, w, h, kparm)
+                    else:
                         rows_px = _oracle_g4_rows(body, w, h)
-                        # PDF default polarity: black decodes to sample 0
-                        px = [1 - v for r_ in rows_px for v in r_]
-                        status = "ok"
-                    except ValueError:
-                        px, status = None, "error"
+                    # PDF default polarity: black decodes to sample 0
+                    px = [1 - v for r_ in rows_px for v in r_]
+                    status = "ok"
+                except ValueError:
+                    px, status = None, "error"
             elif b"/FlateDecode" in head:
                 codes = unpack(zlib.decompress(body), w, h, raw_ch, bits)
                 if codes is None:
