@@ -233,6 +233,22 @@ class Page:
         return f"<Page:{self.page_number}>"
 
     @property
+    def mediabox(self):
+        """Full page box in the top-left frame (page.py:231)."""
+        return (0.0, 0.0, float(self._interp.width),
+                float(self._interp.height))
+
+    @property
+    def cropbox(self):
+        """/CropBox in the top-left frame; == mediabox when absent
+        (page.py:233-238)."""
+        return tuple(
+            float(v) for v in getattr(
+                self._interp, "cropbox", self.mediabox
+            )
+        )
+
+    @property
     def width(self) -> float:
         """Derived from bbox so cropped pages report crop dims
         (reference page.py:250-254)."""
@@ -528,7 +544,8 @@ class Page:
     def to_image(self, resolution: Optional[float] = None,
                  width: Optional[float] = None,
                  height: Optional[float] = None,
-                 antialias: bool = False, **_kwargs):
+                 antialias: bool = False,
+                 force_mediabox: bool = False, **_kwargs):
         """Structural page render + overlay surface (reference
         ``page.py`` `Page.to_image` -> ``display.PageImage``). Offline
         from-scratch rasterizer: decodable rasters blit real pixels,
@@ -540,7 +557,7 @@ class Page:
         from .display import PageImage
 
         return PageImage(self, resolution=resolution, width=width,
-                         height=height)
+                         height=height, force_mediabox=force_mediabox)
 
     # --- derived pages --------------------------------------------------------
     def crop(self, bbox, relative: bool = False, strict: bool = True) -> "Page":
@@ -582,8 +599,8 @@ class Page:
             "page_number": self.page_number,
             "initial_doctop": self.initial_doctop,
             "rotation": self.rotation,
-            "cropbox": self.bbox,
-            "mediabox": (0.0, 0.0, self._interp.width, self._interp.height),
+            "cropbox": self.cropbox,
+            "mediabox": self.mediabox,
             "bbox": self.bbox,
             "width": self.width,
             "height": self.height,
@@ -673,12 +690,21 @@ class Table:
         return extract_table_text(self.cells, self.page._chars, ts)
 
 
+class PDFParseError(Exception):
+    """No PDF structure at all (reference: pdfminer PSException via
+    pdf.py open — e.g. the empty.pdf fixture). Distinct from per-page
+    robustness: documents with ANY object structure still load with
+    error-tolerant pages."""
+
+
 class PDF:
     def __init__(self, data: bytes, pages: Optional[List[int]] = None,
                  password: str = "", laparams=None):
         from .kernel.laparams import LAParams
         from .kernel.pdfparse import PDFDocument
 
+        if not data or b"obj" not in data:
+            raise PDFParseError("no PDF object structure found")
         self._data = data
         self._password = password
         self._pages_subset = pages

@@ -69,11 +69,12 @@ def _obj_color(raw, fallback):
     return tuple(int(round(min(1.0, max(0.0, v)) * 255)) for v in vals[:3])
 
 
-def _render_base(page, scale: float) -> Canvas:
-    """Structural render of ``page.bbox`` at ``scale`` px per point (a
-    cropped page renders just its crop region, reference display.py:120
-    semantics)."""
-    bx0, by0, bx1, by1 = page.bbox
+def _render_base(page, scale: float, bbox=None) -> Canvas:
+    """Structural render of ``bbox`` (default ``page.bbox``) at ``scale``
+    px per point (a cropped page renders just its crop region, reference
+    display.py:120 semantics; an uncropped page's PageImage passes the
+    cropbox view)."""
+    bx0, by0, bx1, by1 = bbox if bbox is not None else page.bbox
     w_px = max(1, int(round((bx1 - bx0) * scale)))
     h_px = max(1, int(round((by1 - by0) * scale)))
     canvas = Canvas(w_px, h_px)
@@ -191,7 +192,8 @@ class PageImage:
 
     def __init__(self, page, resolution: Optional[float] = None,
                  width: Optional[float] = None,
-                 height: Optional[float] = None):
+                 height: Optional[float] = None,
+                 force_mediabox: bool = False):
         # reference get_page_image: resolution XOR width XOR height
         if sum(x is not None for x in (resolution, width, height)) > 1:
             raise ValueError(
@@ -206,8 +208,15 @@ class PageImage:
         self.page = page
         self.resolution = resolution
         self.scale = resolution / 72.0
-        self.bbox = page.bbox
-        self.original = _render_base(page, self.scale)
+        # view box (reference display.py:104-112): an explicit crop wins;
+        # an uncropped page shows its CROPBOX unless force_mediabox
+        mediabox = getattr(page, "mediabox", page.bbox)
+        cropbox = getattr(page, "cropbox", page.bbox)
+        if tuple(page.bbox) != tuple(mediabox):
+            self.bbox = page.bbox
+        else:
+            self.bbox = tuple(mediabox) if force_mediabox else tuple(cropbox)
+        self.original = _render_base(page, self.scale, bbox=self.bbox)
         self.reset()
 
     # --- projection (display.py:128-142) -----------------------------------

@@ -1,18 +1,21 @@
-"""Baseline-sequential JPEG (DCTDecode) decode from the public ITU T.81
-spec — closes most of the remaining entropy-coded raster gap: every DCT
-stream across the reference's fixture corpus is SOF0 baseline (121/121
-surveyed), so progressive (SOF2) and the other exotic SOF types stay
-classified unsupported.
+"""JPEG (DCTDecode) decode from the public ITU T.81 spec.
 
-Supported: 8-bit baseline, grayscale / YCbCr(JFIF) / RGB (Adobe
-transform 0), any h/v sampling factors, restart markers, byte stuffing.
+Supported: 8-bit baseline/extended sequential (SOF0/SOF1) — grayscale /
+YCbCr(JFIF) / RGB (Adobe transform 0), any h/v sampling factors, restart
+markers, byte stuffing — and, since round 6, PROGRESSIVE (SOF2, Annex G):
+DC first/refine scans (interleaved or single-component), per-band AC
+first scans with cross-block EOB runs, and AC successive-approximation
+refinement with correction bits. Every DCT stream across the reference's
+fixture corpus is SOF0 (121/121 surveyed); progressive is the largest
+real-corpus class beyond that.
 Unsupported (raise ``JPEGError`` → callers classify 'unsupported'):
-progressive, arithmetic coding, 12-bit, 4-component CMYK/YCCK.
+arithmetic coding, hierarchical/lossless SOFs, 12-bit, CMYK/YCCK.
 
-The fixture ENCODER emits baseline streams with the T.81 Annex K tables
-(quality-free: quant table all-ones → lossless for small sample values),
-so decode tests have exact expected pixels; real-world validation comes
-from the fixture corpus JPEGs themselves (dimensions + stats pinned).
+The fixture ENCODERS (baseline ``jpeg_encode_gray``, progressive
+``jpeg_encode_gray_progressive``) use an all-ones quant table, so both
+emit the SAME coefficients and progressive decode is pinned byte-equal
+to baseline decode; real-world validation comes from the fixture corpus
+JPEGs themselves (dimensions + stats pinned).
 """
 
 from __future__ import annotations
@@ -145,6 +148,7 @@ def _jpeg_decode_inner(data: bytes) -> dict:
     huff_dc: Dict[int, dict] = {}
     huff_ac: Dict[int, dict] = {}
     frame = None
+    coef_state = None
     restart_interval = 0
     adobe_transform: Optional[int] = None
     n = len(data)
@@ -182,7 +186,7 @@ def _jpeg_decode_inner(data: bytes) -> dict:
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_huffman(
                     counts, symbols)
                 i += 17 + total
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec = seg[0]
             if prec != 8:
                 raise JPEGError(f"{prec}-bit precision unsupported")
@@ -196,10 +200,15 @@ def _jpeg_decode_inner(data: bytes) -> dict:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 15,
                      "q": seg[8 + c * 3]})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
+            if marker == 0xC2:
+                coef_state = _init_progressive_state(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise JPEGError(f"SOF{marker - 0xC0} unsupported (not baseline)")
+            raise JPEGError(
+                f"SOF{marker - 0xC0} unsupported (not sequential/progressive)"
+            )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[:2], "big")
         elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14
@@ -214,12 +223,278 @@ def _jpeg_decode_inner(data: bytes) -> dict:
                 tabs = seg[2 + c * 2]
                 comp = next(x for x in frame["comps"] if x["id"] == cid)
                 scan.append((comp, tabs >> 4, tabs & 15))
-            return _decode_scan(
-                data, pos + seglen, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval, adobe_transform,
+            if not frame.get("progressive"):
+                return _decode_scan(
+                    data, pos + seglen, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval, adobe_transform,
+                )
+            # progressive (T.81 Annex G): spectral selection + successive
+            # approximation; each scan refines the coefficient state
+            ss = seg[1 + ns * 2]
+            se = seg[2 + ns * 2]
+            ahal = seg[3 + ns * 2]
+            pos = _progressive_scan(
+                data, pos + seglen, frame, scan, huff_dc, huff_ac,
+                restart_interval, coef_state, ss, se, ahal >> 4, ahal & 15,
             )
+            continue
         pos += seglen
+    if frame is not None and frame.get("progressive"):
+        return _assemble_progressive(frame, coef_state, qt, adobe_transform)
     raise JPEGError("no SOS marker")
+
+
+def _mcu_geometry(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise JPEGError("bad sampling factors")
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
+
+
+def _init_progressive_state(frame):
+    """Per-component zigzag-order coefficient planes, padded to MCU
+    multiples (interleaved DC scans address the padding; non-interleaved
+    AC scans stay inside the component's true block grid)."""
+    if len(frame["comps"]) not in (1, 3):
+        raise JPEGError(f"{len(frame['comps'])}-component JPEG unsupported")
+    hmax, vmax, mcux, mcuy = _mcu_geometry(frame)
+    state = []
+    for c in frame["comps"]:
+        bw_pad, bh_pad = mcux * c["h"], mcuy * c["v"]
+        # true (non-interleaved) block grid of this component
+        cw = (frame["w"] * c["h"] + hmax - 1) // hmax
+        ch = (frame["h"] * c["v"] + vmax - 1) // vmax
+        state.append({
+            "coef": np.zeros((bh_pad, bw_pad, 64), dtype=np.int32),
+            "bw": (cw + 7) // 8, "bh": (ch + 7) // 8,
+        })
+    return state
+
+
+def _progressive_scan(data, start, frame, scan, huff_dc, huff_ac,
+                      restart_interval, state, ss, se, ah, al) -> int:
+    """One progressive scan (T.81 Annex G.2): DC first/refine
+    (interleaved or not), AC first/refine with EOB runs (single
+    component). Mutates ``state`` coefficient planes; returns the
+    position just past this scan's entropy data."""
+    comps = frame["comps"]
+    if ss == 0 and se != 0:
+        raise JPEGError("bad spectral band (DC scan with Se != 0)")
+    if ss > se or se > 63:
+        raise JPEGError("bad spectral band")
+    if ss > 0 and len(scan) != 1:
+        raise JPEGError("interleaved AC progressive scan")
+    br = _BitReader(data, start)
+    eobrun = 0
+    preds = [0] * len(scan)
+    comp_idx = {id(c): i for i, c in enumerate(comps)}
+    _, _, mcux, mcuy = _mcu_geometry(frame)
+
+    def decode_dc_first(ci, scomp, dct, bx, by):
+        dtab = huff_dc.get(dct)
+        if dtab is None:
+            raise JPEGError("missing huffman table")
+        t = br.decode_symbol(dtab)
+        diff = _extend(br.read_bits(t), t)
+        preds[ci] += diff
+        coef = state[comp_idx[id(scomp)]]["coef"]
+        coef[by, bx, 0] = preds[ci] << al
+
+    def decode_dc_refine(scomp, bx, by):
+        coef = state[comp_idx[id(scomp)]]["coef"]
+        if br.read_bit():
+            coef[by, bx, 0] |= 1 << al
+
+    def decode_ac_first(scomp, act, bx, by):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        atab = huff_ac.get(act)
+        if atab is None:
+            raise JPEGError("missing huffman table")
+        zz = state[comp_idx[id(scomp)]]["coef"][by, bx]
+        k = ss
+        while k <= se:
+            rs = br.decode_symbol(atab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.read_bits(r)
+                    return
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise JPEGError("AC index past band end")
+            zz[k] = _extend(br.read_bits(s), s) << al
+            k += 1
+
+    def decode_ac_refine(scomp, act, bx, by):
+        """T.81 G.1.2.3 correction-bit refinement."""
+        nonlocal eobrun
+        p1 = 1 << al
+        m1 = -1 << al
+        zz = state[comp_idx[id(scomp)]]["coef"][by, bx]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                atab = huff_ac.get(act)
+                if atab is None:
+                    raise JPEGError("missing huffman table")
+                rs = br.decode_symbol(atab)
+                r, s = rs >> 4, rs & 15
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    # r == 15: run of 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise JPEGError("bad refinement magnitude")
+                    val = p1 if br.read_bit() else m1
+                # advance r zero-history positions, emitting correction
+                # bits for every nonzero-history coefficient passed
+                while k <= se:
+                    c = int(zz[k])
+                    if c != 0:
+                        if br.read_bit() and (c & p1) == 0:
+                            zz[k] = c + (p1 if c > 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    zz[k] = val
+                k += 1
+        if eobrun > 0:
+            # remaining nonzero-history coefficients get correction bits
+            while k <= se:
+                c = int(zz[k])
+                if c != 0:
+                    if br.read_bit() and (c & p1) == 0:
+                        zz[k] = c + (p1 if c > 0 else m1)
+                k += 1
+            eobrun -= 1
+
+    # MCU walk: interleaved over all scan components (DC scans with
+    # ns > 1) or the single component's own block grid
+    interleaved = len(scan) > 1
+    if interleaved:
+        n_mcu = mcux * mcuy
+    else:
+        st = state[comp_idx[id(scan[0][0])]]
+        n_mcu = st["bw"] * st["bh"]
+
+    def resync():
+        nonlocal eobrun, preds
+        m = br.align_to_marker()
+        if m is None or not (0xD0 <= m <= 0xD7):
+            raise JPEGError("missing restart marker")
+        eobrun = 0
+        preds = [0] * len(scan)
+
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            resync()
+        if interleaved:
+            mx, my = m % mcux, m // mcux
+            for ci, (scomp, dct, act) in enumerate(scan):
+                for by in range(scomp["v"]):
+                    for bx in range(scomp["h"]):
+                        gx = mx * scomp["h"] + bx
+                        gy = my * scomp["v"] + by
+                        if ss == 0 and ah == 0:
+                            decode_dc_first(ci, scomp, dct, gx, gy)
+                        elif ss == 0:
+                            decode_dc_refine(scomp, gx, gy)
+                        else:  # pragma: no cover — rejected above
+                            raise JPEGError("interleaved AC scan")
+        else:
+            scomp, dct, act = scan[0]
+            st = state[comp_idx[id(scomp)]]
+            gx, gy = m % st["bw"], m // st["bw"]
+            if ss == 0 and ah == 0:
+                decode_dc_first(0, scomp, dct, gx, gy)
+            elif ss == 0:
+                decode_dc_refine(scomp, gx, gy)
+            elif ah == 0:
+                decode_ac_first(scomp, act, gx, gy)
+            else:
+                decode_ac_refine(scomp, act, gx, gy)
+    # skip to the next marker (the entropy data is byte-padded)
+    br.bit_pos = 0
+    d, p = data, br.byte_pos
+    while p + 1 < len(d):
+        if d[p] == 0xFF and d[p + 1] != 0x00:
+            if 0xD0 <= d[p + 1] <= 0xD7:  # trailing RST
+                p += 2
+                continue
+            return p
+        p += 1
+    return len(d)
+
+
+def _assemble_progressive(frame, state, qt, adobe_transform) -> dict:
+    """Dequantize + IDCT the accumulated coefficient planes and run the
+    shared upsample/color path."""
+    comps = frame["comps"]
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qt.get(c["q"])
+        if q is None:
+            raise JPEGError("missing quant table")
+        coef = state[ci]["coef"].astype(np.float32) * q.astype(np.float32)
+        bh_pad, bw_pad = coef.shape[:2]
+        blocks = np.zeros((bh_pad * bw_pad, 8, 8), dtype=np.float32)
+        blocks.reshape(-1, 64)[:, ZIGZAG] = coef.reshape(-1, 64)
+        spatial = np.matmul(np.matmul(_A.T, blocks), _A) + 128.0
+        plane = (
+            spatial.reshape(bh_pad, bw_pad, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh_pad * 8, bw_pad * 8)
+        )
+        planes.append(plane)
+    return _finish_planes(frame, planes, adobe_transform)
+
+
+def _finish_planes(frame, planes, adobe_transform) -> dict:
+    """Upsample component planes to full resolution and color-transform
+    (shared by the sequential and progressive paths)."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    out = []
+    for ci, comp in enumerate(comps):
+        p = planes[ci]
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        rgb = out[0][:, :, None]
+    else:
+        y, cb, cr = out
+        if adobe_transform == 0:
+            rgb = np.stack([y, cb, cr], axis=2)
+        else:  # JFIF / Adobe transform 1: YCbCr
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            b = y + 1.772 * (cb - 128.0)
+            rgb = np.stack([r, g, b], axis=2)
+    samples = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return {"width": w, "height": h, "n_components": len(comps),
+            "samples": samples}
 
 
 def _decode_scan(data, start, frame, scan, qt, huff_dc, huff_ac,
@@ -286,28 +561,7 @@ def _decode_scan(data, start, frame, scan, qt, huff_dc, huff_ac,
                         py = (my * comp["v"] + by) * 8
                         px = (mx * comp["h"] + bx) * 8
                         planes[ci][py:py + 8, px:px + 8] = spatial
-    # upsample to full res and assemble
-    out = []
-    for ci, comp in enumerate(comps):
-        p = planes[ci]
-        ry, rx = vmax // comp["v"], hmax // comp["h"]
-        if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        out.append(p[:h, :w])
-    if len(out) == 1:
-        rgb = out[0][:, :, None]
-    else:
-        y, cb, cr = out
-        if adobe_transform == 0:
-            rgb = np.stack([y, cb, cr], axis=2)
-        else:  # JFIF / Adobe transform 1: YCbCr
-            r = y + 1.402 * (cr - 128.0)
-            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-            b = y + 1.772 * (cb - 128.0)
-            rgb = np.stack([r, g, b], axis=2)
-    samples = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
-    return {"width": w, "height": h, "n_components": len(comps),
-            "samples": samples}
+    return _finish_planes(frame, planes, adobe_transform)
 
 
 # --- fixture encoder (tests/corpus only) ------------------------------------
@@ -445,4 +699,174 @@ def jpeg_encode_gray(pixels: np.ndarray) -> bytes:
     bw.flush()
     out.extend(bw.bytes)
     out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+# --- progressive fixture encoder (tests/corpus only, T.81 Annex G) ----------
+
+# custom equal-length AC table for progressive scans: EOBn (r<<4|0,
+# r<=14), ZRL, and (r<<4)|s for s<=10 — the standard baseline table
+# lacks EOBn codes for r>0
+_PROG_AC_SYMBOLS = (
+    [(r << 4) for r in range(15)] + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_PROG_AC_COUNTS = [0] * 16
+_PROG_AC_COUNTS[7] = len(_PROG_AC_SYMBOLS)  # all codes 8 bits long
+
+
+def jpeg_encode_gray_progressive(pixels: np.ndarray) -> bytes:
+    """Progressive (SOF2) JPEG of an 8-bit grayscale image, all-ones
+    quant table, six scans exercising every Annex-G decode path: DC
+    first (Al=1) + DC refine, AC first per band (Al=1, with EOB-run
+    accumulation across blocks), AC refine per band (Al=0, correction
+    bits + newly-significant insertion + per-block EOB)."""
+    pixels = np.asarray(pixels, dtype=np.float32)
+    h, w = pixels.shape
+    bh, bwid = (h + 7) // 8, (w + 7) // 8
+    padded = np.pad(pixels, ((0, bh * 8 - h), (0, bwid * 8 - w)),
+                    mode="edge")
+    blocks = []
+    for by in range(bh):
+        for bx in range(bwid):
+            block = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+            coefs = _A @ block @ _A.T
+            blocks.append(np.round(coefs.reshape(64)[ZIGZAG]).astype(np.int64))
+
+    dc_codes = _enc_codes(_STD_DC_COUNTS, _STD_DC_SYMBOLS)
+    ac_codes = _enc_codes(_PROG_AC_COUNTS, _PROG_AC_SYMBOLS)
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes):
+        out.extend(b"\xff" + bytes([marker])
+                   + (len(payload) + 2).to_bytes(2, "big") + payload)
+
+    q = np.ones(64, dtype=np.uint8)
+    seg(0xDB, bytes([0]) + q.tobytes())
+    seg(0xC2, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]))
+    seg(0xC4, bytes([0x00] + _STD_DC_COUNTS) + bytes(_STD_DC_SYMBOLS))
+    seg(0xC4, bytes([0x10] + _PROG_AC_COUNTS) + bytes(_PROG_AC_SYMBOLS))
+
+    def mag(v: int):
+        a = abs(v)
+        t = a.bit_length()
+        return (t, v) if v >= 0 else (t, v + (1 << t) - 1)
+
+    def scan(ss, se, ah, al, body_fn):
+        seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        bw_ = _BitWriter()
+        body_fn(bw_)
+        bw_.flush()
+        out.extend(bw_.bytes)
+
+    def dc_first(bw_):
+        pred = 0
+        for zz in blocks:
+            v = int(zz[0]) >> 1  # Al=1 point transform (arithmetic)
+            t, bits = mag(v - pred)
+            pred = v
+            ln, code = dc_codes[t]
+            bw_.write(code, ln)
+            if t:
+                bw_.write(bits, t)
+
+    def dc_refine(bw_):
+        for zz in blocks:
+            bw_.write(int(zz[0]) & 1, 1)
+
+    def ac_first(ss, se, al):
+        def body(bw_):
+            eobrun = 0
+
+            def flush():
+                nonlocal eobrun
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    ln, code = ac_codes[r << 4]
+                    bw_.write(code, ln)
+                    if r:
+                        bw_.write(eobrun - (1 << r), r)
+                    eobrun = 0
+
+            for zz in blocks:
+                vals = [
+                    int(abs(zz[k]) >> al) * (1 if zz[k] >= 0 else -1)
+                    for k in range(ss, se + 1)
+                ]
+                nz = [i for i, v in enumerate(vals) if v]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 0x3FFF:
+                        flush()
+                    continue
+                flush()
+                run = 0
+                for i in range(nz[-1] + 1):
+                    v = vals[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, code = ac_codes[0xF0]
+                        bw_.write(code, ln)
+                        run -= 16
+                    t, bits = mag(v)
+                    ln, code = ac_codes[(run << 4) | t]
+                    bw_.write(code, ln)
+                    bw_.write(bits, t)
+                    run = 0
+                if nz[-1] < se - ss:
+                    eobrun = 1
+            flush()
+        return body
+
+    def ac_refine(ss, se, ah, al):
+        def body(bw_):
+            for zz in blocks:
+                vals = [int(abs(zz[k]) >> al) for k in range(ss, se + 1)]
+                hist = [int(abs(zz[k]) >> ah) for k in range(ss, se + 1)]
+                newly = [i for i in range(len(vals))
+                         if hist[i] == 0 and vals[i]]
+                last_new = newly[-1] if newly else -1
+                run = 0
+                buffered = []
+                for i in range(last_new + 1):
+                    if hist[i] != 0:
+                        buffered.append(vals[i] & 1)
+                        continue
+                    if vals[i] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, code = ac_codes[0xF0]
+                        bw_.write(code, ln)
+                        for b in buffered:
+                            bw_.write(b, 1)
+                        buffered = []
+                        run -= 16
+                    ln, code = ac_codes[(run << 4) | 1]
+                    bw_.write(code, ln)
+                    bw_.write(1 if zz[ss + i] > 0 else 0, 1)
+                    for b in buffered:
+                        bw_.write(b, 1)
+                    buffered = []
+                    run = 0
+                # per-block EOB (run of 1) + correction bits for the
+                # remaining nonzero-history coefficients
+                if last_new < se - ss:
+                    ln, code = ac_codes[0x00]
+                    bw_.write(code, ln)
+                    for i in range(last_new + 1, len(vals)):
+                        if hist[i] != 0:
+                            bw_.write(vals[i] & 1, 1)
+        return body
+
+    scan(0, 0, 0, 1, dc_first)
+    scan(1, 5, 0, 1, ac_first(1, 5, 1))
+    scan(6, 63, 0, 1, ac_first(6, 63, 1))
+    scan(0, 0, 1, 0, dc_refine)
+    scan(1, 5, 1, 0, ac_refine(1, 5, 1, 0))
+    scan(6, 63, 1, 0, ac_refine(6, 63, 1, 0))
+    out.extend(b"\xff\xd9")
     return bytes(out)

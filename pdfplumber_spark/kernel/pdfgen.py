@@ -252,14 +252,16 @@ def make_pdf(pages: List[Dict], info: dict = None) -> bytes:
                 # codec's roundtrip + real-fixture tests)
                 import numpy as _np
 
-                from .jpeg import jpeg_encode_gray
+                from .jpeg import jpeg_encode_gray, jpeg_encode_gray_progressive
 
                 bits = 8
                 cs = b"/DeviceGray"
                 codes = image_codes(seed, pw, ph, 1, 256)
-                body = jpeg_encode_gray(
-                    _np.array(codes, dtype=_np.uint8).reshape(ph, pw)
-                )
+                arr = _np.array(codes, dtype=_np.uint8).reshape(ph, pw)
+                # progressive=True emits SOF2 (same all-ones quant ->
+                # identical decoded pixels as the baseline stream)
+                body = (jpeg_encode_gray_progressive(arr)
+                        if im.get("progressive") else jpeg_encode_gray(arr))
                 filt = b"/DCTDecode"
             elif im.get("format") == "ccitt":
                 # Group 4 fax raster: 1-bit DeviceGray, PDF-default

@@ -1577,6 +1577,28 @@ class PageInterpreter:
             self.width, self.height = self.height, self.width
         # device-space y extent: the y-flip base (page.py:192-197 analogue)
         self._flip_h = self.height
+        # CropBox in the page's top-left frame (reference page.py:228-238:
+        # _normalize_box with rotation swap, then y-invert within the
+        # mediabox height; our frame additionally shifts the mediabox
+        # origin to 0). Defaults to the mediabox.
+        self.cropbox = (0.0, 0.0, self.width, self.height)
+        cb_attr = page_spec.get("CropBox")
+        if cb_attr is not None:
+            try:
+                cb = [float(doc.resolve(v)) for v in doc.resolve(cb_attr)]
+                cx0, cx1 = sorted((cb[0], cb[2]))
+                cy0, cy1 = sorted((cb[1], cb[3]))
+                if self.rotation in (90, 270):
+                    cx0, cy0, cx1, cy1 = cy0, cx0, cy1, cx1
+                    ox, oy = y0, x0
+                else:
+                    ox, oy = x0, y0
+                self.cropbox = (
+                    cx0 - ox, self.height - (cy1 - oy),
+                    cx1 - ox, self.height - (cy0 - oy),
+                )
+            except (TypeError, ValueError):
+                pass
         res = doc.resolve(page_spec.get("Resources")) or {}
         self.resources = res
         self.fonts = self._load_fonts(res)

@@ -52,6 +52,22 @@ EDGE_COLS = [
 ]
 
 
+def _dict_to_edges(obj: dict) -> List[dict]:
+    """One object dict -> its edge dicts (reference utils.obj_to_edges,
+    geometry.py:253-260) via the frame converters."""
+    from .geom import curves_to_edges, lines_to_edges, rects_to_edges
+
+    t = str(obj.get("object_type") or "")
+    if "_edge" in t:
+        return [obj]
+    conv = {"line": lines_to_edges, "rect": rects_to_edges,
+            "curve": curves_to_edges}.get(t)
+    if conv is None:
+        raise ValueError(f"cannot convert object_type {t!r} to edges")
+    frame = conv(pd.DataFrame([obj]))
+    return frame.to_dict("records")
+
+
 def _edge_frame(rows: List[dict]) -> pd.DataFrame:
     df = pd.DataFrame(rows)
     for c in EDGE_COLS:
@@ -509,6 +525,15 @@ def find_tables_frame(
         parts.append(base)
         exp_rows = []
         for val in explicit or []:
+            if isinstance(val, dict):
+                # object descriptor (reference utils.obj_to_edges,
+                # geometry.py:253-260): an *_edge passes through, a
+                # line/rect/curve converts to its edges; only edges of
+                # this orientation are kept (table.py:601-607)
+                exp_rows.extend(
+                    e for e in _dict_to_edges(val) if e["orientation"] == ori
+                )
+                continue
             if page_bbox is None:
                 raise ValueError("explicit numeric lines require page_bbox")
             if ori == "v":

@@ -26,7 +26,7 @@ from typing import Iterator, List, Tuple
 from ..kernel.pdfgen import glyph_width, make_pdf
 
 # bump when generated content changes — cache paths embed this
-CORPUS_VERSION = 15
+CORPUS_VERSION = 16
 
 LOREM = (
     "the quick brown fox jumps over a lazy dog while bright vixens watch "
@@ -243,11 +243,11 @@ def _pdf_images(rng: random.Random) -> bytes:
             # sf0.01 board slice drew zero ccitt/jpeg images)
             for col, kind in enumerate(
                 ["rgb", "subbyte", "palette", "ccitt", "ccitt_g3",
-                 "ccitt_mixed", "jpeg", "dct"]
+                 "ccitt_mixed", "jpeg", "jpeg_prog", "dct"]
             ):
                 im = {
-                    "x": 72.0 + col * 64.0, "top": top + 30,
-                    "w": 55.0, "h": 55.0,
+                    "x": 72.0 + col * 57.0, "top": top + 30,
+                    "w": 50.0, "h": 50.0,
                     "pw": 5 + col, "ph": 4 + col,
                     "channels": 3, "seed": rng.randint(0, 10_000),
                 }
@@ -264,6 +264,11 @@ def _pdf_images(rng: random.Random) -> bytes:
                 elif kind in ("ccitt", "jpeg"):
                     im["format"] = kind
                     im["channels"] = 1
+                elif kind == "jpeg_prog":
+                    # progressive SOF2 (round 6 — kernel/jpeg.py Annex G)
+                    im["format"] = "jpeg"
+                    im["channels"] = 1
+                    im["progressive"] = True
                 elif kind in ("ccitt_g3", "ccitt_mixed"):
                     # Group 3 regimes (round 6): K=0 pure 1-D and K=2
                     # mixed 2-D, both with FILL zeros before EOLs —
@@ -290,9 +295,11 @@ def _pdf_images(rng: random.Random) -> bytes:
             if kind < 0.1:
                 im["format"] = "dct"  # fake JPEG: the unsupported path
             elif kind < 0.2:
-                # real baseline JPEG (kernel/jpeg.py, round 5)
+                # real JPEG (kernel/jpeg.py): baseline, sometimes SOF2
                 im["format"] = "jpeg"
                 im["channels"] = 1
+                if rng.random() < 0.3:
+                    im["progressive"] = True
             elif kind < 0.35:
                 # bi-level fax via kernel/ccitt.py: mostly G4, with G3
                 # K=0 / K=2 sprinkled in (round 6)

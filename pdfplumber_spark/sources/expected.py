@@ -534,7 +534,11 @@ def _b_image_stats(sf_dir: str) -> pd.DataFrame:
             if not xm:
                 continue
             refs = re.findall(rb"/(Im\d+) (\d+) 0 R", xm.group(1))
-            for idx, (nm, num) in enumerate(sorted(refs)):
+            # NUMERIC name order == the generator's paint order; byte-
+            # lexicographic sorted() put Im10 before Im2 once a page
+            # first carried 11+ images (round-6 board catch)
+            refs.sort(key=lambda r: int(r[0][2:]))
+            for idx, (nm, num) in enumerate(refs):
                 rec = obj_by_num.get(int(num))
                 if rec is None:
                     continue

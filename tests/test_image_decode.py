@@ -574,11 +574,61 @@ def test_jpeg_unsupported_classifications():
 
     with pytest.raises(JPEGError):
         jpeg_decode(b"\xff\xd8\xff\xe0" + bytes(range(64)))  # fake JPEG
-    # progressive: SOF2 marker
+    # SOF2 with no scan data is MALFORMED (progressive itself decodes
+    # since round 6), still a JPEGError
     prog = (b"\xff\xd8"
             b"\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00")
     with pytest.raises(JPEGError):
         jpeg_decode(prog)
+    # arithmetic-coded SOF9: genuinely unsupported
+    arith = (b"\xff\xd8"
+             b"\xff\xc9\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00")
+    with pytest.raises(JPEGError, match="unsupported"):
+        jpeg_decode(arith)
+
+
+def test_jpeg_progressive_decodes_like_baseline():
+    """Round-6: SOF2 progressive decode (T.81 Annex G — DC first/refine,
+    per-band AC first with cross-block EOB runs, AC refinement with
+    correction bits). The fixture encoder uses an all-ones quant table,
+    so progressive and baseline decode the SAME coefficients: outputs
+    must be byte-identical."""
+    from pdfplumber_spark.kernel.jpeg import (
+        jpeg_decode,
+        jpeg_encode_gray,
+        jpeg_encode_gray_progressive,
+    )
+
+    rng = np.random.RandomState(0)
+    imgs = [
+        np.full((8, 8), 99, dtype=np.uint8),
+        (np.add.outer(np.arange(17), np.arange(23)) * 3 % 256).astype(np.uint8),
+        rng.randint(0, 256, (32, 16)).astype(np.uint8),
+        rng.randint(0, 256, (6, 6)).astype(np.uint8),
+    ]
+    for img in imgs:
+        base = jpeg_decode(jpeg_encode_gray(img))["samples"]
+        d = jpeg_decode(jpeg_encode_gray_progressive(img))
+        assert d["height"], d["width"] == img.shape
+        assert (d["samples"] == base).all()
+
+
+def test_jpeg_progressive_garbage_never_crashes():
+    """Mutated progressive streams must raise JPEGError (classify), never
+    escape with IndexError/ValueError."""
+    from pdfplumber_spark.kernel.jpeg import JPEGError, jpeg_decode, jpeg_encode_gray_progressive
+
+    rng = np.random.RandomState(5)
+    good = bytearray(jpeg_encode_gray_progressive(
+        rng.randint(0, 256, (16, 16)).astype(np.uint8)))
+    for trial in range(200):
+        bad = bytearray(good)
+        for _ in range(rng.randint(1, 6)):
+            bad[rng.randint(2, len(bad))] = rng.randint(0, 256)
+        try:
+            jpeg_decode(bytes(bad))
+        except JPEGError:
+            pass
 
 
 def test_dct_image_xobjects_decode_end_to_end():

@@ -47,3 +47,157 @@ def test_chars_always_carry_mcid_tag_keys():
     tagged = api.open(f"{PDFS}/mcid_example.pdf").pages[0]
     assert {"mcid", "tag"} <= set(tagged._chars.columns)
     assert any(c["mcid"] is not None for c in tagged.chars)
+
+
+# --- test_issues.py ports (the pre-140 tail + loaders) ----------------------
+
+def test_issue_14_21_53_203_objects_load():
+    """test_issues.py:92-110,157-160: these real-world PDFs must load and
+    yield layout objects."""
+    for name in ("cupertino_usd_4-6-16.pdf", "150109DSP-Milw-505-90D.pdf",
+                 "issue-53-example.pdf", "issue-203-decimalize.pdf"):
+        pdf = api.open(f"{PDFS}/{name}")
+        assert sum(len(v) for v in pdf.objects.values()) > 0, name
+
+
+def test_issue_33_67_metadata_load():
+    """test_issues.py:102-116: metadata dictionaries parse (exact key
+    counts pinned)."""
+    assert len(api.open(f"{PDFS}/issue-33-lorem-ipsum.pdf").metadata) == 10
+    assert len(api.open(f"{PDFS}/issue-67-example.pdf").metadata) == 12
+
+
+def test_pr_88_word_count():
+    """test_issues.py:117-123: exact word count."""
+    page = api.open(f"{PDFS}/pr-88-example.pdf").pages[0]
+    assert len(page.extract_words()) == 25
+
+
+def test_issue_90_pr136_extract_words_run():
+    """test_issues.py:125-135: extract_words must not raise on these."""
+    api.open(f"{PDFS}/issue-90-example.pdf").pages[0].extract_words()
+    api.open(f"{PDFS}/pr-136-example.pdf").pages[0].extract_words()
+
+
+def test_pr_138_chars_and_explicit_table():
+    """test_issues.py:137-148: exact char count + explicit-lines table
+    from curves+edges object dicts."""
+    page = api.open(f"{PDFS}/pr-138-example.pdf").pages[0]
+    assert len(page.chars) == 5140
+    page.extract_tables(
+        {
+            "vertical_strategy": "explicit",
+            "horizontal_strategy": "lines",
+            "explicit_vertical_lines": page.curves + page.edges,
+        }
+    )
+
+
+def test_issue_140_cropped_table_and_216_no_table():
+    """test_issues.py:150-178: cropped table has exactly 5 rows; a
+    content-free crop returns None instead of crashing."""
+    pdf = api.open(f"{PDFS}/issue-140-example.pdf")
+    page = pdf.pages[0]
+    assert len(page.crop((0, 0, page.width, 122)).extract_table()) == 5
+    assert page.crop((0, 0, 1, 1)).extract_table() is None
+
+
+def test_issue_297_integer_metadata():
+    """test_issues.py:172-178: integer-typed metadata values stay int."""
+    md = api.open(f"{PDFS}/issue-297-example.pdf").metadata
+    assert isinstance(md["Copies"], int) and md["Copies"] == 0
+
+
+def test_issue_1089_no_fd_accumulation():
+    """test_issues.py:284-304 analogue: repeated to_image() must not
+    accumulate open file descriptors (the reference leaked via
+    pypdfium2; our rasterizer must not leak either)."""
+    import os
+
+    pdf = api.open(f"{PDFS}/pr-88-example.pdf")
+    before = len(os.listdir("/proc/self/fd"))
+    for _ in range(40):
+        pdf.pages[0].to_image(resolution=24)
+    after = len(os.listdir("/proc/self/fd"))
+    assert after <= before + 2
+
+
+# --- test_basics.py loader ports --------------------------------------------
+
+def test_loading_pathobj_and_fileobj():
+    """test_basics.py:174-188: Path objects and open file objects load;
+    the file object is NOT auto-closed."""
+    from pathlib import Path
+
+    path = f"{PDFS}/nics-background-checks-2015-11.pdf"
+    assert len(api.open(Path(path)).metadata) > 0
+    with open(path, "rb") as f:
+        assert len(api.open(f).metadata) > 0
+        assert not f.closed
+
+
+def test_bad_fileobj_raises_and_does_not_close():
+    """test_basics.py:189-199: empty.pdf raises; a caller-owned file
+    object stays open after the failed parse."""
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        api.open(f"{PDFS}/empty.pdf")
+    f = open(f"{PDFS}/empty.pdf", "rb")
+    with _pytest.raises(Exception):
+        api.open(f)
+    assert not f.closed
+    f.close()
+
+
+# --- test_display.py ports (round-6 cropbox + size/copy surface) ------------
+
+def test_display_width_height_kwargs():
+    """test_display.py:38-47: resolution/width/height are exclusive;
+    explicit width/height hit exactly."""
+    page = api.open(f"{PDFS}/nics-background-checks-2015-11.pdf").pages[0]
+    with pytest.raises(ValueError):
+        page.to_image(resolution=72, height=100)
+    assert page.to_image(width=503).original.width == 503
+    assert page.to_image(height=805).original.height == 805
+
+
+def test_display_cropped_size():
+    """test_display.py:72-74: a cropped page's image is crop-sized."""
+    page = api.open(f"{PDFS}/nics-background-checks-2015-11.pdf").pages[0]
+    im = page.crop((10, 20, 30, 50)).to_image()
+    assert (im.original.width, im.original.height) == (20, 30)
+
+
+def test_display_cropbox_issue_1054():
+    """test_display.py:76-83 (issue-1054): an uncropped page renders its
+    CROPBOX view by default; force_mediabox renders the full page. The
+    reference gets (596, 842)/(2227, 2923) via pypdfium2's ceil; our
+    rasterizer rounds, pinned at the same semantics one pixel off."""
+    page = api.open(f"{PDFS}/issue-1054-example.pdf").pages[0]
+    assert page.rotation == 270
+    assert page.mediabox == (0.0, 0.0, 2225.2, 2919.69)
+    # reference page.py:233-238 formula, origin-shifted to our frame
+    assert page.cropbox == (1615.75, 2063.627, 2211.02, 2905.5168)
+    im = page.to_image()
+    assert (im.original.width, im.original.height) == (595, 842)
+    im = page.to_image(force_mediabox=True)
+    assert (im.original.width, im.original.height) == (2225, 2920)
+
+
+def test_display_bytes_stream_and_copy_and_repr_png():
+    """test_display.py:61-64,84-85,99-103."""
+    import io
+
+    path = f"{PDFS}/nics-background-checks-2015-11.pdf"
+    page = api.open(io.BytesIO(open(path, "rb").read())).pages[0]
+    im = page.to_image()
+    assert im.copy().original == im.original
+    png = im._repr_png_()
+    assert isinstance(png, bytes) and len(png) > 1000
+
+
+def test_display_password():
+    """test_display.py:120-123: rendering an encrypted PDF."""
+    pdf = api.open(f"{PDFS}/password-example.pdf", password="test")
+    pdf.pages[0].to_image(resolution=36)

@@ -1,0 +1,58 @@
+"""Long-lived-session soak (round-5 verdict ask #8): 100+ board queries
+through ONE SparkSession must leave zero persisted RDDs behind and keep
+wall time stable — proves the operators/_cache.py cap + unpersist
+discipline end-to-end, not just per-query.
+
+Query mix: the cheap half of the board (every persist-site family
+represented: minhash/simhash/jaccard caches, cosine-LSH keyed table,
+window clustering, text analysis) cycled until 100+ executions.
+"""
+
+import gc
+import time
+
+import pytest
+
+import __spark_entry__ as E
+import pdfplumber_spark
+from conftest import SF_CORRECT
+
+SOAK_QUERIES = [
+    "cluster_1d", "interval_merge", "snap_mean", "cumsum",
+    "topk_per_group", "bbox_agg", "within_bbox", "crop_bbox",
+    "rect_edges", "edge_intersections", "exact_dedup", "token_count",
+    "quality", "tokenize", "ngram_counts", "quality_filter", "langid",
+    "embedding_topk", "minhash_pairs", "simhash_pairs", "jaccard_pairs",
+    "lsh_topk", "cosine_near_pairs", "winnow", "dedupe_keepfirst",
+]
+CYCLES = 5  # 25 queries x 5 = 125 executions
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_session_soak_no_leaks_and_stable_walls(spark):
+    pdfplumber_spark.unpersist_all(blocking=True)
+    spark.catalog.clearCache()
+    qs = E.queries()
+    cycle_walls = []
+    for cycle in range(CYCLES):
+        t0 = time.time()
+        for name in SOAK_QUERIES:
+            qs[name](spark, SF_CORRECT).count()
+            pdfplumber_spark.unpersist_all()
+        cycle_walls.append(time.time() - t0)
+        # the registry must be empty after the evict sweep, every cycle
+        pdfplumber_spark.unpersist_all(blocking=True)
+        for _ in range(40):
+            if _n_persistent(spark) == 0:
+                break
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(0.25)
+        assert _n_persistent(spark) == 0, f"persisted RDDs after cycle {cycle}"
+    # wall stability: the last cycle must not degrade vs the first
+    # beyond host jitter (leaks/accumulated state show up as monotonic
+    # growth far past this bound)
+    assert cycle_walls[-1] < 2.0 * cycle_walls[0] + 5.0, cycle_walls
