@@ -149,14 +149,16 @@ def _render_base(page, scale: float, bbox=None) -> Canvas:
             canvas.polyline(
                 pts, _obj_color(cv.get("stroking_color"), (0, 0, 0)) + (255,))
 
-    # 3. chars: approximate 5x7 bitmap glyphs where the box is big
-    # enough and the glyph is in the classic LCD set (kernel/font5x7.py),
-    # a faint structural box otherwise. Not glyph-ACCURATE (no font
-    # engine offline — the documented divergence), but renders readable.
+    # 3. chars: REAL TrueType outlines when the char's font embeds a
+    # /FontFile2 with a usable cmap (kernel/truetype.py, round 6) —
+    # quadratic contours scanline-filled at the char's pixel box; else
+    # the approximate 5x7 bitmap glyph (kernel/font5x7.py); else a faint
+    # structural box. Deterministic either way (hash-stable renders).
     chars = getattr(page, "_chars", None)
     if chars is None:
         chars_rows = [
-            (c["x0"], c["top"], c["x1"], c["bottom"], c.get("text"))
+            (c["x0"], c["top"], c["x1"], c["bottom"], c.get("text"),
+             c.get("fontname"))
             for c in page.chars
         ]
     else:
@@ -165,20 +167,57 @@ def _render_base(page, scale: float, bbox=None) -> Canvas:
         cb = chars[["x0", "top", "x1", "bottom"]].to_numpy(_np.float64)
         texts = chars["text"].tolist() if "text" in chars.columns \
             else [None] * len(cb)
+        fnames = chars["fontname"].tolist() if "fontname" in chars.columns \
+            else [None] * len(cb)
         chars_rows = [
-            (cb[i, 0], cb[i, 1], cb[i, 2], cb[i, 3], texts[i])
+            (cb[i, 0], cb[i, 1], cb[i, 2], cb[i, 3], texts[i], fnames[i])
             for i in range(len(cb))
         ]
     from .kernel.font5x7 import glyph_mask
 
+    tt_by_basefont = {}
+    if interp is not None:
+        for font in getattr(interp, "fonts", {}).values():
+            if getattr(font, "basefont", None) not in tt_by_basefont:
+                try:
+                    tt_by_basefont[font.basefont] = font.truetype(interp.doc)
+                except Exception:  # noqa: BLE001
+                    tt_by_basefont[font.basefont] = None
+    tt_cache = {}
+
+    def tt_mask(fontname, ch, w_px, h_px):
+        ttf = tt_by_basefont.get(fontname)
+        if ttf is None or not ch:
+            return None
+        gid = ttf.glyph_id(ord(ch[0]))
+        if not gid:
+            return None
+        key = (id(ttf), gid, w_px, h_px)
+        if key not in tt_cache:
+            from .kernel.truetype import rasterize_glyph
+
+            try:
+                tt_cache[key] = rasterize_glyph(ttf, gid, w_px, h_px)
+            except Exception:  # noqa: BLE001 — malformed outline
+                tt_cache[key] = None
+        return tt_cache[key]
+
     box_fallback = []
-    for cx0, ctop, cx1, cbot, text in chars_rows:
+    for cx0, ctop, cx1, cbot, text, fontname in chars_rows:
         gx0, gy0 = X(cx0), Y(ctop)
         gx1, gy1 = X(cx1), Y(cbot)
-        mask = glyph_mask(text[0]) if text else None
-        if mask is not None and (gx1 - gx0) >= 3 and (gy1 - gy0) >= 5:
-            if text == " ":
-                continue
+        if text == " ":
+            continue
+        w_px = max(1, int(round(gx1 - gx0)))
+        h_px = max(1, int(round(gy1 - gy0)))
+        mask = None
+        if w_px >= 3 and h_px >= 5:
+            mask = tt_mask(fontname, text, w_px, h_px)
+            if mask is not None and not mask.any():
+                mask = None
+            if mask is None:
+                mask = glyph_mask(text[0]) if text else None
+        if mask is not None:
             canvas.stamp_mask(mask, gx0, gy0, gx1, gy1, _GLYPH_INK)
         else:
             box_fallback.append((gx0, gy0, gx1, gy1))

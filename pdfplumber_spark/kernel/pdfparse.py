@@ -465,6 +465,10 @@ class Font:
             for i, w in enumerate(doc.resolve(widths)):
                 self.widths[self.first_char + i] = float(doc.resolve(w) or 0)
         desc = doc.resolve(spec.get("FontDescriptor")) or {}
+        # raw /FontFile2 ref kept for lazy embedded-TrueType loading
+        # (kernel/truetype.py; display stamps real glyph outlines)
+        self._fontfile2_ref = desc.get("FontFile2")
+        self._ttf = None  # parsed lazily, False = tried and failed
         self.descent = float(doc.resolve(desc.get("Descent", FONT_DESCENT)) or FONT_DESCENT)
         # PDF RM 9.8.1: /Descent must be negative. PScript5.dll emits a
         # positive value; pdfminer (pdffont.py PDFFont.__init__) forces it
@@ -545,9 +549,27 @@ class Font:
                 else:
                     break
             desc = doc.resolve(df.get("FontDescriptor")) or {}
+            self._fontfile2_ref = desc.get("FontFile2")
             self.descent = float(doc.resolve(desc.get("Descent", self.descent)) or self.descent)
             if self.descent > 0:  # same RM 9.8.1 correction as simple fonts
                 self.descent = -self.descent
+
+    def truetype(self, doc):
+        """Parsed embedded TrueType (kernel/truetype.py) or None; lazy,
+        cached, never raises (renders fall back to 5x7 bitmaps)."""
+        if self._ttf is None:
+            self._ttf = False
+            ref = getattr(self, "_fontfile2_ref", None)
+            if ref is not None:
+                try:
+                    st = doc.resolve(ref)
+                    if st is not None and hasattr(st, "get_data"):
+                        from .truetype import TrueTypeFont
+
+                        self._ttf = TrueTypeFont(bytes(st.get_data(doc)))
+                except Exception:  # noqa: BLE001 — broken/exotic font file
+                    self._ttf = False
+        return self._ttf or None
 
     @staticmethod
     def _parse_tounicode(doc, ref) -> Dict[int, str]:
