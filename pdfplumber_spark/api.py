@@ -90,6 +90,15 @@ class _Serializer:
             return obj if self.precision is None else round(obj, self.precision)
         if isinstance(obj, (int, str)):
             return obj
+        if isinstance(obj, _StreamWrapper):
+            # convert.py do_PDFStream: {"rawdata": base64 of raw bytes}
+            import base64 as _b64
+
+            try:
+                raw = bytes(getattr(obj.xo, "raw", b"") or b"")
+            except Exception:  # noqa: BLE001
+                raw = b""
+            return {"rawdata": _b64.b64encode(raw).decode("ascii")}
         if isinstance(obj, (bytes, bytearray)):
             # convert.py do_bytes: decode, not base64
             for e in ("utf-8", "latin-1", "utf-16", "utf-16le"):
@@ -122,6 +131,22 @@ class _Serializer:
         except ImportError:  # pragma: no cover
             pass
         return str(obj)
+
+
+class _StreamWrapper:
+    """PDFStream stand-in for image records: serializes like the
+    reference's do_PDFStream ({'rawdata': base64}); carries the XObject
+    + resource name for engine users (reference keeps the pdfminer
+    PDFStream here)."""
+
+    __slots__ = ("xo", "name")
+
+    def __init__(self, xo, name=None):
+        self.xo = xo
+        self.name = name
+
+    def __repr__(self):
+        return f"<PDFStream {self.name or ''}>"
 
 
 _CSV_COLS_REQUIRED = ["object_type"]
@@ -264,10 +289,15 @@ class Page:
         recs = frame.to_dict("records")
         for r in recs:  # reference process_object adds page_number
             r["page_number"] = self.page_number
+            r.pop("char_index", None)  # internal ordering key, not a
+            # reference attr (ALL_ATTRS)
             for ck in ("stroking_color", "non_stroking_color"):
                 v = r.get(ck)
                 if isinstance(v, list):  # reference colors are tuples
                     r[ck] = tuple(v)
+            dv = r.get("dash")
+            if isinstance(dv, list):  # stored per-row as list in frames
+                r["dash"] = tuple(dv)
         return recs
 
     @property
@@ -343,12 +373,20 @@ class Page:
 
     @property
     def objects(self) -> dict:
+        # kind order = FIRST-paint order on the page (reference
+        # Page.objects dict insertion order — to_csv row ordering
+        # depends on it: pdffill-demo emits its lines before its chars)
+        accessors = {
+            "char": lambda: self.chars, "line": lambda: self.lines,
+            "rect": lambda: self.rects, "curve": lambda: self.curves,
+            "image": lambda: self.images,
+        }
+        order = [k for k in getattr(self._interp, "kind_order", [])
+                 if k in accessors]
+        order += [k for k in accessors if k not in order]
         out = {}
-        for kind, rows in (
-            ("char", self.chars), ("line", self.lines),
-            ("rect", self.rects), ("curve", self.curves),
-            ("image", self.images),
-        ):
+        for kind in order:
+            rows = accessors[kind]()
             if rows:
                 out[kind] = rows
         if getattr(self.pdf, "laparams", None) is not None:
@@ -361,9 +399,31 @@ class Page:
 
     @property
     def images(self) -> List[dict]:
-        cols = ["name", "x0", "x1", "y0", "y1", "top", "bottom", "doctop",
-                "width", "height", "srcwidth", "srcheight", "bits", "imagemask"]
-        return [dict(zip(cols, im)) for im in self._interp.images]
+        """Reference image records (LTImage attrs in ALL_ATTRS +
+        geometry): srcsize tuple, colorspace list, stream wrapper; the
+        XObject NAME is intentionally absent (not in ALL_ATTRS)."""
+        out = []
+        for im in self._interp.images:
+            (name, x0, x1, y0, y1, top, bottom, doctop, w, h,
+             srcw, srch, bits, imagemask) = im[:14]
+            colorspace = im[14] if len(im) > 14 else None
+            xo = im[15] if len(im) > 15 else None
+            out.append({
+                "x0": x0, "y0": y0, "x1": x1, "y1": y1,
+                "width": w, "height": h,
+                "stream": _StreamWrapper(xo, name) if xo is not None
+                else None,
+                "srcsize": (srcw, srch),
+                "imagemask": imagemask or None,
+                "bits": bits,
+                "colorspace": colorspace,
+                "mcid": None,
+                "tag": None,
+                "object_type": "image",
+                "page_number": self.page_number,
+                "top": top, "bottom": bottom, "doctop": doctop,
+            })
+        return out
 
     @property
     def annots(self) -> List[dict]:
@@ -757,10 +817,26 @@ class PDF:
                         tuple(s[0]) for s in interp.ch_style
                     ]
                     chars["stroking_color"] = [
-                        tuple(s[1]) for s in interp.ch_style
+                        tuple(s[1]) if s[1] is not None else None
+                        for s in interp.ch_style
                     ]
                     chars["non_stroking_color"] = [
-                        tuple(s[2]) for s in interp.ch_style
+                        tuple(s[2]) if s[2] is not None else None
+                        for s in interp.ch_style
+                    ]
+                    # reference LTChar extras: ncs colorspace NAME +
+                    # pattern names from normalize_color (page.py:351-380)
+                    chars["ncs"] = [
+                        s[3] if len(s) > 3 else None
+                        for s in interp.ch_style
+                    ]
+                    chars["stroking_pattern"] = [
+                        s[4] if len(s) > 4 else None
+                        for s in interp.ch_style
+                    ]
+                    chars["non_stroking_pattern"] = [
+                        s[5] if len(s) > 5 else None
+                        for s in interp.ch_style
                     ]
             else:
                 chars = pd.DataFrame(

@@ -27,7 +27,7 @@ import pandas as pd
 
 from .pdfgen import FONT_ASCENT, FONT_DESCENT, WIDTHS
 
-MATRIX_ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+MATRIX_ID = (1, 0, 0, 1, 0, 0)  # ints, pdfminer MATRIX_IDENTITY parity
 
 
 def mat_mult(m1, m0):
@@ -1572,7 +1572,8 @@ CHAR_COLUMNS = [
 LINE_COLUMNS = [
     "x0", "x1", "y0", "y1", "top", "bottom", "doctop", "width", "height",
     "linewidth", "stroke", "fill", "stroking_color", "non_stroking_color",
-    "pts", "mcid", "tag",
+    "pts", "mcid", "tag", "evenodd", "dash", "path",
+    "stroking_pattern", "non_stroking_pattern",
 ]
 
 
@@ -1585,7 +1586,14 @@ class PageInterpreter:
         self.page_number = page_number
         self.initial_doctop = initial_doctop
         self.style = style  # False: skip per-char matrix/color capture
-        mb = [float(doc.resolve(v)) for v in doc.resolve(page_spec.get("MediaBox") or [0, 0, 612, 792])]
+        def _mbnum(v):
+            v = doc.resolve(v)
+            # raw int/float preserved (base-CTM entries are serialized
+            # in char matrices); junk raises like the old float() did
+            return v if isinstance(v, (int, float)) else float(v)
+
+        mb = [_mbnum(v) for v in
+              doc.resolve(page_spec.get("MediaBox") or [0, 0, 612, 792])]
         x0, y0, x1, y1 = mb
         if x0 > x1:
             x0, x1 = x1, x0
@@ -1642,6 +1650,10 @@ class PageInterpreter:
         # marked-content runs: (chars_emitted_before_change, mcid, tag)
         # (page.py:128-176 semantics, recorded as spans not per-char)
         self.mc_spans: List[tuple] = []
+        # object kinds in FIRST-paint order (reference Page.objects dict
+        # insertion order; drives to_csv/to_json type ordering)
+        self.kind_order: List[str] = []
+        self._style_extra = ("DeviceGray", None, None)
         # current marked-content (mcid, tag) for path/image rows
         self._cur_mc: tuple = (None, None)
         self.lines: List[tuple] = []
@@ -1774,13 +1786,13 @@ class PageInterpreter:
         # are built around
         x0, y0, x1, y1 = self.mb
         if self.rotation == 90:
-            ctm = (0.0, -1.0, 1.0, 0.0, -y0, x1)
+            ctm = (0, -1, 1, 0, -y0, x1)
         elif self.rotation == 180:
-            ctm = (-1.0, 0.0, 0.0, -1.0, x1, y1)
+            ctm = (-1, 0, 0, -1, x1, y1)
         elif self.rotation == 270:
-            ctm = (0.0, 1.0, -1.0, 0.0, y1, -x0)
+            ctm = (0, 1, -1, 0, y1, -x0)
         else:
-            ctm = (1.0, 0.0, 0.0, 1.0, -x0, -y0)
+            ctm = (1, 0, 0, 1, -x0, -y0)
         self._exec(self.contents, ctm, self.fonts, self.resources)
         return self
 
@@ -1791,10 +1803,31 @@ class PageInterpreter:
         stack: List[object] = []
         gs_stack: List[tuple] = []
         ctm = base_ctm
+
+        def npop():
+            """Numeric operand with its ORIGINAL int/float type preserved
+            (pdfminer parity: '1 0 0 1 45.83 660.69 Tm' serializes as
+            (1, 0, 0, 1, 45.83, 660.69) — ints stay ints)."""
+            v = stack.pop()
+            if isinstance(v, (int, float)):
+                return v
+            try:
+                return float(v)
+            except (TypeError, ValueError):
+                return 0
+
         # graphics state
-        linewidth = 1.0
-        stroke_color: Tuple = (0.0,)
-        fill_color: Tuple = (0.0,)
+        linewidth = 1
+        dash = None  # pdfminer PDFGraphicState.dash default (None until
+        # a 'd' op runs; pdffill-demo sets '[] 0 d' -> ([], 0))
+        stroke_color = None  # pdfminer PDFGraphicState: scolor=None
+        fill_color = None
+        # colorspace NAMES (pdfminer interpreter scs/ncs; default =
+        # PREDEFINED_COLORSPACE's first entry, DeviceGray)
+        scs_name = "DeviceGray"
+        ncs_name = "DeviceGray"
+        stroke_pattern = None
+        fill_pattern = None
         # text state
         font: Optional[Font] = None
         fontsize = 0.0
@@ -1812,6 +1845,7 @@ class PageInterpreter:
             nonlocal lm
             if font is None or not isinstance(raw, (bytes, bytearray)):
                 return
+            self._style_extra = (ncs_name, stroke_pattern, fill_pattern)
             lm = self._render_string(
                 [raw], tm, ctm, lm, font, fontsize, scaling, charspace,
                 wordspace, rise, stroke_color, fill_color,
@@ -1821,6 +1855,7 @@ class PageInterpreter:
             nonlocal lm
             if font is None:
                 return
+            self._style_extra = (ncs_name, stroke_pattern, fill_pattern)
             lm = self._render_string(
                 seq, tm, ctm, lm, font, fontsize, scaling, charspace,
                 wordspace, rise, stroke_color, fill_color,
@@ -1833,7 +1868,8 @@ class PageInterpreter:
                 cur = []
             for sub in path:
                 self._emit_path(sub, ctm, linewidth, stroke, fill, evenodd,
-                                stroke_color, fill_color)
+                                stroke_color, fill_color, dash,
+                                stroke_pattern, fill_pattern)
             path = []
 
         for tok in tokenize_content(content):
@@ -1850,17 +1886,24 @@ class PageInterpreter:
                     gs_stack.append((ctm, linewidth, stroke_color,
                                      fill_color, charspace, wordspace,
                                      scaling, leading, rise, font,
-                                     fontsize))
+                                     fontsize, dash, scs_name, ncs_name,
+                                     stroke_pattern, fill_pattern))
                 elif op == "Q":
                     if gs_stack:
                         (ctm, linewidth, stroke_color, fill_color,
                          charspace, wordspace, scaling, leading, rise,
-                         font, fontsize) = gs_stack.pop()
+                         font, fontsize, dash, scs_name, ncs_name,
+                         stroke_pattern, fill_pattern) = gs_stack.pop()
                 elif op == "cm":
-                    f_, e_, d_, c_, b_, a_ = (float(stack.pop()) for _ in range(6))
+                    f_, e_, d_, c_, b_, a_ = (npop() for _ in range(6))
                     ctm = mat_mult((a_, b_, c_, d_, e_, f_), ctm)
                 elif op == "w":
-                    linewidth = float(stack.pop())
+                    linewidth = npop()
+                elif op == "d":
+                    ph = npop()
+                    arr = stack.pop() if stack else []
+                    dash = (list(arr) if isinstance(arr, (list, tuple))
+                            else [], ph)
                 elif op == "BT":
                     tm = MATRIX_ID
                     lm = (0.0, 0.0)
@@ -1871,23 +1914,23 @@ class PageInterpreter:
                     fname = stack.pop()
                     font = fonts.get(str(fname))
                 elif op == "Td":
-                    ty = float(stack.pop()); tx = float(stack.pop())
+                    ty = npop(); tx = npop()
                     tm = mat_translate(tm, tx, ty)
                     lm = (0.0, 0.0)
                 elif op == "TD":
-                    ty = float(stack.pop()); tx = float(stack.pop())
+                    ty = npop(); tx = npop()
                     leading = -ty
                     tm = mat_translate(tm, tx, ty)
                     lm = (0.0, 0.0)
                 elif op == "Tm":
-                    f_, e_, d_, c_, b_, a_ = (float(stack.pop()) for _ in range(6))
+                    f_, e_, d_, c_, b_, a_ = (npop() for _ in range(6))
                     tm = (a_, b_, c_, d_, e_, f_)
                     lm = (0.0, 0.0)
                 elif op == "T*":
                     tm = mat_translate(tm, 0, -leading)
                     lm = (0.0, 0.0)
                 elif op == "TL":
-                    leading = float(stack.pop())
+                    leading = npop()
                 elif op == "Tc":
                     charspace = float(stack.pop())
                 elif op == "Tw":
@@ -1970,34 +2013,54 @@ class PageInterpreter:
                         cur = []
                     path = []
                 elif op in ("g", "G"):
-                    v = float(stack.pop())
+                    v = npop()
                     if op == "g":
                         fill_color = (v,)
+                        ncs_name = "DeviceGray"
                     else:
                         stroke_color = (v,)
+                        scs_name = "DeviceGray"
                 elif op in ("rg", "RG"):
-                    b_ = float(stack.pop()); g_ = float(stack.pop()); r_ = float(stack.pop())
+                    b_ = npop(); g_ = npop(); r_ = npop()
                     if op == "rg":
                         fill_color = (r_, g_, b_)
+                        ncs_name = "DeviceRGB"
                     else:
                         stroke_color = (r_, g_, b_)
+                        scs_name = "DeviceRGB"
                 elif op in ("k", "K"):
-                    kk = float(stack.pop()); yy = float(stack.pop())
-                    mm = float(stack.pop()); cc = float(stack.pop())
+                    kk = npop(); yy = npop()
+                    mm = npop(); cc = npop()
                     if op == "k":
                         fill_color = (cc, mm, yy, kk)
+                        ncs_name = "DeviceCMYK"
                     else:
                         stroke_color = (cc, mm, yy, kk)
+                        scs_name = "DeviceCMYK"
+                elif op in ("cs", "CS"):
+                    csname = self._colorspace_name(str(stack.pop()) if stack
+                                                   else "", res)
+                    if op == "cs":
+                        ncs_name = csname
+                    else:
+                        scs_name = csname
                 elif op in ("sc", "scn", "SC", "SCN"):
+                    # scn/SCN with a Pattern colorspace: trailing /Name
+                    pat = None
+                    if (op in ("scn", "SCN") and stack
+                            and not isinstance(stack[-1], (int, float))):
+                        pat = str(stack.pop())
                     vals = []
                     while stack and isinstance(stack[-1], (int, float)):
-                        vals.append(float(stack.pop()))
+                        vals.append(stack.pop())
                     vals.reverse()
-                    if vals:
+                    if vals or pat is not None:
                         if op in ("sc", "scn"):
-                            fill_color = tuple(vals)
+                            fill_color = tuple(vals) if vals else None
+                            fill_pattern = pat
                         else:
-                            stroke_color = tuple(vals)
+                            stroke_color = tuple(vals) if vals else None
+                            stroke_pattern = pat
                 elif op == "Do":
                     xname = str(stack.pop()) if stack else None
                     xdict = doc.resolve((res or {}).get("XObject")) or {}
@@ -2191,6 +2254,7 @@ class PageInterpreter:
         text = font.to_unichr(cid)
         top = self._flip(y1d)
         bottom = self._flip(y0d)
+        self._note_kind("char")
         self.ch_text.append(text)
         self.ch_font.append(font.basefont)
         self._num_slow.append(
@@ -2199,8 +2263,12 @@ class PageInterpreter:
         )
         self._ch_num_cache = None
         if self.style:
+            ncs_name, stroke_pattern, fill_pattern = self._style_extra
             self.ch_style.append(
-                (list(matrix), list(stroke_color), list(fill_color))
+                (list(matrix),
+                 list(stroke_color) if stroke_color is not None else None,
+                 list(fill_color) if fill_color is not None else None,
+                 ncs_name, stroke_pattern, fill_pattern)
             )
         return adv
 
@@ -2215,6 +2283,7 @@ class PageInterpreter:
         x0, x1 = min(xs), max(xs)
         y0, y1 = min(ys), max(ys)
         top, bottom = self._flip(y1), self._flip(y0)
+        self._note_kind("image")
         self.image_objs.append(xo)
         self.images.append(
             (
@@ -2225,11 +2294,52 @@ class PageInterpreter:
                 int(doc.resolve(xo.attrs.get("Height", 0)) or 0),
                 int(doc.resolve(xo.attrs.get("BitsPerComponent", 0)) or 0),
                 bool(doc.resolve(xo.attrs.get("ImageMask", False))),
+                self._image_colorspace(xo),
+                xo,
             )
         )
 
+    def _image_colorspace(self, xo):
+        """Resolved /ColorSpace names as a LIST (pdfminer LTImage
+        .colorspace: resolve_all of the attr, wrapped in a list)."""
+        try:
+            cs = self.doc.resolve(xo.attrs.get("ColorSpace"))
+            if cs is None:
+                return None
+            if isinstance(cs, list):
+                return [str(self.doc.resolve(v))
+                        if not isinstance(self.doc.resolve(v), (list, dict))
+                        else self.doc.resolve(v) for v in cs]
+            return [str(cs)]
+        except Exception:  # noqa: BLE001
+            return None
+
+    def _note_kind(self, kind: str) -> None:
+        if kind not in self.kind_order:
+            self.kind_order.append(kind)
+
+    def _colorspace_name(self, res_name: str, res) -> str:
+        """cs/CS operand -> colorspace NAME (pdfminer csmap semantics:
+        predefined names pass through; resource-defined spaces report
+        their FAMILY, e.g. ICCBased/Indexed/Separation)."""
+        predefined = {"DeviceGray", "CalRGB", "CalGray", "Lab", "DeviceRGB",
+                      "DeviceCMYK", "Separation", "Indexed", "Pattern"}
+        if res_name in predefined:
+            return res_name
+        try:
+            csd = self.doc.resolve((res or {}).get("ColorSpace")) or {}
+            spec = self.doc.resolve(csd.get(res_name))
+            if isinstance(spec, list) and spec:
+                return str(self.doc.resolve(spec[0]))
+            if spec is not None:
+                return str(spec)
+        except Exception:  # noqa: BLE001
+            pass
+        return res_name
+
     def _emit_path(self, sub, ctm, linewidth, stroke, fill, evenodd,
-                   stroke_color, fill_color):
+                   stroke_color, fill_color, dash=None,
+                   stroke_pattern=None, fill_pattern=None):
         pts_dev = [mat_apply(ctm, px, py) for (_, px, py) in sub]
         kinds = "".join(k[0] for (k, _, _) in sub)
         if len(pts_dev) < 2:
@@ -2240,17 +2350,54 @@ class PageInterpreter:
         y0, y1 = min(ys), max(ys)
         top, bottom = self._flip(y1), self._flip(y0)
         pts_top = [(px, self._flip(py)) for (px, py) in pts_dev]
+        # reference `path` attr (page.py:392): drawing commands with
+        # top-left coords; our flattened (tag, x, y) triples regroup as
+        # m/l single points, c1+c2+c = cubic ('c', p1, p2, p3), c2+c =
+        # 'v', c1+c = 'y', h = bare ('h',)
+        path_cmds = []
+        i = 0
+        while i < len(sub):
+            tag = sub[i][0]
+            pt = pts_top[i]
+            if tag == "m":
+                path_cmds.append(("m", pt))
+                i += 1
+            elif tag == "l":
+                path_cmds.append(("l", pt))
+                i += 1
+            elif tag == "h":
+                path_cmds.append(("h",))
+                i += 1
+            elif tag == "c1":
+                if i + 2 < len(sub) and sub[i + 1][0] == "c2":
+                    path_cmds.append(("c", pt, pts_top[i + 1], pts_top[i + 2]))
+                    i += 3
+                else:  # c1 + c == 'y'
+                    path_cmds.append(("y", pt, pts_top[i + 1]))
+                    i += 2
+            elif tag == "c2":  # c2 + c == 'v'
+                path_cmds.append(("v", pt, pts_top[i + 1]))
+                i += 2
+            else:
+                path_cmds.append((tag, pt))
+                i += 1
         mcid, mctag = self._cur_mc
         row = (
             x0, x1, y0, y1, top, bottom, self.initial_doctop + top,
             x1 - x0, bottom - top, linewidth, stroke, fill,
-            list(stroke_color), list(fill_color), pts_top, mcid, mctag,
+            list(stroke_color) if stroke_color is not None else None,
+            list(fill_color) if fill_color is not None else None,
+            pts_top, mcid, mctag, evenodd, dash, path_cmds,
+            stroke_pattern, fill_pattern,
         )
         if len(sub) == 2 and kinds == "ml":
+            self._note_kind("line")
             self.lines.append(row)
         elif kinds in ("mlllh", "mllll") and len(set(pts_dev[:4])) == 4:
+            self._note_kind("rect")
             self.rects.append(row)
         else:
+            self._note_kind("curve")
             self.curves.append(row)
 
 
@@ -2364,7 +2511,9 @@ def pdf_to_frames(data: bytes, style: bool = True, password: str = "") -> Dict[s
         pages_rows, columns=["page_number", "width", "height", "rotation"]
     )
     image_rows = [
-        (p.page_number, i) + im
+        # first 14 fields only: the trailing colorspace/XObject entries
+        # (round-6 facade additions) are python objects, not frame cells
+        (p.page_number, i) + im[:14]
         for p in pages
         for i, im in enumerate(p.images)
     ]

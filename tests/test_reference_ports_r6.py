@@ -201,3 +201,75 @@ def test_display_password():
     """test_display.py:120-123: rendering an encrypted PDF."""
     pdf = api.open(f"{PDFS}/password-example.pdf", password="test")
     pdf.pages[0].to_image(resolution=36)
+
+
+# --- test_convert.py exact-output ports (round-6 CSV/JSON parity) -----------
+
+def test_convert_csv_exact_reference_row():
+    """test_convert.py:176-188: EXACT byte parity with the reference's
+    pinned CSV row — requires the round-6 parity set: first-paint type
+    ordering, int-preserving matrices/colors, ncs, pattern/path/dash/
+    evenodd/srcsize/stream columns, and no engine-internal columns."""
+    from io import StringIO
+
+    pdf = api.open(f"{PDFS}/pdffill-demo.pdf")
+    c = pdf.to_csv(precision=3)
+    assert c.split("\r\n")[9] == (
+        "char,1,45.83,58.826,656.82,674.82,117.18,117.18,135.18,12.996,"
+        '18.0,12.996,,,,,,,TimesNewRomanPSMT,,,"(1, 0, 0, 1, 45.83, 660.69)"'
+        ',,DeviceRGB,"(0, 0, 0)",,,,18.0,,,,,,,Y,,1,'
+    )
+    sio = StringIO()
+    pdf.to_csv(sio, precision=3)
+    sio.seek(0)
+    assert c == sio.read()
+
+
+def test_convert_csv_all_types_starts_with_line():
+    """test_convert.py:190-192: with object_types=None the first row is
+    the page's first-painted object — a line for pdffill-demo."""
+    pdf = api.open(f"{PDFS}/pdffill-demo.pdf")
+    c = pdf.to_csv(object_types=None)
+    assert c.split("\r\n")[1].split(",")[0] == "line"
+
+
+def test_convert_json_roundtrip_values():
+    """test_convert.py:141-164 + 295-297."""
+    import json
+
+    pdf = api.open(f"{PDFS}/pdffill-demo.pdf")
+    c = json.loads(pdf.to_json())
+    assert (c["pages"][0]["rects"][0]["bottom"]
+            == pdf.pages[0].rects[0]["bottom"])
+    c = json.loads(pdf.to_json(include_attrs=["page_number"]))
+    assert list(c["pages"][0]["rects"][0].keys()) == [
+        "object_type", "page_number"]
+    with pytest.raises(ValueError):
+        pdf.to_json(include_attrs=["page_number"], exclude_attrs=["bottom"])
+    with pytest.raises(ValueError):
+        pdf.to_json(exclude_attrs=["object_type"])
+    c = json.loads(pdf.to_json(object_types=None))
+    found = c["pages"][0].keys()
+    assert {"chars", "lines", "rects", "images"} <= set(found)
+    assert "curves" in c["pages"][2].keys()
+    x = pdf.pages[0].to_dict(object_types=["char"])
+    assert len(x["chars"]) == len(pdf.pages[0].chars)
+
+
+def test_char_records_reference_attr_set():
+    """Round-6 parity: page.chars carries EXACTLY the reference's char
+    attr set (ALL_ATTRS ∩ LTChar + geometry + ncs/color/pattern/text),
+    no engine-internal keys (char_index)."""
+    page = api.open(f"{PDFS}/pdffill-demo.pdf").pages[0]
+    assert sorted(page.chars[0].keys()) == [
+        "adv", "bottom", "doctop", "fontname", "height", "matrix", "mcid",
+        "ncs", "non_stroking_color", "non_stroking_pattern", "object_type",
+        "page_number", "size", "stroking_color", "stroking_pattern", "tag",
+        "text", "top", "upright", "width", "x0", "x1", "y0", "y1",
+    ]
+    ch = page.chars[0]
+    assert ch["ncs"] == "DeviceRGB"        # set by '0 0 0 rg'
+    assert ch["matrix"] == (1, 0, 0, 1, 45.83, 660.69)  # ints preserved
+    assert ch["non_stroking_color"] == (0, 0, 0)
+    # first line painted before any color op: pdfminer default scolor=None
+    assert page.lines[0]["stroking_color"] is None
