@@ -24,6 +24,8 @@ Layout:
 
 __version__ = "0.1.0"
 
+from . import utils  # noqa: E402,F401  (reference `pdfplumber.utils` parity)
+
 
 def unpersist_all(blocking: bool = False) -> int:
     """Evict every operator-cached DataFrame (LSH signature tables etc.).

@@ -464,6 +464,11 @@ class Page:
             if k in rest:
                 layout_kwargs[k] = rest.pop(k)
         if layout:
+            # only a DEFAULT-derived width/height yields to *_chars; an
+            # explicit user value must conflict (reference WordMap
+            # to_textmap raises — test_utils.py:386-394)
+            explicit_w = "layout_width" in rest
+            explicit_h = "layout_height" in rest
             layout_kwargs.update(
                 layout_bbox=rest.pop("layout_bbox", self.bbox),
                 layout_width=rest.pop(
@@ -477,9 +482,9 @@ class Page:
                       "layout_width_chars", "layout_height_chars"):
                 if k in rest:
                     layout_kwargs[k] = rest.pop(k)
-            if "layout_width_chars" in layout_kwargs:
+            if "layout_width_chars" in layout_kwargs and not explicit_w:
                 layout_kwargs.pop("layout_width", None)
-            if "layout_height_chars" in layout_kwargs:
+            if "layout_height_chars" in layout_kwargs and not explicit_h:
                 layout_kwargs.pop("layout_height", None)
         return page_text(self._chars, settings, layout=layout, **layout_kwargs)
 
@@ -769,7 +774,10 @@ class PDF:
         self._password = password
         self._pages_subset = pages
         self.laparams = LAParams.resolve(laparams)
-        self.metadata = PDFDocument(data, password=password).metadata()
+        # kernel document exposed like the reference's PDF.doc (pdfminer
+        # PDFDocument there; our from-scratch object store here)
+        self.doc = PDFDocument(data, password=password)
+        self.metadata = self.doc.metadata()
         interps = parse_pdf(data, password=password)
         self.pages: List[Page] = []
         for interp in interps:

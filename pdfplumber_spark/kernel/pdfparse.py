@@ -69,6 +69,36 @@ class Ref:
         return f"Ref({self.num},{self.gen})"
 
 
+class BoundRef(Ref):
+    """A Ref that remembers its document, exposing the pdfminer-style
+    ``.resolve()`` the reference's ``utils.resolve`` relies on
+    (``utils/pdfinternals.py:44-48``).  Only used on user-facing surfaces
+    (annotation ``data``); the parser core stays on plain Refs."""
+
+    __slots__ = ("doc",)
+
+    def __init__(self, num, gen, doc):
+        super().__init__(num, gen)
+        self.doc = doc
+
+    def resolve(self):
+        return bind_refs(self.doc.resolve(Ref(self.num, self.gen)), self.doc)
+
+
+def bind_refs(v, doc, depth: int = 0):
+    """Recursively copy a parsed object, binding bare Refs to ``doc`` so
+    downstream ``utils.resolve`` works without a document in hand."""
+    if isinstance(v, BoundRef) or depth > 8:
+        return v
+    if isinstance(v, Ref):
+        return BoundRef(v.num, v.gen, doc)
+    if isinstance(v, dict):
+        return {k: bind_refs(x, doc, depth + 1) for k, x in v.items()}
+    if isinstance(v, list):
+        return [bind_refs(x, doc, depth + 1) for x in v]
+    return v
+
+
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 
@@ -1775,6 +1805,9 @@ class PageInterpreter:
                     "width": rect[2] - rect[0],
                     "height": rect[3] - rect[1],
                     **extras,
+                    # raw annot dict with document-bound refs (reference
+                    # page.py annots keep the pdfminer object as "data")
+                    "data": bind_refs(annot, doc),
                 }
             )
         return out
