@@ -5,12 +5,22 @@ multimodal stub). Reference analogue: PIL-backed decode in the reference's
 - PNG (ISO/IEC 15948): chunk walk, zlib-inflated IDAT, per-row filter
   reconstruction (the same five filters as PDF's PNG predictors —
   ``kernel/pdfparse._png_predictor`` is reused verbatim), PLTE palette
-  expansion. 8-bit depth, color types 0/2/3/4/6, non-interlaced.
-- JPEG (ITU T.81 baseline): ``kernel/jpeg.py``.
+  expansion. All spec-valid (depth, color type) combinations: bit
+  depths 1/2/4/8/16 and color types 0/2/3/4/6, plain AND
+  Adam7-interlaced (each pass is its own filtered stream; passes
+  reassemble on the 8x8 lattice). Sub-byte gray samples scale to
+  8-bit by max-value ratio (bit replication); 16-bit samples take the
+  high byte — the standard 8-bit presentation libpng and PIL default to.
+- JPEG (ITU T.81): baseline SOF0 and progressive SOF2 via
+  ``kernel/jpeg.py``.
+- GIF (GIF87a/GIF89a): logical-screen composition of the first frame —
+  from-scratch LSB-first LZW with dictionary reset/width growth, 4-pass
+  deinterlace, local/global color tables, GCE transparency (transparent
+  pixels keep the background fill).
 
-Adam7 interlace, 16-bit/sub-byte PNG depths, progressive JPEG, GIF and
-WEBP classify ``unsupported`` (UnsupportedImageError); structurally broken
-payloads of a recognized format raise ``ImageFileError`` (-> 'error').
+WEBP and JPX classify ``unsupported`` (UnsupportedImageError);
+structurally broken payloads of a recognized format raise
+``ImageFileError`` (-> 'error').
 """
 
 from __future__ import annotations
@@ -45,6 +55,47 @@ def sniff_format(data: bytes) -> str:
 
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# spec validity matrix (ISO/IEC 15948 §11.2.2, Table 11.1)
+_PNG_VALID_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+# Adam7 pass lattice: (x0, y0, dx, dy) per pass (§8.2)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _rows_to_samples(
+    flat: bytes, width: int, height: int, channels: int, bitdepth: int,
+    scale_gray: bool,
+) -> np.ndarray:
+    """Reconstructed (unfiltered) scanline bytes -> uint8 H×W×C sample
+    array. Sub-byte samples unpack MSB-first; gray sub-byte scales to
+    8-bit by max-value ratio unless ``scale_gray`` is False (palette
+    indices stay raw); 16-bit takes the high (big-endian first) byte."""
+    row_bytes = (width * channels * bitdepth + 7) // 8
+    arr = np.frombuffer(flat, dtype=np.uint8).reshape(height, row_bytes)
+    if bitdepth == 8:
+        return arr[:, : width * channels].reshape(height, width, channels)
+    if bitdepth == 16:
+        return arr[:, : width * channels * 2 : 2].reshape(
+            height, width, channels
+        )
+    bits = np.unpackbits(arr, axis=1)  # MSB-first per spec
+    per_px = bits[:, : width * bitdepth].reshape(height, width, bitdepth)
+    weights = (1 << np.arange(bitdepth - 1, -1, -1)).astype(np.uint8)
+    vals = (per_px * weights).sum(axis=2).astype(np.uint8)
+    if scale_gray:
+        maxv = (1 << bitdepth) - 1
+        vals = (vals.astype(np.uint16) * 255 // maxv).astype(np.uint8)
+    return vals.reshape(height, width, 1)
 
 
 def png_file_decode(data: bytes) -> dict:
@@ -81,13 +132,15 @@ def png_file_decode(data: bytes) -> dict:
             break
     if width is None:
         raise ImageFileError("missing IHDR")
-    if interlace != 0:
-        raise UnsupportedImageError("Adam7 interlace")
-    if bitdepth != 8:
-        raise UnsupportedImageError(f"bit depth {bitdepth}")
+    if interlace not in (0, 1):
+        raise ImageFileError(f"bad interlace method {interlace}")
     channels = _PNG_CHANNELS.get(colortype)
     if channels is None:
         raise ImageFileError(f"bad color type {colortype}")
+    if bitdepth not in _PNG_VALID_DEPTHS[colortype]:
+        raise ImageFileError(
+            f"bit depth {bitdepth} invalid for color type {colortype}"
+        )
     if width <= 0 or height <= 0 or width * height > 64_000_000:
         raise ImageFileError("bad dimensions")
     if not idat:
@@ -96,17 +149,48 @@ def png_file_decode(data: bytes) -> dict:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ImageFileError(f"IDAT inflate: {e}") from e
-    row_bytes = width * channels
-    if len(raw) != height * (1 + row_bytes):
-        raise ImageFileError("IDAT size mismatch")
     # the five PNG row filters == PDF's PNG predictors; reuse the engine's
     # reconstruction (pdfparse._png_predictor walks filter-byte + row)
     from .pdfparse import _png_predictor
 
-    flat = _png_predictor(raw, width, channels, 8)
-    if len(flat) != height * row_bytes:
-        raise ImageFileError("filter reconstruction size mismatch")
-    arr = np.frombuffer(flat, dtype=np.uint8).reshape(height, width, channels)
+    scale_gray = colortype != 3
+
+    def row_bytes_for(w: int) -> int:
+        return (w * channels * bitdepth + 7) // 8
+
+    if interlace == 0:
+        if len(raw) != height * (1 + row_bytes_for(width)):
+            raise ImageFileError("IDAT size mismatch")
+        flat = _png_predictor(raw, width, channels, bitdepth)
+        if len(flat) != height * row_bytes_for(width):
+            raise ImageFileError("filter reconstruction size mismatch")
+        arr = _rows_to_samples(flat, width, height, channels, bitdepth,
+                               scale_gray)
+    else:
+        # Adam7: 7 sub-images, each its own filtered stream (prev-row
+        # state resets per pass); reassemble on the 8x8 lattice
+        arr = np.zeros((height, width, channels), dtype=np.uint8)
+        pos2 = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            span = ph * (1 + row_bytes_for(pw))
+            sub = raw[pos2:pos2 + span]
+            if len(sub) != span:
+                raise ImageFileError("IDAT size mismatch (interlaced)")
+            pos2 += span
+            flat = _png_predictor(sub, pw, channels, bitdepth)
+            if len(flat) != ph * row_bytes_for(pw):
+                raise ImageFileError(
+                    "filter reconstruction size mismatch (interlaced)"
+                )
+            sub_arr = _rows_to_samples(flat, pw, ph, channels, bitdepth,
+                                       scale_gray)
+            arr[y0::dy, x0::dx] = sub_arr
+        if pos2 != len(raw):
+            raise ImageFileError("IDAT size mismatch (interlaced)")
     if colortype == 3:
         if plte is None:
             raise ImageFileError("palette image without PLTE")
@@ -144,37 +228,36 @@ def jpeg_file_decode(data: bytes) -> dict:
     }
 
 
-def png_file_encode(
-    arr: np.ndarray,
-    palette: Optional[list] = None,
-    filter_type: int = 0,
-) -> bytes:
-    """Encode uint8 pixels as a spec-compliant PNG (8-bit depth).
+def _pack_row(row: np.ndarray, bitdepth: int) -> np.ndarray:
+    """One scanline of samples -> packed scanline bytes (uint8 array).
+    ``row`` is flat (width*channels,), dtype uint8 (<=8-bit samples) or
+    uint16 (16-bit)."""
+    if bitdepth == 8:
+        return row.astype(np.uint8)
+    if bitdepth == 16:
+        r16 = row.astype(">u2")
+        return np.frombuffer(r16.tobytes(), dtype=np.uint8)
+    per_px = ((row.astype(np.uint8)[:, None]
+               >> np.arange(bitdepth - 1, -1, -1)) & 1)
+    bits = per_px.reshape(-1).astype(np.uint8)
+    return np.packbits(bits)  # pads the final byte with zeros, per spec
 
-    ``arr`` H×W (gray; or palette indices when ``palette`` given),
-    H×W×2 (gray+alpha), H×W×3 (RGB) or H×W×4 (RGBA). ``filter_type``
-    0-4 applies that forward filter to every row, so decoders exercise
-    all five reconstruction paths."""
-    arr = np.asarray(arr, dtype=np.uint8)
-    if arr.ndim == 2:
-        h, w = arr.shape
-        ch = 1
-        colortype = 3 if palette is not None else 0
-        flat = arr.reshape(h, w, 1)
-    else:
-        h, w, ch = arr.shape
-        colortype = {2: 4, 3: 2, 4: 6}[ch]
-        flat = arr
-    bpp = ch
-    out_rows = []
-    prev = np.zeros(w * ch, dtype=np.uint8)
-    for r in range(h):
-        raw = flat[r].reshape(-1).astype(np.int16)
-        left = np.concatenate([np.zeros(bpp, dtype=np.int16),
-                               raw[:-bpp] if len(raw) > bpp else []])
-        up = prev.astype(np.int16)
-        upleft = np.concatenate([np.zeros(bpp, dtype=np.int16),
-                                 up[:-bpp] if len(up) > bpp else []])
+
+def _filter_scanlines(
+    packed: list, bpp: int, filter_type: int
+) -> bytes:
+    """Forward-apply one PNG row filter to packed scanlines (byte
+    arithmetic on the packed stream, bpp bytes per pixel — the spec's
+    definition, valid at every bit depth)."""
+    out = []
+    prev = np.zeros(len(packed[0]), dtype=np.int16)
+    for rowb in packed:
+        raw = rowb.astype(np.int16)
+        left = np.concatenate(
+            [np.zeros(bpp, dtype=np.int16), raw])[: len(raw)]
+        up = prev
+        upleft = np.concatenate(
+            [np.zeros(bpp, dtype=np.int16), up])[: len(up)]
         if filter_type == 0:
             enc = raw
         elif filter_type == 1:
@@ -192,16 +275,65 @@ def png_file_encode(
             enc = raw - pred
         else:
             raise ValueError(f"bad filter type {filter_type}")
-        out_rows.append(bytes([filter_type]) + (enc & 0xFF).astype(np.uint8).tobytes())
-        prev = flat[r].reshape(-1)
-    raw_stream = b"".join(out_rows)
+        out.append(bytes([filter_type])
+                   + (enc & 0xFF).astype(np.uint8).tobytes())
+        prev = raw
+    return b"".join(out)
+
+
+def png_file_encode(
+    arr: np.ndarray,
+    palette: Optional[list] = None,
+    filter_type: int = 0,
+    bitdepth: int = 8,
+    interlace: int = 0,
+) -> bytes:
+    """Encode pixels as a spec-compliant PNG.
+
+    ``arr`` H×W (gray; or palette indices when ``palette`` given),
+    H×W×2 (gray+alpha), H×W×3 (RGB) or H×W×4 (RGBA). ``filter_type``
+    0-4 applies that forward filter to every row, so decoders exercise
+    all five reconstruction paths. ``bitdepth`` 1/2/4/8 (uint8 input)
+    or 16 (uint16 input, gray/RGB/GA/RGBA); ``interlace`` 1 emits
+    Adam7 (each pass filtered independently)."""
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        h, w = arr.shape
+        ch = 1
+        colortype = 3 if palette is not None else 0
+        flat = arr.reshape(h, w, 1)
+    else:
+        h, w, ch = arr.shape
+        colortype = {2: 4, 3: 2, 4: 6}[ch]
+        flat = arr
+    if bitdepth not in _PNG_VALID_DEPTHS[colortype]:
+        raise ValueError(
+            f"bit depth {bitdepth} invalid for color type {colortype}"
+        )
+    bpp = max(1, (ch * bitdepth) // 8)
+
+    def encode_rows(sub: np.ndarray) -> bytes:
+        packed = [_pack_row(sub[r].reshape(-1), bitdepth)
+                  for r in range(sub.shape[0])]
+        return _filter_scanlines(packed, bpp, filter_type)
+
+    if interlace == 0:
+        raw_stream = encode_rows(flat)
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = flat[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(encode_rows(sub))
+        raw_stream = b"".join(parts)
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         c = tag + body
         return (struct.pack(">I", len(body)) + c
                 + struct.pack(">I", zlib.crc32(c) & 0xFFFFFFFF))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, colortype, 0, 0,
+                       interlace)
     parts = [b"\x89PNG\r\n\x1a\n", chunk(b"IHDR", ihdr)]
     if palette is not None:
         parts.append(chunk(
@@ -210,6 +342,286 @@ def png_file_encode(
     parts.append(chunk(b"IDAT", zlib.compress(raw_stream, 6)))
     parts.append(chunk(b"IEND", b""))
     return b"".join(parts)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int,
+                    max_pixels: int) -> list:
+    """GIF-flavor LZW (LSB-first bit packing, per-stream Clear/End codes,
+    dictionary reset on Clear, code width grows as the table fills,
+    12-bit cap). Returns the index stream."""
+    if not 2 <= min_code_size <= 11:
+        raise ImageFileError(f"bad LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    end = clear + 1
+    table = [(i,) for i in range(clear)] + [None, None]
+    width = min_code_size + 1
+    out: list = []
+    prev_seq = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                raise ImageFileError("LZW stream truncated (no End code)")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [None, None]
+            width = min_code_size + 1
+            prev_seq = None
+            continue
+        if code == end:
+            return out
+        if prev_seq is None:
+            if code >= len(table) or table[code] is None:
+                raise ImageFileError("LZW: first code not a literal")
+            seq = table[code]
+        elif code < len(table) and table[code] is not None:
+            seq = table[code]
+            table.append(prev_seq + (seq[0],))
+        elif code == len(table):
+            seq = prev_seq + (prev_seq[0],)  # the KwKwK case
+            table.append(seq)
+        else:
+            raise ImageFileError(f"LZW: code {code} out of range")
+        out.extend(seq)
+        if len(out) > max_pixels:
+            raise ImageFileError("LZW output exceeds image size")
+        prev_seq = seq
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+
+
+def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-flavor LZW encoder (fixture/roundtrip counterpart of
+    ``_gif_lzw_decode``): greedy longest-match table build, Clear-code
+    reset when the table hits 4096."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    cur = ()
+    for px in indices:
+        px = int(px)
+        if px >= clear:
+            raise ValueError(f"index {px} exceeds code table")
+        cand = cur + (px,)
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur], width)
+        table[cand] = next_code
+        # decoder grows its read width the moment the table reaches the
+        # current capacity; the encoder must mirror that BEFORE the next
+        # emit (next_code is the size of the decoder's table after this
+        # add)
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        next_code += 1
+        if next_code > 4096:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        cur = (px,)
+    if cur:
+        emit(table[cur], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # 4-pass row interlace
+
+
+def gif_file_decode(data: bytes) -> dict:
+    """Decode a GIF87a/GIF89a file: first frame composed onto the
+    logical screen (background fill from the global color table;
+    GCE-transparent pixels keep the fill). Output is always H×W×3
+    RGB over the logical-screen dimensions."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ImageFileError("bad GIF signature")
+    if len(data) < 13:
+        raise ImageFileError("truncated GIF header")
+    sw, sh, packed, bg_idx, _aspect = struct.unpack(
+        "<HHBBB", data[6:13]
+    )
+    if sw <= 0 or sh <= 0 or sw * sh > 64_000_000:
+        raise ImageFileError("bad logical screen dimensions")
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(
+            data[pos:pos + 3 * n], dtype=np.uint8
+        )
+        if len(gct) != 3 * n:
+            raise ImageFileError("truncated global color table")
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+
+    def read_subblocks(p: int):
+        chunks = []
+        while True:
+            if p >= len(data):
+                raise ImageFileError("truncated sub-blocks")
+            blen = data[p]
+            p += 1
+            if blen == 0:
+                return b"".join(chunks), p
+            chunks.append(data[p:p + blen])
+            if len(chunks[-1]) != blen:
+                raise ImageFileError("truncated sub-block")
+            p += blen
+        return b"".join(chunks), p
+
+    transparent = None
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            raise ImageFileError("GIF has no image data")
+        if block == 0x21:  # extension
+            if pos >= len(data):
+                raise ImageFileError("truncated extension")
+            label = data[pos]
+            pos += 1
+            body, pos = read_subblocks(pos)
+            if label == 0xF9 and len(body) >= 4:  # GCE
+                if body[0] & 0x01:
+                    transparent = body[3]
+            continue
+        if block != 0x2C:
+            raise ImageFileError(f"bad GIF block 0x{block:02x}")
+        # image descriptor
+        if pos + 9 > len(data):
+            raise ImageFileError("truncated image descriptor")
+        left, top, fw, fh, ipacked = struct.unpack(
+            "<HHHHB", data[pos:pos + 9]
+        )
+        pos += 9
+        if fw <= 0 or fh <= 0:
+            raise ImageFileError("bad frame dimensions")
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = np.frombuffer(
+                data[pos:pos + 3 * n], dtype=np.uint8
+            )
+            if len(ct) != 3 * n:
+                raise ImageFileError("truncated local color table")
+            ct = ct.reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ImageFileError("image without any color table")
+        if pos >= len(data):
+            raise ImageFileError("truncated LZW header")
+        min_code = data[pos]
+        pos += 1
+        lzw, pos = read_subblocks(pos)
+        idx = _gif_lzw_decode(lzw, min_code, fw * fh)
+        if len(idx) < fw * fh:
+            raise ImageFileError(
+                f"LZW yielded {len(idx)} of {fw * fh} pixels"
+            )
+        frame = np.array(idx[: fw * fh], dtype=np.uint16).reshape(fh, fw)
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            de = np.empty_like(frame)
+            r = 0
+            for start, step in _GIF_PASSES:
+                rows = range(start, fh, step)
+                for y in rows:
+                    de[y] = frame[r]
+                    r += 1
+            frame = de
+        if int(frame.max(initial=0)) >= len(ct):
+            raise ImageFileError("color index out of range")
+        # compose onto the logical screen
+        if gct is not None and bg_idx < len(gct):
+            canvas = np.tile(gct[bg_idx], (sh, sw, 1))
+        else:
+            canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+        y1 = min(sh, top + fh)
+        x1 = min(sw, left + fw)
+        if top < sh and left < sw:
+            sub = frame[: y1 - top, : x1 - left]
+            rgb = ct[sub]
+            if transparent is not None:
+                keep = (sub != transparent)[:, :, None]
+                region = canvas[top:y1, left:x1]
+                rgb = np.where(keep, rgb, region)
+            canvas[top:y1, left:x1] = rgb
+        return {
+            "format": "gif", "width": int(sw), "height": int(sh),
+            "channels": 3, "samples": canvas.astype(np.uint8),
+        }
+    raise ImageFileError("GIF ended without trailer or image")
+
+
+def gif_file_encode(
+    idx: np.ndarray,
+    palette,
+    interlace: bool = False,
+    transparent: Optional[int] = None,
+    left: int = 0,
+    top: int = 0,
+    screen: Optional[tuple] = None,
+    bg_index: int = 0,
+) -> bytes:
+    """Encode palette indices as a GIF89a file (fixture/roundtrip
+    counterpart of ``gif_file_decode``)."""
+    idx = np.asarray(idx, dtype=np.uint8)
+    h, w = idx.shape
+    n_pal = len(palette)
+    # color-table size: power of two >= max(2, n_pal)
+    bits = 1
+    while (1 << bits) < n_pal:
+        bits += 1
+    n_ct = 1 << bits
+    sw, sh = screen if screen is not None else (left + w, top + h)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | (bits - 1), bg_index, 0)
+    for i in range(n_ct):
+        out += bytes(palette[i]) if i < n_pal else b"\x00\x00\x00"
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    ipacked = 0x40 if interlace else 0
+    out += b"\x2C" + struct.pack("<HHHHB", left, top, w, h, ipacked)
+    rows = idx
+    if interlace:
+        rows = np.concatenate(
+            [idx[start::step] for start, step in _GIF_PASSES]
+        )
+    min_code = max(2, bits)
+    out += bytes([min_code])
+    lzw = _gif_lzw_encode(rows.reshape(-1), min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3B"
+    return bytes(out)
 
 
 def decode_image(data: bytes) -> dict:
@@ -221,4 +633,6 @@ def decode_image(data: bytes) -> dict:
         return png_file_decode(data)
     if fmt == "jpeg":
         return jpeg_file_decode(data)
+    if fmt == "gif":
+        return gif_file_decode(data)
     raise UnsupportedImageError(f"no decoder for format={fmt}")

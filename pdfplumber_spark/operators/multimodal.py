@@ -5,8 +5,10 @@ own stream filters (``pdf_image_stats`` -> kernel/images.py; Flate incl.
 PNG predictors, LZW, A85, AHx, RL, CCITT G3/G4, baseline JPEG).
 Standalone image FILES decode through ``kernel/imagefile.py`` (round 6 —
 the former ``_decode_image_stub`` is gone): PNG via chunk walk + zlib +
-the engine's PNG-predictor reconstruction, JPEG via kernel/jpeg.py.
-GIF/WEBP/JPX/progressive-JPEG classify 'unsupported' (documented — no
+the engine's PNG-predictor reconstruction (all spec depths 1/2/4/8/16,
+Adam7 interlace), JPEG (baseline + progressive) via kernel/jpeg.py, GIF
+via a from-scratch LSB-first LZW + 4-pass deinterlace + GCE
+transparency. WEBP/JPX classify 'unsupported' (documented — no
 from-scratch decoder). Reference analogue: PIL decode in display.py:36-90.
 """
 
@@ -44,9 +46,9 @@ FEATURE_SCHEMA = T.StructType(
 def _payload_to_image_row(url, payload) -> tuple:
     """Per-payload metadata row (IMAGE_META_SCHEMA order) — shared by the
     Spark operator and the materialized single-process oracle. REAL
-    decode (kernel/imagefile.py): PNG/JPEG payloads return actual
-    dimensions + channel counts from decoded pixels; GIF/WEBP/PDF/unknown
-    classify 'unsupported', broken PNG/JPEG 'error'."""
+    decode (kernel/imagefile.py): PNG/JPEG/GIF payloads return actual
+    dimensions + channel counts from decoded pixels; WEBP/PDF/unknown
+    classify 'unsupported', broken PNG/JPEG/GIF 'error'."""
     from ..kernel.imagefile import (
         ImageFileError,
         UnsupportedImageError,

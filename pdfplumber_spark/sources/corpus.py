@@ -26,7 +26,7 @@ from typing import Iterator, List, Tuple
 from ..kernel.pdfgen import glyph_width, make_pdf
 
 # bump when generated content changes — cache paths embed this
-CORPUS_VERSION = 16
+CORPUS_VERSION = 17
 
 LOREM = (
     "the quick brown fox jumps over a lazy dog while bright vixens watch "
@@ -179,12 +179,14 @@ def _pdf_ligatures(rng: random.Random) -> bytes:
 
 def _image_file(rng: random.Random) -> bytes:
     """Standalone image FILE payloads (round 6 — kernel/imagefile.py):
-    PNGs across color types 0/2/3/4/6 and all five row filters, baseline
-    JPEGs, plus the classification tail (GIF header -> 'unsupported',
-    truncated PNG -> 'error')."""
+    PNGs across color types 0/2/3/4/6, bit depths 1/2/4/8/16, all five
+    row filters, plain AND Adam7-interlaced; baseline + progressive
+    JPEGs; real GIFs (plain/interlaced/transparent); plus the
+    classification tail (WEBP header -> 'unsupported', truncated
+    PNG/GIF -> 'error')."""
     import numpy as np
 
-    from ..kernel.imagefile import png_file_encode
+    from ..kernel.imagefile import gif_file_encode, png_file_encode
 
     kind = rng.random()
     h, w = rng.randint(4, 24), rng.randint(4, 24)
@@ -193,32 +195,81 @@ def _image_file(rng: random.Random) -> bytes:
          for r in range(h)],
         dtype=np.uint8,
     )
-    if kind < 0.55:
+    interlace = 1 if rng.random() < 0.3 else 0
+    if kind < 0.42:
         ft = rng.randint(0, 4)
         ct = rng.random()
         if ct < 0.3:
-            return png_file_encode(px, filter_type=ft)  # gray
+            return png_file_encode(px, filter_type=ft,
+                                   interlace=interlace)  # gray
         if ct < 0.55:
             rgb = np.stack([px, px[::-1], (px + 80) % 256], axis=2)
-            return png_file_encode(rgb.astype(np.uint8), filter_type=ft)
+            return png_file_encode(rgb.astype(np.uint8), filter_type=ft,
+                                   interlace=interlace)
         if ct < 0.75:
             n_pal = rng.randint(3, 12)
             pal = [(rng.randrange(256), rng.randrange(256),
                     rng.randrange(256)) for _ in range(n_pal)]
             idx = (px % n_pal).astype(np.uint8)
-            return png_file_encode(idx, palette=pal, filter_type=ft)
+            return png_file_encode(idx, palette=pal, filter_type=ft,
+                                   interlace=interlace)
         rgba = np.stack([px, (px + 30) % 256, (px + 90) % 256,
                          (px + 150) % 256], axis=2)
-        return png_file_encode(rgba.astype(np.uint8), filter_type=ft)
-    if kind < 0.85:
-        from ..kernel.jpeg import jpeg_encode_gray
+        return png_file_encode(rgba.astype(np.uint8), filter_type=ft,
+                               interlace=interlace)
+    if kind < 0.55:
+        # special PNG depths: sub-byte gray/palette, 16-bit gray/RGB
+        ft = rng.randint(0, 4)
+        dt = rng.random()
+        if dt < 0.4:
+            bd = rng.choice([1, 2, 4])
+            sub = (px >> (8 - bd)).astype(np.uint8)
+            return png_file_encode(sub, bitdepth=bd, filter_type=ft,
+                                   interlace=interlace)
+        if dt < 0.6:
+            bd = rng.choice([1, 2, 4])
+            n_pal = rng.randint(2, 1 << bd)
+            pal = [(rng.randrange(256), rng.randrange(256),
+                    rng.randrange(256)) for _ in range(n_pal)]
+            idx = (px % n_pal).astype(np.uint8)
+            return png_file_encode(idx, palette=pal, bitdepth=bd,
+                                   filter_type=ft, interlace=interlace)
+        px16 = (px.astype(np.uint16) << 8) | px[::-1]
+        if dt < 0.8:
+            return png_file_encode(px16, bitdepth=16, filter_type=ft,
+                                   interlace=interlace)
+        rgb16 = np.stack([px16, px16 // 3, (px16 * 7) & 0xFFFF], axis=2)
+        return png_file_encode(rgb16.astype(np.uint16), bitdepth=16,
+                               filter_type=ft, interlace=interlace)
+    if kind < 0.72:
+        from ..kernel.jpeg import (
+            jpeg_encode_gray,
+            jpeg_encode_gray_progressive,
+        )
 
+        if rng.random() < 0.3:
+            return jpeg_encode_gray_progressive(px)
         return jpeg_encode_gray(px)
-    if kind < 0.93:
-        # unsupported-format row
-        return b"GIF89a" + bytes(rng.randrange(256) for _ in range(64))
-    # broken-payload row: a valid PNG cut mid-IDAT
-    good = png_file_encode(px)
+    if kind < 0.88:
+        n_pal = rng.randint(2, 32)
+        pal = [(rng.randrange(256), rng.randrange(256),
+                rng.randrange(256)) for _ in range(n_pal)]
+        idx = (px % n_pal).astype(np.uint8)
+        transparent = (rng.randrange(n_pal)
+                       if rng.random() < 0.3 else None)
+        return gif_file_encode(idx, pal, interlace=bool(interlace),
+                               transparent=transparent)
+    if kind < 0.94:
+        # unsupported-format row (no WEBP decoder)
+        return (b"RIFF" + bytes([rng.randrange(256) for _ in range(4)])
+                + b"WEBP" + bytes(rng.randrange(256) for _ in range(48)))
+    # broken-payload rows: a valid PNG or GIF cut mid-stream
+    if rng.random() < 0.5:
+        good = png_file_encode(px)
+    else:
+        good = gif_file_encode((px % 4).astype(np.uint8),
+                               [(0, 0, 0), (85, 85, 85),
+                                (170, 170, 170), (255, 255, 255)])
     return good[: rng.randint(24, max(25, len(good) - 16))]
 
 
