@@ -110,6 +110,14 @@ def _render_base(page, scale: float, bbox=None) -> Canvas:
                     if bits < 8:  # scale sample codes to full range
                         arr = (arr.astype(np.uint16) * 255
                                // ((1 << bits) - 1)).astype(np.uint8)
+                elif ch == 4:
+                    # DeviceCMYK -> RGB: r = (255-c)(255-k)/255 etc.
+                    cmyk = arr.reshape(ih, iw, 4).astype(np.uint16)
+                    inv_k = 255 - cmyk[:, :, 3]
+                    arr = np.stack(
+                        [((255 - cmyk[:, :, i]) * inv_k // 255)
+                         for i in range(3)], axis=2
+                    ).astype(np.uint8)
                 else:
                     arr = arr.reshape(ih, iw, ch)[:, :, :3]
                 canvas.blit(arr, *box)

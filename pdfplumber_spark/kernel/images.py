@@ -4,6 +4,7 @@ here the non-DCT path is implemented from scratch on the PDF stream-filter
 machinery of ``pdfparse.py``).
 
 Supported for REAL decode: 1/2/4/8-bit DeviceGray, 8-bit DeviceRGB,
+8-bit DeviceCMYK (native 4-channel samples; consumers convert),
 Indexed(DeviceRGB/DeviceGray) palettes at any of those index widths —
 row-padded MSB-first sample layout per ISO 32000 §8.9.5.2 — behind any of
 the engine's stream filters (Flate incl. PNG predictors, LZW, A85, AHx,
@@ -28,7 +29,8 @@ from .pdfparse import PDFDocument, StreamObj
 # in the reference fixture corpus; progressive/CMYK raise → unsupported).
 _UNSUPPORTED_FILTERS = {"JPXDecode", "JBIG2Decode"}
 
-_CHANNELS = {"DeviceRGB": 3, "CalRGB": 3, "DeviceGray": 1, "CalGray": 1}
+_CHANNELS = {"DeviceRGB": 3, "CalRGB": 3, "DeviceGray": 1, "CalGray": 1,
+             "DeviceCMYK": 4}
 
 
 def image_xobjects(data: bytes, password: str = "") -> List[dict]:

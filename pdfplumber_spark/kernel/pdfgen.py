@@ -237,7 +237,9 @@ def make_pdf(pages: List[Dict], info: dict = None) -> bytes:
                 cs = b"/DeviceGray"
             else:
                 raw = image_samples(seed, pw, ph, channels)
-                cs = b"/DeviceRGB" if channels == 3 else b"/DeviceGray"
+                cs = {3: b"/DeviceRGB", 4: b"/DeviceCMYK"}.get(
+                    channels, b"/DeviceGray"
+                )
             parms = b""
             if im.get("format", "flate") == "dct":
                 # fake JPEG: DCTDecode payload the engine must classify as

@@ -132,7 +132,9 @@ def _image_stat_rows(url, payload) -> list:
                 im["height"], im["width"], im["channels"]
             )
             n_px = im["height"] * im["width"]
-            for ch in range(im["channels"]):
+            # stats schema carries three mean slots; 4-channel (CMYK)
+            # rasters report C/M/Y means (K contributes to min/max)
+            for ch in range(min(3, im["channels"])):
                 s = int(arr[:, :, ch].sum(dtype=np.int64))
                 means[ch] = round(s / n_px, 6)
             mn = int(arr.min())

@@ -26,7 +26,7 @@ from typing import Iterator, List, Tuple
 from ..kernel.pdfgen import glyph_width, make_pdf
 
 # bump when generated content changes — cache paths embed this
-CORPUS_VERSION = 17
+CORPUS_VERSION = 18
 
 LOREM = (
     "the quick brown fox jumps over a lazy dog while bright vixens watch "
@@ -294,7 +294,7 @@ def _pdf_images(rng: random.Random) -> bytes:
             # sf0.01 board slice drew zero ccitt/jpeg images)
             for col, kind in enumerate(
                 ["rgb", "subbyte", "palette", "ccitt", "ccitt_g3",
-                 "ccitt_mixed", "jpeg", "jpeg_prog", "dct"]
+                 "ccitt_mixed", "jpeg", "jpeg_prog", "dct", "cmyk"]
             ):
                 im = {
                     "x": 72.0 + col * 57.0, "top": top + 30,
@@ -330,6 +330,10 @@ def _pdf_images(rng: random.Random) -> bytes:
                     im["ccitt_k"] = 0 if kind == "ccitt_g3" else 2
                 elif kind == "dct":
                     im["format"] = "dct"
+                elif kind == "cmyk":
+                    # 8-bit Flate DeviceCMYK raster (print-oriented
+                    # corpora): native 4-channel samples
+                    im["channels"] = 4
                 images.append(im)
         for _ in range(rng.randint(1, 3)):
             im = {

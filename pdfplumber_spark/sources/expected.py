@@ -471,7 +471,12 @@ def _b_image_stats(sf_dir: str) -> pd.DataFrame:
                 ch, raw_ch = 3, 1
             else:
                 palette = None
-                ch = 1 if b"/DeviceGray" in head else 3
+                if b"/DeviceGray" in head:
+                    ch = 1
+                elif b"/DeviceCMYK" in head:
+                    ch = 4
+                else:
+                    ch = 3
                 raw_ch = ch
             if b"/DCTDecode" in head:
                 # baseline JPEG: re-decode with the SHARED kernel
@@ -548,7 +553,7 @@ def _b_image_stats(sf_dir: str) -> pd.DataFrame:
                 if status == "ok":
                     n_px = w * h
                     need = px[: w * h * ch]
-                    for c in range(ch):
+                    for c in range(min(3, ch)):
                         s = sum(need[c::ch])
                         means[c] = round(s / n_px, 6)
                     mn, mx = min(need), max(need)

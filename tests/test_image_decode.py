@@ -782,3 +782,48 @@ def test_corpus_v14_g3_kinds_decode_on_both_sides():
     for name in ("Im3", "Im4", "Im5"):
         assert rows[name]["status"] == "ok", (name, rows[name]["status"])
         assert rows[name]["bits"] == 1
+
+
+def test_cmyk_flate_decode_native_channels():
+    """8-bit Flate DeviceCMYK rasters decode as native 4-channel samples
+    (corpus page-0 matrix col 9); the stats row reports C/M/Y means with
+    K folded into min/max only."""
+    import random as _random
+
+    from pdfplumber_spark.kernel.images import image_xobjects
+    from pdfplumber_spark.operators.multimodal import _image_stat_rows
+    from pdfplumber_spark.sources.corpus import _pdf_images
+
+    rng = _random.Random(99)
+    pdf = _pdf_images(rng)
+    rows = {r["name"]: r for r in image_xobjects(pdf)}
+    cmyk = [r for r in rows.values()
+            if r["colorspace"] == "DeviceCMYK"]
+    assert cmyk and all(r["status"] == "ok" and r["channels"] == 4
+                        for r in cmyk)
+    r = cmyk[0]
+    assert len(r["samples"]) == r["width"] * r["height"] * 4
+    stat = [s for s in _image_stat_rows("u", pdf) if s[6] == 4]
+    assert stat, "stats row for the CMYK image"
+    _, _, _, _, w, h, ch, m0, m1, m2, mn, mx, status = stat[0]
+    assert status == "ok" and ch == 4
+    import numpy as np
+
+    arr = np.frombuffer(r["samples"], dtype=np.uint8).reshape(h, w, 4)
+    n_px = h * w
+    for got, chan in ((m0, 0), (m1, 1), (m2, 2)):
+        assert got == round(int(arr[:, :, chan].sum(dtype=np.int64)) / n_px, 6)
+    assert mn == int(arr.min()) and mx == int(arr.max())
+
+
+def test_cmyk_render_blit_converts_to_rgb():
+    """Structural renders convert CMYK blits via r=(255-c)(255-k)/255."""
+    import random as _random
+
+    from pdfplumber_spark import api
+    from pdfplumber_spark.sources.corpus import _pdf_images
+
+    pdf_bytes = _pdf_images(_random.Random(99))
+    page = api.open(pdf_bytes).pages[0]
+    im = page.to_image(resolution=36)
+    assert im._repr_png_()[:8] == b"\x89PNG\r\n\x1a\n"
