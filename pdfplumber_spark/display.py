@@ -157,9 +157,10 @@ def _render_base(page, scale: float, bbox=None) -> Canvas:
             canvas.polyline(
                 pts, _obj_color(cv.get("stroking_color"), (0, 0, 0)) + (255,))
 
-    # 3. chars: REAL TrueType outlines when the char's font embeds a
-    # /FontFile2 with a usable cmap (kernel/truetype.py, round 6) —
-    # quadratic contours scanline-filled at the char's pixel box; else
+    # 3. chars: REAL embedded-font outlines when the char's font embeds
+    # a /FontFile2 (TrueType, kernel/truetype.py) or /FontFile3
+    # (CFF/Type1C, kernel/cff.py) with a usable char->gid mapping —
+    # contours scanline-filled at the char's pixel box; else
     # the approximate 5x7 bitmap glyph (kernel/font5x7.py); else a faint
     # structural box. Deterministic either way (hash-stable renders).
     chars = getattr(page, "_chars", None)
@@ -188,7 +189,8 @@ def _render_base(page, scale: float, bbox=None) -> Canvas:
         for font in getattr(interp, "fonts", {}).values():
             if getattr(font, "basefont", None) not in tt_by_basefont:
                 try:
-                    tt_by_basefont[font.basefont] = font.truetype(interp.doc)
+                    loader = getattr(font, "glyph_font", font.truetype)
+                    tt_by_basefont[font.basefont] = loader(interp.doc)
                 except Exception:  # noqa: BLE001
                     tt_by_basefont[font.basefont] = None
     tt_cache = {}

@@ -495,10 +495,13 @@ class Font:
             for i, w in enumerate(doc.resolve(widths)):
                 self.widths[self.first_char + i] = float(doc.resolve(w) or 0)
         desc = doc.resolve(spec.get("FontDescriptor")) or {}
-        # raw /FontFile2 ref kept for lazy embedded-TrueType loading
-        # (kernel/truetype.py; display stamps real glyph outlines)
+        # raw /FontFile2 (TrueType) and /FontFile3 (CFF/Type1C) refs kept
+        # for lazy embedded-glyph loading (kernel/truetype.py, kernel/
+        # cff.py; display stamps real glyph outlines)
         self._fontfile2_ref = desc.get("FontFile2")
+        self._fontfile3_ref = desc.get("FontFile3")
         self._ttf = None  # parsed lazily, False = tried and failed
+        self._cff = None
         self.descent = float(doc.resolve(desc.get("Descent", FONT_DESCENT)) or FONT_DESCENT)
         # PDF RM 9.8.1: /Descent must be negative. PScript5.dll emits a
         # positive value; pdfminer (pdffont.py PDFFont.__init__) forces it
@@ -580,6 +583,7 @@ class Font:
                     break
             desc = doc.resolve(df.get("FontDescriptor")) or {}
             self._fontfile2_ref = desc.get("FontFile2")
+            self._fontfile3_ref = desc.get("FontFile3")
             self.descent = float(doc.resolve(desc.get("Descent", self.descent)) or self.descent)
             if self.descent > 0:  # same RM 9.8.1 correction as simple fonts
                 self.descent = -self.descent
@@ -600,6 +604,29 @@ class Font:
                 except Exception:  # noqa: BLE001 — broken/exotic font file
                     self._ttf = False
         return self._ttf or None
+
+    def glyph_font(self, doc):
+        """Embedded outline font for rendering: TrueType (/FontFile2)
+        first, else CFF/Type1C (/FontFile3, kernel/cff.py). Both expose
+        the same duck-typed surface (units_per_em / descender /
+        glyph_id / glyph_outline) consumed by truetype.rasterize_glyph.
+        Lazy, cached, never raises."""
+        ttf = self.truetype(doc)
+        if ttf is not None:
+            return ttf
+        if self._cff is None:
+            self._cff = False
+            ref = getattr(self, "_fontfile3_ref", None)
+            if ref is not None:
+                try:
+                    st = doc.resolve(ref)
+                    if st is not None and hasattr(st, "get_data"):
+                        from .cff import CFFFont
+
+                        self._cff = CFFFont(bytes(st.get_data(doc)))
+                except Exception:  # noqa: BLE001 — broken/exotic font
+                    self._cff = False
+        return self._cff or None
 
     @staticmethod
     def _parse_tounicode(doc, ref) -> Dict[int, str]:
