@@ -495,13 +495,16 @@ class Font:
             for i, w in enumerate(doc.resolve(widths)):
                 self.widths[self.first_char + i] = float(doc.resolve(w) or 0)
         desc = doc.resolve(spec.get("FontDescriptor")) or {}
-        # raw /FontFile2 (TrueType) and /FontFile3 (CFF/Type1C) refs kept
-        # for lazy embedded-glyph loading (kernel/truetype.py, kernel/
-        # cff.py; display stamps real glyph outlines)
+        # raw /FontFile (Type1), /FontFile2 (TrueType), /FontFile3
+        # (CFF/Type1C) refs kept for lazy embedded-glyph loading
+        # (kernel/type1.py, kernel/truetype.py, kernel/cff.py; display
+        # stamps real glyph outlines)
+        self._fontfile_ref = desc.get("FontFile")
         self._fontfile2_ref = desc.get("FontFile2")
         self._fontfile3_ref = desc.get("FontFile3")
         self._ttf = None  # parsed lazily, False = tried and failed
         self._cff = None
+        self._t1f = None
         self.descent = float(doc.resolve(desc.get("Descent", FONT_DESCENT)) or FONT_DESCENT)
         # PDF RM 9.8.1: /Descent must be negative. PScript5.dll emits a
         # positive value; pdfminer (pdffont.py PDFFont.__init__) forces it
@@ -582,6 +585,7 @@ class Font:
                 else:
                     break
             desc = doc.resolve(df.get("FontDescriptor")) or {}
+            self._fontfile_ref = desc.get("FontFile")
             self._fontfile2_ref = desc.get("FontFile2")
             self._fontfile3_ref = desc.get("FontFile3")
             self.descent = float(doc.resolve(desc.get("Descent", self.descent)) or self.descent)
@@ -607,10 +611,11 @@ class Font:
 
     def glyph_font(self, doc):
         """Embedded outline font for rendering: TrueType (/FontFile2)
-        first, else CFF/Type1C (/FontFile3, kernel/cff.py). Both expose
-        the same duck-typed surface (units_per_em / descender /
-        glyph_id / glyph_outline) consumed by truetype.rasterize_glyph.
-        Lazy, cached, never raises."""
+        first, else CFF/Type1C (/FontFile3, kernel/cff.py), else Type 1
+        (/FontFile, kernel/type1.py). All three expose the same
+        duck-typed surface (units_per_em / descender / glyph_id /
+        glyph_outline) consumed by truetype.rasterize_glyph. Lazy,
+        cached, never raises."""
         ttf = self.truetype(doc)
         if ttf is not None:
             return ttf
@@ -626,7 +631,26 @@ class Font:
                         self._cff = CFFFont(bytes(st.get_data(doc)))
                 except Exception:  # noqa: BLE001 — broken/exotic font
                     self._cff = False
-        return self._cff or None
+        if self._cff:
+            return self._cff
+        if self._t1f is None:
+            self._t1f = False
+            ref = getattr(self, "_fontfile_ref", None)
+            if ref is not None:
+                try:
+                    st = doc.resolve(ref)
+                    if st is not None and hasattr(st, "get_data"):
+                        from .type1 import Type1Font
+
+                        l1 = doc.resolve(st.attrs.get("Length1"))
+                        l2 = doc.resolve(st.attrs.get("Length2"))
+                        self._t1f = Type1Font(
+                            bytes(st.get_data(doc)),
+                            int(l1) if l1 else None,
+                            int(l2) if l2 else None)
+                except Exception:  # noqa: BLE001 — broken/exotic font
+                    self._t1f = False
+        return self._t1f or None
 
     @staticmethod
     def _parse_tounicode(doc, ref) -> Dict[int, str]:
