@@ -164,10 +164,12 @@ def _render_base(page, scale: float, bbox=None) -> Canvas:
     # the approximate 5x7 bitmap glyph (kernel/font5x7.py); else a faint
     # structural box. Deterministic either way (hash-stable renders).
     chars = getattr(page, "_chars", None)
+    ch_cids = getattr(interp, "ch_cid", None) if interp is not None else None
     if chars is None:
+        # dict accessors pop char_index, so no CID join on this path
         chars_rows = [
             (c["x0"], c["top"], c["x1"], c["bottom"], c.get("text"),
-             c.get("fontname"))
+             c.get("fontname"), None)
             for c in page.chars
         ]
     else:
@@ -178,16 +180,29 @@ def _render_base(page, scale: float, bbox=None) -> Canvas:
             else [None] * len(cb)
         fnames = chars["fontname"].tolist() if "fontname" in chars.columns \
             else [None] * len(cb)
+        # char_index = per-page emit order -> interp.ch_cid join (frame
+        # may be a crop/filter subset; indices stay valid)
+        if ch_cids is not None and "char_index" in chars.columns:
+            idxs = chars["char_index"].tolist()
+            cids = [
+                ch_cids[int(ix)] if 0 <= int(ix) < len(ch_cids) else None
+                for ix in idxs
+            ]
+        else:
+            cids = [None] * len(cb)
         chars_rows = [
-            (cb[i, 0], cb[i, 1], cb[i, 2], cb[i, 3], texts[i], fnames[i])
+            (cb[i, 0], cb[i, 1], cb[i, 2], cb[i, 3], texts[i], fnames[i],
+             cids[i])
             for i in range(len(cb))
         ]
     from .kernel.font5x7 import glyph_mask
 
     tt_by_basefont = {}
+    pf_by_basefont = {}
     if interp is not None:
         for font in getattr(interp, "fonts", {}).values():
             if getattr(font, "basefont", None) not in tt_by_basefont:
+                pf_by_basefont[font.basefont] = font
                 try:
                     loader = getattr(font, "glyph_font", font.truetype)
                     tt_by_basefont[font.basefont] = loader(interp.doc)
@@ -195,11 +210,20 @@ def _render_base(page, scale: float, bbox=None) -> Canvas:
                     tt_by_basefont[font.basefont] = None
     tt_cache = {}
 
-    def tt_mask(fontname, ch, w_px, h_px):
+    def tt_mask(fontname, ch, w_px, h_px, cid=None):
         ttf = tt_by_basefont.get(fontname)
-        if ttf is None or not ch:
+        if ttf is None:
             return None
-        gid = ttf.glyph_id(ord(ch[0]))
+        gid = None
+        pf = pf_by_basefont.get(fontname)
+        if (cid is not None and pf is not None
+                and getattr(pf, "multibyte", False)):
+            try:
+                gid = pf.cid_to_gid(interp.doc, ttf, int(cid))
+            except Exception:  # noqa: BLE001
+                gid = None
+        if not gid and ch:
+            gid = ttf.glyph_id(ord(ch[0]))
         if not gid:
             return None
         key = (id(ttf), gid, w_px, h_px)
@@ -213,7 +237,7 @@ def _render_base(page, scale: float, bbox=None) -> Canvas:
         return tt_cache[key]
 
     box_fallback = []
-    for cx0, ctop, cx1, cbot, text, fontname in chars_rows:
+    for cx0, ctop, cx1, cbot, text, fontname, cid in chars_rows:
         gx0, gy0 = X(cx0), Y(ctop)
         gx1, gy1 = X(cx1), Y(cbot)
         if text == " ":
@@ -222,7 +246,7 @@ def _render_base(page, scale: float, bbox=None) -> Canvas:
         h_px = max(1, int(round(gy1 - gy0)))
         mask = None
         if w_px >= 3 and h_px >= 5:
-            mask = tt_mask(fontname, text, w_px, h_px)
+            mask = tt_mask(fontname, text, w_px, h_px, cid)
             if mask is not None and not mask.any():
                 mask = None
             if mask is None:

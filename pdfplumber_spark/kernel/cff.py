@@ -266,6 +266,7 @@ class CFFFont:
         self.charset = self._parse_charset(top.get((15,)))
         self._encoding = self._parse_encoding(top.get((16,)))
         self._uni2gid: Optional[Dict[int, int]] = None
+        self._cid2gid: Optional[Dict[int, int]] = None
         self._outline_cache: Dict[int, List] = {}
 
     # -- container plumbing -------------------------------------------
@@ -424,6 +425,15 @@ class CFFFont:
                     u2g.setdefault(ord(u), gid)
             self._uni2gid = u2g
         return self._uni2gid.get(codepoint)
+
+    def gid_for_cid(self, cid: int) -> Optional[int]:
+        """CID -> gid via the charset (CID-keyed fonts map gid->CID)."""
+        if self._cid2gid is None:
+            c2g: Dict[int, int] = {}
+            for g, c in enumerate(self.charset):
+                c2g.setdefault(c, g)
+            self._cid2gid = c2g
+        return self._cid2gid.get(cid)
 
     # -- Type 2 charstring interpreter --------------------------------
 

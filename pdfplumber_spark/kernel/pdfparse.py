@@ -567,6 +567,9 @@ class Font:
         dfonts = doc.resolve(spec.get("DescendantFonts")) or []
         if dfonts:
             df = doc.resolve(dfonts[0]) or {}
+            # CIDFontType2: /CIDToGIDMap is Identity (default) or a
+            # 2-byte-per-CID stream; kept for CID-keyed glyph rendering
+            self._cidtogid_ref = df.get("CIDToGIDMap")
             self.cid_default = float(doc.resolve(df.get("DW", 1000)) or 1000)
             warr = doc.resolve(df.get("W")) or []
             i = 0
@@ -651,6 +654,34 @@ class Font:
                 except Exception:  # noqa: BLE001 — broken/exotic font
                     self._t1f = False
         return self._t1f or None
+
+    def cid_to_gid(self, doc, glyphfont, cid: int) -> Optional[int]:
+        """Glyph index for a raw CID of this (composite) font:
+        CID-keyed CFF -> inverted charset; CIDFontType2 -> /CIDToGIDMap
+        stream or Identity. None when unmapped."""
+        if glyphfont is not None and getattr(glyphfont, "is_cid", False):
+            lookup = getattr(glyphfont, "gid_for_cid", None)
+            if lookup is not None:
+                return lookup(cid)
+        ref = getattr(self, "_cidtogid_ref", None)
+        if ref is not None:
+            m = doc.resolve(ref)
+            if hasattr(m, "get_data"):  # 2-byte big-endian per CID
+                cache = getattr(self, "_cidtogid_bytes", None)
+                if cache is None:
+                    try:
+                        cache = bytes(m.get_data(doc))
+                    except Exception:  # noqa: BLE001
+                        cache = b""
+                    self._cidtogid_bytes = cache
+                if 2 * cid + 1 < len(cache):
+                    return (cache[2 * cid] << 8) | cache[2 * cid + 1]
+                return None
+        nglyphs = getattr(glyphfont, "num_glyphs",
+                          getattr(glyphfont, "nglyphs", None))
+        if nglyphs is not None and not 0 <= cid < nglyphs:
+            return None
+        return cid  # Identity
 
     @staticmethod
     def _parse_tounicode(doc, ref) -> Dict[int, str]:
@@ -1720,6 +1751,10 @@ class PageInterpreter:
 
         self.ch_text: List[str] = []
         self.ch_font: List[str] = []
+        # per-char raw CID (emit order == char_index), interpreter-private:
+        # display joins through it to render CID-keyed embedded fonts;
+        # NOT a chars-frame column (reference parity: no 'cid' attr)
+        self.ch_cid: List[int] = []
         # 12 doubles per char (_CH_NUM_FIELDS): fast-path string runs land
         # as whole (n,12) blocks with NO intermediate copy; slow-path chars
         # buffer as tuples and flush to a block on demand. `ch_num` exposes
@@ -2305,6 +2340,7 @@ class PageInterpreter:
 
         self.ch_text.extend(uvec[cid] for cid in cids)
         self.ch_font.extend([font.basefont] * n)
+        self.ch_cid.extend(int(c) for c in cids)
         block = np.empty((n, 12), dtype=np.float64)
         block[:, 0] = size
         block[:, 1] = adv
@@ -2341,6 +2377,7 @@ class PageInterpreter:
         self._note_kind("char")
         self.ch_text.append(text)
         self.ch_font.append(font.basefont)
+        self.ch_cid.append(int(cid))
         self._num_slow.append(
             (size, adv, float(upright), x0d, x1d, y0d, y1d, top, bottom,
              self.initial_doctop + top, x1d - x0d, y1d - y0d)

@@ -218,6 +218,34 @@ def test_cff_glyphs_in_render(monkeypatch):
     assert png3 != png1
 
 
+def test_cid_keyed_render_uses_charset_mapping(monkeypatch):
+    """CID-keyed CFFs render through the inverted charset (interp.ch_cid
+    join on char_index), not the unicode fallback: disabling cid_to_gid
+    must change the issue-598 render."""
+    from pdfplumber_spark import api
+    from pdfplumber_spark.kernel import pdfparse
+
+    path = PDFS + "issue-598-example.pdf"
+    png1 = api.open(path).pages[0].to_image(resolution=72)._repr_png_()
+    monkeypatch.setattr(
+        pdfparse.Font, "cid_to_gid", lambda self, doc, gf, cid: None)
+    png2 = api.open(path).pages[0].to_image(resolution=72)._repr_png_()
+    assert png2 != png1
+
+
+def test_gid_for_cid_inverts_charset():
+    f = _fontfile3(PDFS + "issue-598-example.pdf")
+    assert f.is_cid
+    hits = sum(
+        1 for cid in range(300) if f.gid_for_cid(cid) is not None)
+    assert hits > 50
+    # round-trip: charset[gid_for_cid(cid)] == cid
+    for cid in range(300):
+        g = f.gid_for_cid(cid)
+        if g is not None:
+            assert f.charset[g] == cid
+
+
 def test_malformed_cff_rejected():
     with pytest.raises(Exception):
         CFFFont(b"\x01\x00\x04\x01garbage")
