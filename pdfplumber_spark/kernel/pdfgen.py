@@ -54,6 +54,104 @@ FONT_ASCENT = 718
 # expands (text.py:34-42)
 LIG_BYTES = {"ﬁ": 0xA1, "ﬂ": 0xA2, "ﬀ": 0xA3, "ﬃ": 0xA4, "ﬄ": 0xA5}
 
+# -- embedded CFF font generation (texts with "font": "F2") -------------
+# The /F2 resource is a /FontFile3 (Type1C) program built from scratch:
+# one glyph per supported char, each a deterministic seed-derived polygon
+# (NOT a real typeface — the point is driving the CFF parse + Type 2
+# charstring + rasterize path end-to-end under the driver board).
+
+EMBED_CHARS = ("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+               "abcdefghijklmnopqrstuvwxyz0123456789")
+_DIGIT_NAMES = {
+    "0": "zero", "1": "one", "2": "two", "3": "three", "4": "four",
+    "5": "five", "6": "six", "7": "seven", "8": "eight", "9": "nine",
+}
+
+
+def _t2num(v: int) -> bytes:
+    """Encode a Type 2 charstring integer operand."""
+    import struct as _struct
+
+    if -107 <= v <= 107:
+        return bytes([v + 139])
+    if 108 <= v <= 1131:
+        v -= 108
+        return bytes([247 + (v >> 8), v & 0xFF])
+    if -1131 <= v <= -108:
+        v = -v - 108
+        return bytes([251 + (v >> 8), v & 0xFF])
+    return b"\x1c" + _struct.pack(">h", v)
+
+
+def _glyph_poly(seed: int) -> List[tuple]:
+    """Deterministic glyph polygon in font units (0..700 box)."""
+    pts = [(60, 40)]
+    x, y = pts[0]
+    h = 60 + (seed * 53) % 520
+    for bit in range(6):
+        x += 80
+        y2 = 40 + (h if ((seed >> bit) & 1) else h // 3)
+        pts.append((x, y2))
+        y = y2
+    pts.append((x + 40, 40))
+    return pts
+
+
+def _cff_charstring(seed: int) -> bytes:
+    pts = _glyph_poly(seed)
+    out = bytearray()
+    px, py = 0, 0
+    out += _t2num(pts[0][0] - px) + _t2num(pts[0][1] - py) + b"\x15"
+    px, py = pts[0]
+    for (x, y) in pts[1:]:
+        out += _t2num(x - px) + _t2num(y - py) + b"\x05"
+        px, py = x, y
+    out += b"\x0e"  # endchar (implicit close)
+    return bytes(out)
+
+
+def make_cff_font(chars: str = EMBED_CHARS) -> bytes:
+    """Deterministic single-font CFF (Type1C) program covering ``chars``
+    with standard-named glyphs (AGL-resolvable)."""
+    import struct as _struct
+
+    from .cff import STANDARD_STRINGS
+
+    def idx(items):
+        if not items:
+            return _struct.pack(">H", 0)
+        offs = [1]
+        for it in items:
+            offs.append(offs[-1] + len(it))
+        osz = 1 if offs[-1] < 256 else (2 if offs[-1] < 65536 else 3)
+        out = _struct.pack(">HB", len(items), osz)
+        for o in offs:
+            out += o.to_bytes(osz, "big")
+        return out + b"".join(items)
+
+    header = bytes([1, 0, 4, 1])
+    name_idx = idx([b"SynthEmbed"])
+    string_idx = idx([])
+    gsubr_idx = idx([])
+    sids = []
+    charstrings = [b"\x0e"]  # .notdef
+    for ch in chars:
+        name = _DIGIT_NAMES.get(ch, ch)
+        sids.append(STANDARD_STRINGS.index(name))
+        charstrings.append(_cff_charstring(ord(ch)))
+    cs_idx = idx(charstrings)
+    charset = bytes([0]) + b"".join(_struct.pack(">H", s) for s in sids)
+    topdict_idx = b""
+    for _ in range(2):
+        base = (len(header) + len(name_idx) + len(topdict_idx)
+                + len(string_idx) + len(gsubr_idx))
+        top = (b"\x1d" + _struct.pack(">i", base) + bytes([15])  # charset
+               + b"\x1d" + _struct.pack(">i", base + len(charset))
+               + bytes([17]))  # CharStrings
+        topdict_idx = idx([top])
+    return (header + name_idx + topdict_idx + string_idx + gsubr_idx
+            + charset + cs_idx)
+
 
 def image_pixel(seed: int, row: int, col: int, ch: int) -> int:
     """Deterministic sample value for generated image rasters — the single
@@ -134,8 +232,9 @@ def _content_stream(page: Dict) -> bytes:
         # top + ascent*size/1000 below the page top (y up in PDF space)
         baseline_y = h - t["top"] - size * FONT_ASCENT / 1000.0
         chunk = t["text"]
-        body = "BT /F1 %g Tf 1 0 0 1 %g %g Tm (%s) Tj ET" % (
-            size, t["x"], baseline_y, _esc(chunk).decode("latin-1"),
+        body = "BT /%s %g Tf 1 0 0 1 %g %g Tm (%s) Tj ET" % (
+            t.get("font", "F1"), size, t["x"], baseline_y,
+            _esc(chunk).decode("latin-1"),
         )
         if tagged:
             body = "/P <</MCID %d>> BDC %s EMC" % (t.get("mcid", i), body)
@@ -201,6 +300,24 @@ def make_pdf(pages: List[Dict], info: dict = None) -> bytes:
         b"/MissingWidth 556"
         b"/FontBBox[-166 -225 1000 931]>> >>"
     )
+    # embedded-CFF /F2 resource, only when a text run asks for it
+    f2_num = None
+    if any(t.get("font") == "F2"
+           for p in pages for t in p.get("texts", [])):
+        cff = make_cff_font()
+        ff3_num = add(
+            b"<</Subtype/Type1C/Length " + str(len(cff)).encode()
+            + b">>\nstream\n" + cff + b"\nendstream"
+        )
+        f2_num = add(
+            b"<</Type/Font/Subtype/Type1/BaseFont/SynthEmbed"
+            b"/Encoding/WinAnsiEncoding/FirstChar 32/LastChar 126/Widths["
+            + b" ".join(str(w).encode() for w in WIDTHS) +
+            b"]/FontDescriptor <</Type/FontDescriptor/FontName/SynthEmbed"
+            b"/Flags 32/Ascent 718/Descent -212/CapHeight 718/ItalicAngle 0"
+            b"/StemV 88/MissingWidth 556/FontBBox[0 0 700 700]"
+            b"/FontFile3 %d 0 R>> >>" % ff3_num
+        )
 
     page_nums = []
     content_nums = []
@@ -337,14 +454,17 @@ def make_pdf(pages: List[Dict], info: dict = None) -> bytes:
             xobj_part = "/XObject<<" + "".join(
                 f"/Im{k} {n} 0 R" for k, n in enumerate(image_nums[i])
             ) + ">>"
+        fonts_part = "/F1 %d 0 R" % font_num
+        if f2_num is not None:
+            fonts_part += "/F2 %d 0 R" % f2_num
         pn = add(
             (
                 "<</Type/Page/Parent %d 0 R/MediaBox[0 0 %g %g]%s%s"
-                "/Resources<</Font<</F1 %d 0 R>>%s>>/Contents %d 0 R>>"
+                "/Resources<</Font<<%s>>%s>>/Contents %d 0 R>>"
                 % (
                     pages_tree_num, p["width"], p["height"],
                     "/Rotate %d" % p["rotate"] if p.get("rotate") else "",
-                    annots_part, font_num, xobj_part, content_nums[i],
+                    annots_part, fonts_part, xobj_part, content_nums[i],
                 )
             ).encode()
         )

@@ -246,6 +246,39 @@ def test_gid_for_cid_inverts_charset():
             assert f.charset[g] == cid
 
 
+def test_corpus_images_family_embeds_cff(monkeypatch):
+    """Corpus v19: every pdf/images doc carries an /F2 embedded-CFF run
+    on page 0, so the board's render rows drive the FontFile3 path."""
+    import io
+    import random
+
+    from pdfplumber_spark import api
+    from pdfplumber_spark.kernel import pdfparse
+    from pdfplumber_spark.sources.corpus import _pdf_images
+
+    payload = _pdf_images(random.Random(7))
+    assert b"/Type1C" in payload and b"SynthEmbed" in payload
+    pg = api.open(io.BytesIO(payload)).pages[0]
+    assert any(c["fontname"] == "SynthEmbed" for c in pg.chars)
+    png1 = pg.to_image(resolution=72)._repr_png_()
+    monkeypatch.setattr(
+        pdfparse.Font, "glyph_font", lambda self, doc: None)
+    png2 = api.open(io.BytesIO(payload)).pages[0] \
+        .to_image(resolution=72)._repr_png_()
+    assert png2 != png1  # embedded outlines actually stamped
+
+
+def test_make_cff_font_covers_all_embed_chars():
+    from pdfplumber_spark.kernel.pdfgen import EMBED_CHARS, make_cff_font
+
+    f = CFFFont(make_cff_font())
+    assert f.nglyphs == len(EMBED_CHARS) + 1
+    for ch in EMBED_CHARS:
+        gid = f.glyph_id(ord(ch))
+        assert gid is not None, ch
+        assert len(f.glyph_outline(gid)) == 1, ch
+
+
 def test_malformed_cff_rejected():
     with pytest.raises(Exception):
         CFFFont(b"\x01\x00\x04\x01garbage")
