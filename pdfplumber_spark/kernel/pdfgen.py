@@ -153,6 +153,74 @@ def make_cff_font(chars: str = EMBED_CHARS) -> bytes:
             + charset + cs_idx)
 
 
+def _t1_encrypt(plain: bytes, r: int, pad: int = 4) -> bytes:
+    """Adobe eexec/charstring ENcryption (inverse of type1._decrypt)."""
+    data = b"\x00" * pad + plain
+    out = bytearray()
+    for p in data:
+        c = p ^ (r >> 8)
+        out.append(c)
+        r = ((c + r) * 52845 + 22719) & 0xFFFF
+    return bytes(out)
+
+
+def _t1num(v: int) -> bytes:
+    """Encode a Type 1 charstring integer operand."""
+    import struct as _struct
+
+    if -107 <= v <= 107:
+        return bytes([v + 139])
+    if 108 <= v <= 1131:
+        v -= 108
+        return bytes([247 + (v >> 8), v & 0xFF])
+    if -1131 <= v <= -108:
+        v = -v - 108
+        return bytes([251 + (v >> 8), v & 0xFF])
+    return b"\xff" + _struct.pack(">i", v)
+
+
+def _t1_charstring(seed: int) -> bytes:
+    pts = _glyph_poly(seed)
+    out = bytearray()
+    out += _t1num(0) + _t1num(600) + bytes([13])  # 0 600 hsbw
+    px, py = 0, 0
+    out += _t1num(pts[0][0] - px) + _t1num(pts[0][1] - py) + bytes([21])
+    px, py = pts[0]
+    for (x, y) in pts[1:]:
+        out += _t1num(x - px) + _t1num(y - py) + bytes([5])  # rlineto
+        px, py = x, y
+    out += bytes([9, 14])  # closepath endchar
+    return bytes(out)
+
+
+def make_type1_font(chars: str = EMBED_CHARS) -> bytes:
+    """Deterministic Type 1 font program (for /FontFile embedding):
+    cleartext header + eexec-encrypted CharStrings, same seed-derived
+    polygon glyphs as make_cff_font."""
+    entries = []
+
+    def entry(name: str, cs: bytes) -> bytes:
+        enc = _t1_encrypt(cs, 4330)
+        return (b"/" + name.encode() + b" " + str(len(enc)).encode()
+                + b" RD " + enc + b" ND\n")
+
+    entries.append(entry(".notdef",
+                         _t1num(0) + _t1num(600) + bytes([13, 14])))
+    for ch in chars:
+        entries.append(entry(_DIGIT_NAMES.get(ch, ch),
+                             _t1_charstring(ord(ch))))
+    priv = (b"dup /Private 5 dict dup begin\n"
+            b"/RD {string currentfile exch readstring pop} executeonly def\n"
+            b"/ND {noaccess def} executeonly def\n"
+            b"/CharStrings " + str(len(entries)).encode()
+            + b" dict dup begin\n" + b"".join(entries) + b"end\nend\n")
+    clear = (b"%!PS-AdobeFont-1.0: SynthType1 1.0\n"
+             b"/FontMatrix [0.001 0 0 0.001 0 0] readonly def\n"
+             b"/Encoding StandardEncoding def\n"
+             b"currentfile eexec\n")
+    return clear + _t1_encrypt(priv, 55665)
+
+
 def image_pixel(seed: int, row: int, col: int, ch: int) -> int:
     """Deterministic sample value for generated image rasters — the single
     definition shared by the writer, the decode tests, and the oracle."""
@@ -300,24 +368,36 @@ def make_pdf(pages: List[Dict], info: dict = None) -> bytes:
         b"/MissingWidth 556"
         b"/FontBBox[-166 -225 1000 931]>> >>"
     )
-    # embedded-CFF /F2 resource, only when a text run asks for it
-    f2_num = None
-    if any(t.get("font") == "F2"
-           for p in pages for t in p.get("texts", [])):
-        cff = make_cff_font()
-        ff3_num = add(
-            b"<</Subtype/Type1C/Length " + str(len(cff)).encode()
-            + b">>\nstream\n" + cff + b"\nendstream"
-        )
-        f2_num = add(
-            b"<</Type/Font/Subtype/Type1/BaseFont/SynthEmbed"
+    # embedded-font resources, only when a text run asks for them:
+    # /F2 = CFF (FontFile3, Type1C), /F3 = Type 1 (FontFile, eexec)
+    def _embed_font(basefont: bytes, file_key: bytes, stream_obj: bytes):
+        ff_num = add(stream_obj)
+        return add(
+            b"<</Type/Font/Subtype/Type1/BaseFont/" + basefont +
             b"/Encoding/WinAnsiEncoding/FirstChar 32/LastChar 126/Widths["
             + b" ".join(str(w).encode() for w in WIDTHS) +
-            b"]/FontDescriptor <</Type/FontDescriptor/FontName/SynthEmbed"
+            b"]/FontDescriptor <</Type/FontDescriptor/FontName/" + basefont +
             b"/Flags 32/Ascent 718/Descent -212/CapHeight 718/ItalicAngle 0"
             b"/StemV 88/MissingWidth 556/FontBBox[0 0 700 700]"
-            b"/FontFile3 %d 0 R>> >>" % ff3_num
+            b"/" + file_key + b" %d 0 R>> >>" % ff_num
         )
+
+    used_fonts = {t.get("font") for p in pages for t in p.get("texts", [])}
+    f2_num = f3_num = None
+    if "F2" in used_fonts:
+        cff = make_cff_font()
+        f2_num = _embed_font(
+            b"SynthEmbed", b"FontFile3",
+            b"<</Subtype/Type1C/Length " + str(len(cff)).encode()
+            + b">>\nstream\n" + cff + b"\nendstream")
+    if "F3" in used_fonts:
+        t1 = make_type1_font()
+        clear_len = t1.index(b"eexec\n") + 6
+        f3_num = _embed_font(
+            b"SynthType1", b"FontFile",
+            b"<</Length1 %d/Length2 %d/Length3 0/Length %d>>"
+            % (clear_len, len(t1) - clear_len, len(t1))
+            + b"\nstream\n" + t1 + b"\nendstream")
 
     page_nums = []
     content_nums = []
@@ -457,6 +537,8 @@ def make_pdf(pages: List[Dict], info: dict = None) -> bytes:
         fonts_part = "/F1 %d 0 R" % font_num
         if f2_num is not None:
             fonts_part += "/F2 %d 0 R" % f2_num
+        if f3_num is not None:
+            fonts_part += "/F3 %d 0 R" % f3_num
         pn = add(
             (
                 "<</Type/Page/Parent %d 0 R/MediaBox[0 0 %g %g]%s%s"

@@ -26,7 +26,7 @@ from typing import Iterator, List, Tuple
 from ..kernel.pdfgen import glyph_width, make_pdf
 
 # bump when generated content changes — cache paths embed this
-CORPUS_VERSION = 19
+CORPUS_VERSION = 20
 
 LOREM = (
     "the quick brown fox jumps over a lazy dog while bright vixens watch "
@@ -288,15 +288,18 @@ def _pdf_images(rng: random.Random) -> bytes:
             texts.append({"x": 72.0, "top": top, "size": 12, "text": line})
             top += 14.5
         if page_i == 0:
-            # v19: one run in the embedded-CFF /F2 font (pdfgen
-            # make_cff_font) so render rows drive the FontFile3 parse +
-            # Type 2 charstring + rasterize path under the driver board
-            texts.append({
-                "x": 72.0, "top": top, "size": 13,
-                "text": _sentence(rng, 5).rstrip(".").replace(",", ""),
-                "font": "F2",
-            })
-            top += 16.0
+            # v19/v20: one run each in the embedded-CFF /F2 font and the
+            # embedded-Type1 /F3 font (pdfgen make_cff_font /
+            # make_type1_font) so render rows drive the FontFile3 AND
+            # FontFile parse + charstring + rasterize paths under the
+            # driver board
+            for fkey in ("F2", "F3"):
+                texts.append({
+                    "x": 72.0, "top": top, "size": 13,
+                    "text": _sentence(rng, 5).rstrip(".").replace(",", ""),
+                    "font": fkey,
+                })
+                top += 16.0
         images = []
         if page_i == 0:
             # page 0 carries the FULL decode matrix deterministically —

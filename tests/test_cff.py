@@ -247,8 +247,9 @@ def test_gid_for_cid_inverts_charset():
 
 
 def test_corpus_images_family_embeds_cff(monkeypatch):
-    """Corpus v19: every pdf/images doc carries an /F2 embedded-CFF run
-    on page 0, so the board's render rows drive the FontFile3 path."""
+    """Corpus v20: every pdf/images doc carries an /F2 embedded-CFF run
+    AND an /F3 embedded-Type1 run on page 0, so the board's render rows
+    drive the FontFile3 and FontFile paths."""
     import io
     import random
 
@@ -258,8 +259,10 @@ def test_corpus_images_family_embeds_cff(monkeypatch):
 
     payload = _pdf_images(random.Random(7))
     assert b"/Type1C" in payload and b"SynthEmbed" in payload
+    assert b"/FontFile " in payload and b"SynthType1" in payload
     pg = api.open(io.BytesIO(payload)).pages[0]
-    assert any(c["fontname"] == "SynthEmbed" for c in pg.chars)
+    fonts = {c["fontname"] for c in pg.chars}
+    assert {"SynthEmbed", "SynthType1"} <= fonts
     png1 = pg.to_image(resolution=72)._repr_png_()
     monkeypatch.setattr(
         pdfparse.Font, "glyph_font", lambda self, doc: None)

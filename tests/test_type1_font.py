@@ -137,6 +137,25 @@ def test_hsbw_sets_sidebearing_origin():
     assert (cont[0][0], cont[0][1]) == (25.0, 0.0)  # origin at sbx
 
 
+def test_generated_type1_matches_cff_outlines():
+    """pdfgen emits the SAME glyph geometry as Type 1 and as CFF; the
+    two independent decoders (type1.py eexec+T1 charstrings vs cff.py
+    Type 2 charstrings) must recover identical outlines — a
+    cross-engine differential over the full embed set."""
+    from pdfplumber_spark.kernel.cff import CFFFont
+    from pdfplumber_spark.kernel.pdfgen import (
+        EMBED_CHARS, make_cff_font, make_type1_font)
+
+    t1 = Type1Font(make_type1_font())
+    cf = CFFFont(make_cff_font())
+    assert t1.nglyphs == cf.nglyphs == len(EMBED_CHARS) + 1
+    for ch in EMBED_CHARS:
+        o1 = t1.glyph_outline(t1.glyph_id(ord(ch)))
+        o2 = cf.glyph_outline(cf.glyph_id(ord(ch)))
+        assert [(x, y) for x, y, _ in o1[0]] == \
+               [(x, y) for x, y, _ in o2[0]], ch
+
+
 def test_malformed_type1_rejected():
     with pytest.raises(Type1Error):
         Type1Font(b"no eexec here at all")
