@@ -169,7 +169,7 @@ def _render_base(page, scale: float, bbox=None) -> Canvas:
         # dict accessors pop char_index, so no CID join on this path
         chars_rows = [
             (c["x0"], c["top"], c["x1"], c["bottom"], c.get("text"),
-             c.get("fontname"), None)
+             c.get("fontname"), None, c.get("non_stroking_color"))
             for c in page.chars
         ]
     else:
@@ -190,9 +190,11 @@ def _render_base(page, scale: float, bbox=None) -> Canvas:
             ]
         else:
             cids = [None] * len(cb)
+        ncols = chars["non_stroking_color"].tolist() \
+            if "non_stroking_color" in chars.columns else [None] * len(cb)
         chars_rows = [
             (cb[i, 0], cb[i, 1], cb[i, 2], cb[i, 3], texts[i], fnames[i],
-             cids[i])
+             cids[i], ncols[i])
             for i in range(len(cb))
         ]
     from .kernel.font5x7 import glyph_mask
@@ -237,7 +239,7 @@ def _render_base(page, scale: float, bbox=None) -> Canvas:
         return tt_cache[key]
 
     box_fallback = []
-    for cx0, ctop, cx1, cbot, text, fontname, cid in chars_rows:
+    for cx0, ctop, cx1, cbot, text, fontname, cid, ncol in chars_rows:
         gx0, gy0 = X(cx0), Y(ctop)
         gx1, gy1 = X(cx1), Y(cbot)
         if text == " ":
@@ -252,7 +254,10 @@ def _render_base(page, scale: float, bbox=None) -> Canvas:
             if mask is None:
                 mask = glyph_mask(text[0]) if text else None
         if mask is not None:
-            canvas.stamp_mask(mask, gx0, gy0, gx1, gy1, _GLYPH_INK)
+            # glyphs paint in the char's fill color (reference renders
+            # text in its non-stroking color); default ink when unset
+            ink = _obj_color(ncol, _GLYPH_INK[:3]) + (_GLYPH_INK[3],)
+            canvas.stamp_mask(mask, gx0, gy0, gx1, gy1, ink)
         else:
             box_fallback.append((gx0, gy0, gx1, gy1))
     if box_fallback:

@@ -199,3 +199,26 @@ def test_truetype_glyph_rasterizer_shapes():
         assert mask is not None and mask.any(), ch
         frac = mask.mean() / 255.0
         assert 0.02 < frac < 0.8, (ch, frac)
+
+
+def test_chars_render_in_fill_color():
+    """Glyphs stamp in the char's non-stroking color (reference renders
+    text in fill color): NICS page 1 has (1,0,0) red chars, so the
+    render must contain red-dominant pixels; black chars stay dark."""
+    import numpy as np
+
+    page = api.open(
+        "/root/reference/tests/pdfs/nics-background-checks-2015-11.pdf"
+    ).pages[0]
+    assert any(
+        tuple(c["non_stroking_color"] or ()) == (1, 0, 0)
+        for c in page.chars
+    )
+    arr = page.to_image(resolution=72).original.arr
+    r = arr[:, :, 0].astype(int)
+    g = arr[:, :, 1].astype(int)
+    b = arr[:, :, 2].astype(int)
+    red_px = int(((r > 150) & (g < 110) & (b < 110)).sum())
+    dark_px = int(((r < 90) & (g < 90) & (b < 90)).sum())
+    assert red_px > 200  # red glyph ink present
+    assert dark_px > 200  # black glyph ink still present
