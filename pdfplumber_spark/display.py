@@ -169,7 +169,8 @@ def _render_base(page, scale: float, bbox=None) -> Canvas:
         # dict accessors pop char_index, so no CID join on this path
         chars_rows = [
             (c["x0"], c["top"], c["x1"], c["bottom"], c.get("text"),
-             c.get("fontname"), None, c.get("non_stroking_color"))
+             c.get("fontname"), None, c.get("non_stroking_color"),
+             c.get("matrix"))
             for c in page.chars
         ]
     else:
@@ -192,9 +193,11 @@ def _render_base(page, scale: float, bbox=None) -> Canvas:
             cids = [None] * len(cb)
         ncols = chars["non_stroking_color"].tolist() \
             if "non_stroking_color" in chars.columns else [None] * len(cb)
+        mats = chars["matrix"].tolist() \
+            if "matrix" in chars.columns else [None] * len(cb)
         chars_rows = [
             (cb[i, 0], cb[i, 1], cb[i, 2], cb[i, 3], texts[i], fnames[i],
-             cids[i], ncols[i])
+             cids[i], ncols[i], mats[i])
             for i in range(len(cb))
         ]
     from .kernel.font5x7 import glyph_mask
@@ -238,21 +241,40 @@ def _render_base(page, scale: float, bbox=None) -> Canvas:
                 tt_cache[key] = None
         return tt_cache[key]
 
+    def _quarter_turn(mat):
+        """k for np.rot90 from the char's text matrix: 0 upright,
+        +-1 for 90-degree text, 2 for upside-down."""
+        if mat is None or not hasattr(mat, "__len__") or len(mat) < 4:
+            return 0
+        a, b, c, d = (float(v) for v in mat[:4])
+        if abs(a) < 1e-9 and abs(d) < 1e-9 and b and c:
+            # glyph up (0,1)->(c,d): up points +x (right) -> rotate CW
+            return -1 if c > 0 else 1
+        if a < 0 and d < 0:
+            return 2
+        return 0
+
     box_fallback = []
-    for cx0, ctop, cx1, cbot, text, fontname, cid, ncol in chars_rows:
+    for cx0, ctop, cx1, cbot, text, fontname, cid, ncol, mat in chars_rows:
         gx0, gy0 = X(cx0), Y(ctop)
         gx1, gy1 = X(cx1), Y(cbot)
         if text == " ":
             continue
         w_px = max(1, int(round(gx1 - gx0)))
         h_px = max(1, int(round(gy1 - gy0)))
+        rot = _quarter_turn(mat)
         mask = None
         if w_px >= 3 and h_px >= 5:
-            mask = tt_mask(fontname, text, w_px, h_px, cid)
+            # quarter-turned chars rasterize at swapped dims (natural
+            # glyph proportions), then the mask turns with the text
+            mw, mh = (h_px, w_px) if rot in (1, -1) else (w_px, h_px)
+            mask = tt_mask(fontname, text, mw, mh, cid)
             if mask is not None and not mask.any():
                 mask = None
             if mask is None:
                 mask = glyph_mask(text[0]) if text else None
+            if mask is not None and rot:
+                mask = np.rot90(mask, rot)
         if mask is not None:
             # glyphs paint in the char's fill color (reference renders
             # text in its non-stroking color); default ink when unset

@@ -222,3 +222,26 @@ def test_chars_render_in_fill_color():
     dark_px = int(((r < 90) & (g < 90) & (b < 90)).sum())
     assert red_px > 200  # red glyph ink present
     assert dark_px > 200  # black glyph ink still present
+
+
+def test_rotated_chars_stamp_quarter_turned_glyphs():
+    """90-degree text (matrix (0,-s,s,0)) stamps glyph masks rotated
+    with the text: the rotated-NICS render must differ from stamping
+    upright masks, deterministically."""
+    import hashlib
+
+    path = ("/root/reference/tests/pdfs/"
+            "nics-background-checks-2015-11-rotated.pdf")
+    h = [hashlib.sha256(
+            api.open(path).pages[0].to_image(resolution=72)._repr_png_()
+         ).hexdigest() for _ in range(2)]
+    assert h[0] == h[1]
+    # differential: neutralize the quarter-turn detection
+    import pdfplumber_spark.display as disp
+    page = api.open(path).pages[0]
+    chars = page._chars.copy()
+    chars["matrix"] = [None] * len(chars)
+    page._chars = chars
+    h2 = hashlib.sha256(
+        page.to_image(resolution=72)._repr_png_()).hexdigest()
+    assert h2 != h[0]
