@@ -52,7 +52,11 @@ def test_session_soak_no_leaks_and_stable_walls(spark):
             spark.sparkContext._jvm.System.gc()
             time.sleep(0.25)
         assert _n_persistent(spark) == 0, f"persisted RDDs after cycle {cycle}"
-    # wall stability: the last cycle must not degrade vs the first
-    # beyond host jitter (leaks/accumulated state show up as monotonic
-    # growth far past this bound)
-    assert cycle_walls[-1] < 2.0 * cycle_walls[0] + 5.0, cycle_walls
+    # wall stability: a leak shows up as MONOTONIC growth, so compare
+    # the best of the last two cycles against the best of the first two
+    # — a one-off external CPU burst (e.g. the full suite running
+    # concurrently with other Spark sessions) slows one cycle, not the
+    # minimum of a pair, and must not flake this test
+    early = min(cycle_walls[:2])
+    late = min(cycle_walls[-2:])
+    assert late < 2.0 * early + 5.0, cycle_walls
