@@ -617,12 +617,14 @@ class Page:
         vector objects draw with recorded colors, chars stamp 5x7
         bitmap glyphs; all draw_*/outline_*/debug_tablefinder overlay
         methods match the reference API. Exactly one of resolution /
-        width / height may be given (reference get_page_image)."""
-        del antialias  # no AA engine offline; accepted for parity
+        width / height may be given (reference get_page_image);
+        antialias renders at 2x and box-downsamples (reference pypdfium2
+        smoothing flags)."""
         from .display import PageImage
 
         return PageImage(self, resolution=resolution, width=width,
-                         height=height, force_mediabox=force_mediabox)
+                         height=height, force_mediabox=force_mediabox,
+                         antialias=antialias)
 
     # --- derived pages --------------------------------------------------------
     def crop(self, bbox, relative: bool = False, strict: bool = True) -> "Page":

@@ -69,14 +69,23 @@ def _obj_color(raw, fallback):
     return tuple(int(round(min(1.0, max(0.0, v)) * 255)) for v in vals[:3])
 
 
+def _ceil_px(v: float) -> int:
+    """Pixel-dimension rounding: ceil with float-noise tolerance."""
+    import math
+
+    return int(math.ceil(round(float(v), 4)))
+
+
 def _render_base(page, scale: float, bbox=None) -> Canvas:
     """Structural render of ``bbox`` (default ``page.bbox``) at ``scale``
     px per point (a cropped page renders just its crop region, reference
     display.py:120 semantics; an uncropped page's PageImage passes the
     cropbox view)."""
     bx0, by0, bx1, by1 = bbox if bbox is not None else page.bbox
-    w_px = max(1, int(round((bx1 - bx0) * scale)))
-    h_px = max(1, int(round((by1 - by0) * scale)))
+    # pypdfium2 parity: fractional point dims round UP (A4's 595.276
+    # renders 596 px at scale 1); fuzz-tolerant against float noise
+    w_px = max(1, _ceil_px((bx1 - bx0) * scale))
+    h_px = max(1, _ceil_px((by1 - by0) * scale))
     canvas = Canvas(w_px, h_px)
 
     def X(x):
@@ -287,13 +296,29 @@ def _render_base(page, scale: float, bbox=None) -> Canvas:
     return canvas
 
 
+def _downsample2(cv: Canvas, w_px: int, h_px: int) -> Canvas:
+    """Box-average a ~2x canvas down to exactly (w_px, h_px)."""
+    src = cv.arr.astype(np.uint16)
+    h2, w2 = src.shape[:2]
+    y0 = np.minimum(np.arange(h_px) * 2, h2 - 1)
+    y1 = np.minimum(y0 + 1, h2 - 1)
+    x0 = np.minimum(np.arange(w_px) * 2, w2 - 1)
+    x1 = np.minimum(x0 + 1, w2 - 1)
+    acc = (src[np.ix_(y0, x0)] + src[np.ix_(y0, x1)]
+           + src[np.ix_(y1, x0)] + src[np.ix_(y1, x1)] + 2) // 4
+    out = Canvas(w_px, h_px)
+    out.arr = acc.astype(np.uint8)
+    return out
+
+
 class PageImage:
     """Reference display.PageImage semantics on the numpy canvas."""
 
     def __init__(self, page, resolution: Optional[float] = None,
                  width: Optional[float] = None,
                  height: Optional[float] = None,
-                 force_mediabox: bool = False):
+                 force_mediabox: bool = False,
+                 antialias: bool = False):
         # reference get_page_image: resolution XOR width XOR height
         if sum(x is not None for x in (resolution, width, height)) > 1:
             raise ValueError(
@@ -316,7 +341,17 @@ class PageImage:
             self.bbox = page.bbox
         else:
             self.bbox = tuple(mediabox) if force_mediabox else tuple(cropbox)
-        self.original = _render_base(page, self.scale, bbox=self.bbox)
+        if antialias:
+            # reference antialias flag (pypdfium2 smoothing): render at
+            # 2x and box-downsample to the exact 1x pixel dims
+            w_px = max(1, _ceil_px((self.bbox[2] - self.bbox[0])
+                                   * self.scale))
+            h_px = max(1, _ceil_px((self.bbox[3] - self.bbox[1])
+                                   * self.scale))
+            big = _render_base(page, self.scale * 2, bbox=self.bbox)
+            self.original = _downsample2(big, w_px, h_px)
+        else:
+            self.original = _render_base(page, self.scale, bbox=self.bbox)
         self.reset()
 
     # --- projection (display.py:128-142) -----------------------------------

@@ -57,6 +57,11 @@ class Canvas:
         self.arr = np.empty((self.height, self.width, 3), dtype=np.uint8)
         self.arr[:, :] = np.array(bg, dtype=np.uint8)
 
+    @property
+    def size(self):
+        """(width, height) — reference PIL.Image.size parity."""
+        return (self.width, self.height)
+
     def copy(self) -> "Canvas":
         c = Canvas.__new__(Canvas)
         c.width, c.height = self.width, self.height

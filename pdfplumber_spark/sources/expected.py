@@ -40,7 +40,7 @@ import pandas as pd
 from .corpus import CORPUS_VERSION, corpus_path_for_sf
 
 # bump when any expected-result computation changes
-EXPECTED_VERSION = 14
+EXPECTED_VERSION = 15
 
 
 # ---------------------------------------------------------------------------
