@@ -296,6 +296,21 @@ def _render_base(page, scale: float, bbox=None) -> Canvas:
     return canvas
 
 
+def get_page_image(stream=None, path=None, page_ix: int = 0,
+                   resolution: float = 72, password=None,
+                   antialias: bool = False) -> Canvas:
+    """Reference display.get_page_image parity (display.py:36): render
+    one page of a path/stream to an image object (Canvas here, PIL
+    there)."""
+    from . import api
+
+    src = path if path is not None else stream
+    pdf = api.open(src, password=password) if password is not None \
+        else api.open(src)
+    return PageImage(pdf.pages[page_ix], resolution=resolution,
+                     antialias=antialias).original
+
+
 def _downsample2(cv: Canvas, w_px: int, h_px: int) -> Canvas:
     """Box-average a ~2x canvas down to exactly (w_px, h_px)."""
     src = cv.arr.astype(np.uint16)
@@ -397,6 +412,23 @@ class PageImage:
         b = BytesIO()
         self.save(b, "PNG")
         return b.getvalue()
+
+    def show(self) -> None:  # pragma: no cover — interactive only
+        """Reference display.py:395 parity: open the annotated render in
+        an external viewer (writes a temp PNG; headless-safe no-op if no
+        viewer is available)."""
+        import subprocess
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(
+                suffix=".png", delete=False) as f:
+            f.write(self._repr_png_())
+        for viewer in ("xdg-open", "open"):
+            try:
+                subprocess.Popen([viewer, f.name])
+                return
+            except OSError:
+                continue
 
     # --- draw primitives (display.py:177-320) -------------------------------
 

@@ -136,3 +136,24 @@ def test_zip_stream_render():
     with ZipFile(path) as zf:
         with zf.open("dummy.pdf") as fh:
             api.open(io.BytesIO(fh.read())).pages[0].to_image()
+
+
+def test_get_page_image_module_function():
+    # reference display.py:36 get_page_image — module-level render of a
+    # path or stream, with password support
+    from pdfplumber_spark.display import get_page_image
+
+    im2 = get_page_image(
+        path=PDFS + "scotus-transcript-p1.pdf", resolution=36)
+    assert im2.size == (306, 396)
+    with open(PDFS + "password-example.pdf", "rb") as fh:
+        im3 = get_page_image(stream=fh, password="test", resolution=36)
+    assert im3.size[0] > 0
+
+
+def test_show_method_exists():
+    # reference display.py:395 — show() exists on the surface (opens an
+    # external viewer; not invoked headless)
+    from pdfplumber_spark.display import PageImage
+
+    assert callable(getattr(PageImage, "show", None))
