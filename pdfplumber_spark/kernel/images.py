@@ -27,7 +27,11 @@ from .pdfparse import PDFDocument, StreamObj
 # G3-1D, and mixed K > 0), and so
 # did DCTDecode (kernel/jpeg.py decodes baseline SOF0 — every DCT stream
 # in the reference fixture corpus; progressive/CMYK raise → unsupported).
-_UNSUPPORTED_FILTERS = {"JPXDecode", "JBIG2Decode"}
+_UNSUPPORTED_FILTERS = {"JPXDecode"}
+# JBIG2Decode left this set in round 6: kernel/jbig2.py decodes
+# arithmetic template-0 generic regions (MQ coder from ITU T.88 Annex
+# E); MMR/refinement/halftone/text regions raise JBIG2Error and
+# classify 'unsupported' below.
 
 _CHANNELS = {"DeviceRGB": 3, "CalRGB": 3, "DeviceGray": 1, "CalGray": 1,
              "DeviceCMYK": 4}
@@ -210,7 +214,11 @@ def _decode_one(doc: PDFDocument, xo: StreamObj) -> dict:
         return row
     try:
         data = xo.get_data(doc)
-    except Exception:  # noqa: BLE001 — broken stream
+    except Exception as exc:  # noqa: BLE001 — broken stream
+        from .jbig2 import JBIG2Error
+
+        if isinstance(exc, JBIG2Error):
+            return row  # unsupported JBIG2 region type (DCT-style)
         row["status"] = "error"
         return row
     # Indexed rasters carry ONE index sample per pixel regardless of the

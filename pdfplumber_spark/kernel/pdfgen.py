@@ -494,6 +494,22 @@ def make_pdf(pages: List[Dict], info: dict = None) -> bytes:
                     b"/DecodeParms<</K %d/Columns %d/Rows %d>>"
                     % (ck, pw, ph)
                 )
+            elif im.get("format") == "jbig2":
+                # REAL embedded JBIG2 (kernel/jbig2.py MQ encoder):
+                # 1-bit raster, pixel 1 = black, same shared ground
+                # truth as the CCITT family (code 0 = black)
+                from .jbig2 import encode_embedded
+
+                bits = 1
+                cs = b"/DeviceGray"
+                codes = image_codes(seed, pw, ph, 1, 2)
+                black = [
+                    [1 - codes[r * pw + c] for c in range(pw)]
+                    for r in range(ph)
+                ]
+                body = encode_embedded(
+                    black, pw, ph, tpgdon=bool(seed % 2))
+                filt = b"/JBIG2Decode"
             else:
                 body = zlib.compress(raw, 9)
                 filt = b"/FlateDecode"

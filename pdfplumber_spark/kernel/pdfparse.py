@@ -849,6 +849,35 @@ class StreamObj:
                         doc.resolve(p.get("EncodedByteAlign", False))
                     ),
                 )
+            elif fname == "JBIG2Decode":
+                # embedded JBIG2 bi-level raster (ISO 32000 §7.4.7;
+                # ITU T.88) — kernel/jbig2.py decodes arithmetic
+                # template-0 generic regions; other region types raise
+                # JBIG2Error and the caller classifies 'unsupported'
+                from .jbig2 import decode_embedded
+
+                p = doc.resolve(parms_list[i]) if i < len(parms_list) else None
+                p = p if isinstance(p, dict) else {}
+                g = doc.resolve(p.get("JBIG2Globals"))
+                gdata = (bytes(g.get_data(doc))
+                         if hasattr(g, "get_data") else b"")
+                rows, w, _h = decode_embedded(bytes(data), gdata)
+                # pack to 1-bit rows, PDF polarity (JBIG2 1 = black ->
+                # DeviceGray sample 0), MSB-first byte-aligned rows —
+                # same layout ccittfax_decode emits
+                out = bytearray()
+                for r in rows:
+                    acc = 0
+                    nb = 0
+                    for px in r:
+                        acc = (acc << 1) | (1 - px)
+                        nb += 1
+                        if nb == 8:
+                            out.append(acc)
+                            acc = nb = 0
+                    if nb:
+                        out.append(acc << (8 - nb))
+                data = bytes(out)
             # unknown filters (DCT/JPX images): pass through raw
         return data
 

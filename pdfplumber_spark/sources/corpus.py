@@ -26,7 +26,7 @@ from typing import Iterator, List, Tuple
 from ..kernel.pdfgen import glyph_width, make_pdf
 
 # bump when generated content changes — cache paths embed this
-CORPUS_VERSION = 20
+CORPUS_VERSION = 21
 
 LOREM = (
     "the quick brown fox jumps over a lazy dog while bright vixens watch "
@@ -307,7 +307,8 @@ def _pdf_images(rng: random.Random) -> bytes:
             # sf0.01 board slice drew zero ccitt/jpeg images)
             for col, kind in enumerate(
                 ["rgb", "subbyte", "palette", "ccitt", "ccitt_g3",
-                 "ccitt_mixed", "jpeg", "jpeg_prog", "dct", "cmyk"]
+                 "ccitt_mixed", "jpeg", "jpeg_prog", "dct", "cmyk",
+                 "jbig2"]
             ):
                 im = {
                     "x": 72.0 + col * 57.0, "top": top + 30,
@@ -347,6 +348,11 @@ def _pdf_images(rng: random.Random) -> bytes:
                     # 8-bit Flate DeviceCMYK raster (print-oriented
                     # corpora): native 4-channel samples
                     im["channels"] = 4
+                elif kind == "jbig2":
+                    # v21 (round 6): real embedded JBIG2 via the
+                    # kernel's own MQ encoder (kernel/jbig2.py)
+                    im["format"] = "jbig2"
+                    im["channels"] = 1
                 images.append(im)
         for _ in range(rng.randint(1, 3)):
             im = {

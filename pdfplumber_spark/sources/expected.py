@@ -508,6 +508,20 @@ def _b_image_stats(sf_dir: str) -> pd.DataFrame:
                     status = "ok"
                 except ValueError:
                     px, status = None, "error"
+            elif b"/JBIG2Decode" in head:
+                # embedded JBIG2: re-decode with the SHARED kernel
+                # (kernel/jbig2.py) — jpeg-precedent distribution check;
+                # the MQ coder's correctness is gated by exhaustive +
+                # randomized roundtrip tests (tests/test_jbig2.py)
+                from ..kernel.jbig2 import decode_embedded
+
+                try:
+                    rows_px, jw, jh = decode_embedded(body)
+                    # PDF polarity: JBIG2 1 (black) -> sample 0
+                    px = [1 - v for r_ in rows_px for v in r_]
+                    status = "ok" if (jw, jh) == (w, h) else "error"
+                except Exception:  # noqa: BLE001 — unsupported subtype
+                    px, status = None, "unsupported"
             elif b"/FlateDecode" in head:
                 codes = unpack(zlib.decompress(body), w, h, raw_ch, bits)
                 if codes is None:
