@@ -718,11 +718,14 @@ def q_render_png(spark, sf_dir):
 
 def q_image_stats(spark, sf_dir):
     """REAL pixel decode of PDF-embedded raster XObjects (round-3 verdict
-    ask #4): 8-bit DeviceRGB/DeviceGray behind the engine's stream filters
-    -> per-channel mean (exact int sum / int count, rounded 6) + min/max;
-    DCT/JPX rows surface as 'unsupported'. Oracle: an INDEPENDENT pure-
-    python scanner+zlib decode (sources/expected.py _b_image_stats — no
-    numpy, no kernel/images.py code)."""
+    ask #4, widened each round since): Flate/LZW/CCITT/DCT/JBIG2/JPX
+    streams -> per-channel mean (exact int sum / int count, rounded 6) +
+    min/max; only exotic feature subsets (CMYK JPEG, JBIG2 halftones,
+    JPX precinct styles) surface as 'unsupported'. Oracle: an INDEPENDENT
+    pure-python scanner (sources/expected.py _b_image_stats) that
+    re-decodes Flate/CCITT itself and DCT/JBIG2/JPX via the shared
+    kernels (distribution check; codec correctness is gated by each
+    kernel's roundtrip suites)."""
     from pdfplumber_spark.operators.multimodal import pdf_image_stats
 
     return pdf_image_stats(_pages(spark, sf_dir)).select(

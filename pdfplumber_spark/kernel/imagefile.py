@@ -18,7 +18,12 @@ multimodal stub). Reference analogue: PIL-backed decode in the reference's
   deinterlace, local/global color tables, GCE transparency (transparent
   pixels keep the background fill).
 
-WEBP and JPX classify ``unsupported`` (UnsupportedImageError);
+- JPEG 2000 (ITU T.800): JP2 box containers and raw J2K codestreams
+  via ``kernel/jpx.py`` (5/3 + 9/7 wavelets, EBCOT Tier-1 over the
+  shared MQ coder); unsupported styles (precinct partitions, bypass
+  code-block modes, subsampling) classify ``unsupported``.
+
+WEBP classifies ``unsupported`` (UnsupportedImageError);
 structurally broken payloads of a recognized format raise
 ``ImageFileError`` (-> 'error').
 """
@@ -49,6 +54,10 @@ def sniff_format(data: bytes) -> str:
         return "gif"
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         return "webp"
+    if data[:12] == b"\x00\x00\x00\x0cjP  \r\n\x87\n":
+        return "jp2"  # JP2 signature box (ISO 15444-1 Annex I)
+    if data[:4] == b"\xff\x4f\xff\x51":
+        return "jp2"  # raw J2K codestream: SOC + SIZ markers
     if data[:5] == b"%PDF-":
         return "pdf"
     return "unknown"
@@ -624,6 +633,28 @@ def gif_file_encode(
     return bytes(out)
 
 
+def jp2_file_decode(data: bytes) -> dict:
+    """Decode a JP2 container / raw J2K codestream via kernel/jpx.py.
+    Unsupported codestream styles (precinct partitions, bypass modes,
+    subsampling) -> UnsupportedImageError; structural breakage ->
+    ImageFileError."""
+    from .jpx import JPXError, jpx_decode
+
+    try:
+        d = jpx_decode(data)
+    except JPXError as e:
+        msg = str(e).lower()
+        if ("unsupported" in msg or "precinct" in msg or "bypass" in msg
+                or "subsampl" in msg):
+            raise UnsupportedImageError(str(e)) from e
+        raise ImageFileError(str(e)) from e
+    return {
+        "format": "jp2", "width": int(d["width"]),
+        "height": int(d["height"]), "channels": int(d["n_components"]),
+        "samples": d["samples"],
+    }
+
+
 def decode_image(data: bytes) -> dict:
     """Sniff + decode a standalone image file. Raises
     ``UnsupportedImageError`` for formats/features without a decoder and
@@ -635,4 +666,6 @@ def decode_image(data: bytes) -> dict:
         return jpeg_file_decode(data)
     if fmt == "gif":
         return gif_file_decode(data)
+    if fmt == "jp2":
+        return jp2_file_decode(data)
     raise UnsupportedImageError(f"no decoder for format={fmt}")

@@ -9,11 +9,13 @@ Indexed(DeviceRGB/DeviceGray) palettes at any of those index widths —
 row-padded MSB-first sample layout per ISO 32000 §8.9.5.2 — behind any of
 the engine's stream filters (Flate incl. PNG predictors, LZW, A85, AHx,
 RL), plus CCITT Group 3/4 fax (``kernel/ccitt.py``: K < 0, K = 0 and
-mixed K > 0; ImageMask stencils included) and baseline JPEG
-(``kernel/jpeg.py``, SOF0 — every DCT stream in the reference fixture
-corpus). Remaining ``unsupported``: JPX (JPEG 2000), JBIG2, progressive
-JPEG, CMYK JPEG — lossy/arithmetic entropy formats with poor
-value-per-effort offline.
+mixed K > 0; ImageMask stencils included), baseline+progressive JPEG
+(``kernel/jpeg.py``, SOF0/SOF2), arithmetic JBIG2 generic regions
+(``kernel/jbig2.py``), and JPEG 2000 (``kernel/jpx.py``, T.800 Part 1:
+5/3 + 9/7 wavelets, all progression orders, tiles — the round-6 close
+of the raster matrix). Remaining ``unsupported``: CMYK JPEG and the
+exotic JPX styles (precinct partitions, bypass/termall code-block
+modes, subsampling) — each raises in its kernel and classifies here.
 """
 
 from __future__ import annotations
@@ -22,16 +24,13 @@ from typing import List, Optional
 
 from .pdfparse import PDFDocument, StreamObj
 
-# filters whose output is still entropy-coded raster data, not raw samples.
-# CCITTFaxDecode left this set in round 5 (kernel/ccitt.py decodes G4,
-# G3-1D, and mixed K > 0), and so
-# did DCTDecode (kernel/jpeg.py decodes baseline SOF0 — every DCT stream
-# in the reference fixture corpus; progressive/CMYK raise → unsupported).
-_UNSUPPORTED_FILTERS = {"JPXDecode"}
-# JBIG2Decode left this set in round 6: kernel/jbig2.py decodes
-# arithmetic template-0 generic regions (MQ coder from ITU T.88 Annex
-# E); MMR/refinement/halftone/text regions raise JBIG2Error and
-# classify 'unsupported' below.
+# filters whose output is still entropy-coded raster data, not raw
+# samples. The set emptied over rounds 5-6 as kernels landed: CCITT
+# (ccitt.py), DCT (jpeg.py), JBIG2 (jbig2.py), and finally JPX
+# (jpx.py). Undecodable FEATURE subsets (progressive-CMYK JPEG, JBIG2
+# halftone regions, JPX precinct partitions, ...) raise inside their
+# kernel and classify 'unsupported' per-stream below.
+_UNSUPPORTED_FILTERS: set = set()
 
 _CHANNELS = {"DeviceRGB": 3, "CalRGB": 3, "DeviceGray": 1, "CalGray": 1,
              "DeviceCMYK": 4}
@@ -173,6 +172,29 @@ def _decode_one(doc: PDFDocument, xo: StreamObj) -> dict:
     }
     filters = _filter_names(doc, xo)
     if any(f in _UNSUPPORTED_FILTERS for f in filters):
+        return row
+    if "JPXDecode" in filters:
+        # JPEG 2000 (kernel/jpx.py). Per ISO 32000 §7.4.9 the codestream
+        # is authoritative for dimensions/depth/colorspace — the image
+        # dict MAY omit them all; only a NONZERO dict dim that disagrees
+        # is an error (the DCT convention below).
+        from .jpx import jpx_decode
+
+        try:
+            data = xo.get_data(doc)
+            d = jpx_decode(bytes(data))
+        except Exception:  # noqa: BLE001 — unsupported style / broken
+            return row
+        jw, jh, jc = d["width"], d["height"], d["n_components"]
+        if (width and width != jw) or (height and height != jh):
+            row["status"] = "error"
+            return row
+        row.update(
+            width=jw, height=jh, bits=8, channels=jc,
+            colorspace=row["colorspace"] or ("DeviceRGB" if jc == 3
+                                             else "DeviceGray"),
+            samples=d["samples"].tobytes(), status="ok",
+        )
         return row
     if any(f in ("DCTDecode", "DCT") for f in filters):
         # baseline JPEG (kernel/jpeg.py); earlier chain filters (e.g.

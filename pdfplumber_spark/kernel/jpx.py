@@ -1,0 +1,1429 @@
+"""From-scratch JPEG 2000 Part 1 (ITU-T T.800 / ISO 15444-1) codec —
+decoder for PDF ``/JPXDecode`` image streams plus the matching encoder
+for test/corpus generation.
+
+Public sources only: ITU-T T.800 — Annex B (codestream syntax: SIZ,
+COD/COC, QCD/QCC, SOT/SOD, packet headers with tag trees, bit
+stuffing), Annex C (the MQ arithmetic coder — the SAME coder as ITU-T
+T.88, reused from ``kernel/jbig2.py``), Annex D (EBCOT Tier-1
+coefficient bit modelling: significance propagation / magnitude
+refinement / cleanup passes, context tables D.1-D.4, run-length and
+UNIFORM contexts), Annex E (scalar quantization / dequantization),
+Annex F (reversible 5/3 and irreversible 9/7 wavelet lifting with
+whole-sample symmetric extension; the 9/7 normalization is pinned
+against the published Table F.4 filter taps in the tests), Annex G
+(RCT/ICT component transforms, DC level shift), and ISO 15444-1
+Annex I (the minimal JP2 box container).
+
+Reference analogue: pdfplumber delegates JPX pixel access to
+PIL/pypdfium2 (``display.py``); this engine decodes in-process.
+
+Scope: single quality layer or multiple layers, all five progression
+orders at maximal precincts (one precinct per resolution; Scod
+precinct partitions raise), tile grids whose tile size is a multiple
+of ``2**levels`` (so subband parity stays even — typical 256/512/1024
+tiles), zero image/tile offsets, no subsampling (XRsiz=YRsiz=1),
+unsigned components up to 16 bits. Code-block styles: segmentation
+symbols supported; bypass / reset / termall / causal raise
+(classified 'unsupported' upstream, the DCT precedent). The reference
+corpus contains NO JPX fixtures (surveyed round 6), so external
+interop cannot be exercised offline; correctness is pinned by
+encoder/decoder roundtrips (lossless 5/3 bit-exact, 9/7 within
+quantizer tolerance), by the Table F.4 filter-tap anchor for the 9/7
+normalization, and by structural marker tests — the JBIG2/JPEG
+precedent, stated honestly.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .jbig2 import MQDecoder, MQEncoder
+
+__all__ = ["JPXError", "jpx_decode", "jpx_encode"]
+
+
+class JPXError(Exception):
+    pass
+
+
+def _ceildiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+# ---------------------------------------------------------------------------
+# Packet-header bit I/O with 0xFF bit-stuffing (T.800 B.10.1): a byte
+# following 0xFF carries only 7 payload bits (its MSB is a stuffed 0).
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+        self.last = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise JPXError("packet header overrun")
+            b = self.data[self.pos]
+            self.pos += 1
+            if self.last == 0xFF:
+                if b & 0x80:
+                    raise JPXError("missing stuffed 0 after 0xFF")
+                self.nbits = 7
+            else:
+                self.nbits = 8
+            self.buf = b
+            self.last = b
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def end_header(self) -> int:
+        """Byte-align; skip the stuffed byte a trailing 0xFF implies."""
+        self.nbits = 0
+        if self.last == 0xFF:
+            self.pos += 1
+        self.last = 0
+        return self.pos
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def bit(self, v: int):
+        self.buf = (self.buf << 1) | (v & 1)
+        self.nbits += 1
+        cap = 7 if (self.out and self.out[-1] == 0xFF) else 8
+        if self.nbits == cap:
+            self.out.append(self.buf)  # cap==7 -> MSB is the stuffed 0
+            self.buf = 0
+            self.nbits = 0
+
+    def bits(self, v: int, n: int):
+        for k in range(n - 1, -1, -1):
+            self.bit((v >> k) & 1)
+
+    def end_header(self) -> bytes:
+        while self.nbits:
+            self.bit(0)
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append(0x00)
+        return bytes(self.out)
+
+
+# ---------------------------------------------------------------------------
+# Tag trees (T.800 B.10.2) — 2D quadtree of minima, decoded/encoded
+# incrementally against rising thresholds.
+
+
+class _TagTree:
+    def __init__(self, w: int, h: int):
+        self.dims: List[Tuple[int, int]] = []
+        while True:
+            self.dims.append((w, h))
+            if w == 1 and h == 1:
+                break
+            w, h = _ceildiv(w, 2), _ceildiv(h, 2)
+        # per level: low bound + resolved value arrays (None = unknown)
+        self.low = [[0] * (dw * dh) for (dw, dh) in self.dims]
+        self.val: List[List[Optional[int]]] = [
+            [None] * (dw * dh) for (dw, dh) in self.dims
+        ]
+
+    def _path(self, i: int, j: int) -> List[Tuple[int, int]]:
+        """(level, index) from root down to leaf (i, j)."""
+        out = []
+        for lev in range(len(self.dims) - 1, -1, -1):
+            dw, _dh = self.dims[lev]
+            out.append((lev, (j >> lev) * dw + (i >> lev)))
+        return out
+
+    def decode(self, br: _BitReader, i: int, j: int, threshold: int) -> bool:
+        """True iff leaf value is known and < threshold."""
+        low = 0
+        for lev, idx in self._path(i, j):
+            if self.low[lev][idx] < low:
+                self.low[lev][idx] = low
+            while self.val[lev][idx] is None:
+                if self.low[lev][idx] >= threshold:
+                    return False
+                if br.bit():
+                    self.val[lev][idx] = self.low[lev][idx]
+                else:
+                    self.low[lev][idx] += 1
+            low = self.val[lev][idx]
+        return low < threshold
+
+    # -- encoder side: values preset via set_values --------------------
+
+    def set_values(self, values: List[int]):
+        """Leaf values in raster order; internal nodes become minima."""
+        w0, h0 = self.dims[0]
+        assert len(values) == w0 * h0
+        self.true_val = [list(values)]
+        for lev in range(1, len(self.dims)):
+            pw, _ph = self.dims[lev - 1]
+            dw, dh = self.dims[lev]
+            prev = self.true_val[lev - 1]
+            cur = []
+            for y in range(dh):
+                for x in range(dw):
+                    cands = []
+                    for dy in (0, 1):
+                        for dx in (0, 1):
+                            px, py = 2 * x + dx, 2 * y + dy
+                            if px < pw and py * pw + px < len(prev):
+                                cands.append(prev[py * pw + px])
+                    cur.append(min(cands))
+            self.true_val.append(cur)
+
+    def encode(self, bw: _BitWriter, i: int, j: int, threshold: int):
+        """Emit exactly the bits decode() would consume."""
+        low = 0
+        for lev, idx in self._path(i, j):
+            if self.low[lev][idx] < low:
+                self.low[lev][idx] = low
+            tv = self.true_val[lev][idx]
+            while self.val[lev][idx] is None:
+                if self.low[lev][idx] >= threshold:
+                    return
+                if self.low[lev][idx] == tv:
+                    bw.bit(1)
+                    self.val[lev][idx] = tv
+                else:
+                    bw.bit(0)
+                    self.low[lev][idx] += 1
+            low = self.val[lev][idx]
+
+
+# ---------------------------------------------------------------------------
+# Wavelet transforms (T.800 Annex F) — lifting on interleaved signals,
+# whole-sample symmetric extension, vectorized along one numpy axis.
+# Low-pass samples sit at even indices (all supported origins are 0 mod
+# 2**levels, so subband parity is fixed).
+
+_ALPHA = -1.586134342059924
+_BETA = -0.052980118572961
+_GAMMA = 0.882911075530934
+_DELTA = 0.443506852043971
+_KAPPA = 1.230174104914001
+
+
+def _refl(i: np.ndarray, n: int) -> np.ndarray:
+    if n == 1:
+        return np.zeros_like(i)
+    p = 2 * n - 2
+    i = np.mod(i, p)
+    return np.where(i >= n, p - i, i)
+
+
+def _lift(a: np.ndarray, targets: np.ndarray, n: int, op, weight=None):
+    """targets += op(neighbors) along the last axis (in place)."""
+    left = _refl(targets - 1, n)
+    right = _refl(targets + 1, n)
+    s = a[..., left] + a[..., right]
+    a[..., targets] += op(s) if weight is None else weight * s
+
+
+def _syn_53(a: np.ndarray, axis: int) -> np.ndarray:
+    a = np.moveaxis(a, axis, -1)
+    n = a.shape[-1]
+    if n > 1:
+        ev = np.arange(0, n, 2)
+        od = np.arange(1, n, 2)
+        _lift(a, ev, n, lambda s: -((s + 2) >> 2))
+        _lift(a, od, n, lambda s: s >> 1)
+    return np.moveaxis(a, -1, axis)
+
+
+def _fwd_53(a: np.ndarray, axis: int) -> np.ndarray:
+    a = np.moveaxis(a, axis, -1)
+    n = a.shape[-1]
+    if n > 1:
+        ev = np.arange(0, n, 2)
+        od = np.arange(1, n, 2)
+        _lift(a, od, n, lambda s: -(s >> 1))
+        _lift(a, ev, n, lambda s: (s + 2) >> 2)
+    return np.moveaxis(a, -1, axis)
+
+
+def _syn_97(a: np.ndarray, axis: int) -> np.ndarray:
+    a = np.moveaxis(a, axis, -1)
+    n = a.shape[-1]
+    ev = np.arange(0, n, 2)
+    od = np.arange(1, n, 2)
+    a[..., ev] *= _KAPPA
+    a[..., od] *= 1.0 / _KAPPA
+    if n > 1:
+        _lift(a, ev, n, None, weight=-_DELTA)
+        _lift(a, od, n, None, weight=-_GAMMA)
+        _lift(a, ev, n, None, weight=-_BETA)
+        _lift(a, od, n, None, weight=-_ALPHA)
+    return np.moveaxis(a, -1, axis)
+
+
+def _fwd_97(a: np.ndarray, axis: int) -> np.ndarray:
+    a = np.moveaxis(a, axis, -1)
+    n = a.shape[-1]
+    ev = np.arange(0, n, 2)
+    od = np.arange(1, n, 2)
+    if n > 1:
+        _lift(a, od, n, None, weight=_ALPHA)
+        _lift(a, ev, n, None, weight=_BETA)
+        _lift(a, od, n, None, weight=_GAMMA)
+        _lift(a, ev, n, None, weight=_DELTA)
+    a[..., ev] *= 1.0 / _KAPPA
+    a[..., od] *= _KAPPA
+    return np.moveaxis(a, -1, axis)
+
+
+def _band_dims(w: int, h: int, lev: int, xob: int, yob: int) -> Tuple[int, int]:
+    """Subband size for a tile of (w, h) at origin 0 (T.800 eq. B-15)."""
+    full, half = 1 << lev, 1 << (lev - 1)
+    bw = max(0, _ceildiv(w - xob * half, full))
+    bh = max(0, _ceildiv(h - yob * half, full))
+    return bw, bh
+
+
+def _idwt(bands: Dict[Tuple[int, str], np.ndarray], w: int, h: int,
+          levels: int, reversible: bool) -> np.ndarray:
+    cur = bands[(levels, "LL")] if levels else bands[(0, "LL")]
+    syn = _syn_53 if reversible else _syn_97
+    for lev in range(levels, 0, -1):
+        wl, hl = _ceildiv(w, 1 << (lev - 1)), _ceildiv(h, 1 << (lev - 1))
+        dtype = np.int64 if reversible else np.float64
+        a = np.zeros((hl, wl), dtype=dtype)
+        a[0::2, 0::2] = cur
+        a[0::2, 1::2] = bands[(lev, "HL")]
+        a[1::2, 0::2] = bands[(lev, "LH")]
+        a[1::2, 1::2] = bands[(lev, "HH")]
+        a = syn(a, 1)  # horizontal first (rows), then vertical
+        a = syn(a, 0)
+        cur = a
+    return cur
+
+
+def _fdwt(img: np.ndarray, levels: int,
+          reversible: bool) -> Dict[Tuple[int, str], np.ndarray]:
+    fwd = _fwd_53 if reversible else _fwd_97
+    bands: Dict[Tuple[int, str], np.ndarray] = {}
+    cur = img.astype(np.int64 if reversible else np.float64)
+    for lev in range(1, levels + 1):
+        a = fwd(cur, 0)  # exact inverse order of _idwt: vertical first
+        a = fwd(a, 1)
+        bands[(lev, "HL")] = a[0::2, 1::2].copy()
+        bands[(lev, "LH")] = a[1::2, 0::2].copy()
+        bands[(lev, "HH")] = a[1::2, 1::2].copy()
+        cur = a[0::2, 0::2].copy()
+    bands[(levels, "LL")] = cur
+    return bands
+
+
+# ---------------------------------------------------------------------------
+# Tier-1: EBCOT coefficient bit modelling (T.800 Annex D).
+# Context numbering: 0-8 zero coding, 9-13 sign coding, 14-16 magnitude
+# refinement, 17 run-length, 18 UNIFORM. Initial MQ states (Table D.7):
+# context 0 -> 4, RL -> 3, UNIFORM -> 46, others 0.
+
+_CTX_RL = 17
+_CTX_UNI = 18
+_N_CTX = 19
+
+
+def _init_t1_states(coder):
+    coder.i[0] = 4
+    coder.i[_CTX_RL] = 3
+    coder.i[_CTX_UNI] = 46
+
+
+def _build_zc_lut(band: str) -> List[List[List[int]]]:
+    """zc[h][v][d] -> context 0-8 (T.800 Table D.1)."""
+    tbl = [[[0] * 5 for _ in range(3)] for _ in range(3)]
+    for h in range(3):
+        for v in range(3):
+            for d in range(5):
+                if band == "HL":
+                    hh, vv = v, h  # HL: roles of h and v swap
+                else:
+                    hh, vv = h, v
+                if band == "HH":
+                    hv = h + v
+                    if d >= 3:
+                        c = 8
+                    elif d == 2:
+                        c = 7 if hv >= 1 else 6
+                    elif d == 1:
+                        c = 5 if hv >= 2 else (4 if hv == 1 else 3)
+                    else:
+                        c = 2 if hv >= 2 else (1 if hv == 1 else 0)
+                else:
+                    if hh == 2:
+                        c = 8
+                    elif hh == 1:
+                        c = 7 if vv >= 1 else (6 if d >= 1 else 5)
+                    else:
+                        if vv == 2:
+                            c = 4
+                        elif vv == 1:
+                            c = 3
+                        else:
+                            c = 2 if d >= 2 else (1 if d == 1 else 0)
+                tbl[h][v][d] = c
+    return tbl
+
+
+_ZC_LUT = {b: _build_zc_lut(b) for b in ("LL", "LH", "HL", "HH")}
+
+# sign coding (Tables D.3/D.4): (hc+1, vc+1) -> (context, xor bit)
+_SC_LUT = {
+    (2, 2): (13, 0), (2, 1): (12, 0), (2, 0): (11, 0),
+    (1, 2): (10, 0), (1, 1): (9, 0), (1, 0): (10, 1),
+    (0, 2): (11, 1), (0, 1): (12, 1), (0, 0): (13, 1),
+}
+
+
+class _T1State:
+    """Shared state machine for the three coding passes; the encoder and
+    decoder drive identical control flow so context decisions agree."""
+
+    def __init__(self, w: int, h: int, band: str):
+        self.w, self.h = w, h
+        self.zc = _ZC_LUT[band]
+        n = w * h
+        self.sig = bytearray(n)
+        self.vis = bytearray(n)
+        self.ref = bytearray(n)
+        self.sgn = bytearray(n)
+        self.mag = [0] * n
+
+    def _nbhood(self, x: int, y: int) -> Tuple[int, int, int]:
+        w, h, sig = self.w, self.h, self.sig
+        hc = vc = dc = 0
+        if x > 0 and sig[y * w + x - 1]:
+            hc += 1
+        if x + 1 < w and sig[y * w + x + 1]:
+            hc += 1
+        if y > 0 and sig[(y - 1) * w + x]:
+            vc += 1
+        if y + 1 < h and sig[(y + 1) * w + x]:
+            vc += 1
+        for dy in (-1, 1):
+            yy = y + dy
+            if 0 <= yy < h:
+                for dx in (-1, 1):
+                    xx = x + dx
+                    if 0 <= xx < w and sig[yy * w + xx]:
+                        dc += 1
+        return hc, vc, dc
+
+    def _zc_ctx(self, x: int, y: int) -> int:
+        hc, vc, dc = self._nbhood(x, y)
+        return self.zc[hc][vc][dc]
+
+    def _sc_ctx(self, x: int, y: int) -> Tuple[int, int]:
+        w, h, sig, sgn = self.w, self.h, self.sig, self.sgn
+        hc = vc = 0
+        if x > 0 and sig[y * w + x - 1]:
+            hc += 1 if not sgn[y * w + x - 1] else -1
+        if x + 1 < w and sig[y * w + x + 1]:
+            hc += 1 if not sgn[y * w + x + 1] else -1
+        if y > 0 and sig[(y - 1) * w + x]:
+            vc += 1 if not sgn[(y - 1) * w + x] else -1
+        if y + 1 < h and sig[(y + 1) * w + x]:
+            vc += 1 if not sgn[(y + 1) * w + x] else -1
+        hc = max(-1, min(1, hc))
+        vc = max(-1, min(1, vc))
+        return _SC_LUT[(hc + 1, vc + 1)]
+
+    def _mr_ctx(self, x: int, y: int, idx: int) -> int:
+        if self.ref[idx]:
+            return 16
+        hc, vc, dc = self._nbhood(x, y)
+        return 15 if (hc + vc + dc) else 14
+
+    def scan(self):
+        """Stripe-of-4 scan order: (x, y, idx, stripe_top)."""
+        w, h = self.w, self.h
+        for k0 in range(0, h, 4):
+            for x in range(w):
+                for y in range(k0, min(k0 + 4, h)):
+                    yield x, y, y * w + x, k0
+
+
+def _t1_pass_spp(st: _T1State, p: int, dec, enc):
+    """Significance propagation; dec/enc is the MQ side in use."""
+    for x, y, idx, _k0 in st.scan():
+        if st.sig[idx]:
+            st.vis[idx] = 0
+            continue
+        ctx = st._zc_ctx(x, y)
+        if ctx == 0:
+            st.vis[idx] = 0
+            continue
+        st.vis[idx] = 1
+        if dec is not None:
+            bit = dec.decode(ctx)
+        else:
+            bit = (enc.av[idx] >> p) & 1
+            enc.mq.encode(ctx, bit)
+        if bit:
+            sctx, xorbit = st._sc_ctx(x, y)
+            if dec is not None:
+                s = dec.decode(sctx) ^ xorbit
+                st.mag[idx] = 1 << p
+            else:
+                s = enc.sg[idx]
+                enc.mq.encode(sctx, s ^ xorbit)
+            st.sgn[idx] = s
+            st.sig[idx] = 1
+
+
+def _t1_pass_mrp(st: _T1State, p: int, dec, enc):
+    for x, y, idx, _k0 in st.scan():
+        if not st.sig[idx] or st.vis[idx]:
+            continue
+        ctx = st._mr_ctx(x, y, idx)
+        if dec is not None:
+            bit = dec.decode(ctx)
+            if bit:
+                st.mag[idx] |= 1 << p
+        else:
+            bit = (enc.av[idx] >> p) & 1
+            enc.mq.encode(ctx, bit)
+        st.ref[idx] = 1
+
+
+def _t1_pass_cup(st: _T1State, p: int, dec, enc, segsym: bool):
+    w, h = st.w, st.h
+    for k0 in range(0, h, 4):
+        for x in range(w):
+            y = k0
+            while y < min(k0 + 4, h):
+                if y == k0 and k0 + 4 <= h:
+                    col = [(yy * w + x) for yy in range(k0, k0 + 4)]
+                    if all(
+                        not st.sig[i] and not st.vis[i] for i in col
+                    ) and all(
+                        st._zc_ctx(x, yy) == 0 for yy in range(k0, k0 + 4)
+                    ):
+                        # run-length mode for the aligned column of 4
+                        if dec is not None:
+                            if not dec.decode(_CTX_RL):
+                                break  # whole column insignificant
+                            r = (dec.decode(_CTX_UNI) << 1) | dec.decode(
+                                _CTX_UNI
+                            )
+                        else:
+                            r = -1
+                            for k, i in enumerate(col):
+                                if (enc.av[i] >> p) & 1:
+                                    r = k
+                                    break
+                            if r < 0:
+                                enc.mq.encode(_CTX_RL, 0)
+                                break
+                            enc.mq.encode(_CTX_RL, 1)
+                            enc.mq.encode(_CTX_UNI, (r >> 1) & 1)
+                            enc.mq.encode(_CTX_UNI, r & 1)
+                        y = k0 + r
+                        idx = y * w + x
+                        sctx, xorbit = st._sc_ctx(x, y)
+                        if dec is not None:
+                            s = dec.decode(sctx) ^ xorbit
+                            st.mag[idx] = 1 << p
+                        else:
+                            s = enc.sg[idx]
+                            enc.mq.encode(sctx, s ^ xorbit)
+                        st.sgn[idx] = s
+                        st.sig[idx] = 1
+                        y += 1
+                        continue
+                idx = y * w + x
+                if not st.sig[idx] and not st.vis[idx]:
+                    ctx = st._zc_ctx(x, y)
+                    if dec is not None:
+                        bit = dec.decode(ctx)
+                    else:
+                        bit = (enc.av[idx] >> p) & 1
+                        enc.mq.encode(ctx, bit)
+                    if bit:
+                        sctx, xorbit = st._sc_ctx(x, y)
+                        if dec is not None:
+                            s = dec.decode(sctx) ^ xorbit
+                            st.mag[idx] = 1 << p
+                        else:
+                            s = enc.sg[idx]
+                            enc.mq.encode(sctx, s ^ xorbit)
+                        st.sgn[idx] = s
+                        st.sig[idx] = 1
+                y += 1
+    for i in range(w * h):
+        st.vis[i] = 0
+    if segsym:
+        if dec is not None:
+            v = 0
+            for _ in range(4):
+                v = (v << 1) | dec.decode(_CTX_UNI)
+            if v != 0xA:
+                raise JPXError("segmentation symbol mismatch")
+        else:
+            for b in (1, 0, 1, 0):
+                enc.mq.encode(_CTX_UNI, b)
+
+
+def t1_decode(data: bytes, w: int, h: int, band: str, mb: int,
+              npasses: int, segsym: bool = False
+              ) -> Tuple[List[int], List[int]]:
+    """Decode one code-block: returns (magnitudes, signs)."""
+    if mb <= 0 or npasses > 3 * mb - 2:
+        raise JPXError("inconsistent code-block pass count")
+    st = _T1State(w, h, band)
+    dec = MQDecoder(data, _N_CTX)
+    _init_t1_states(dec)
+    done = 0
+    for p in range(mb - 1, -1, -1):
+        passes = ((lambda: _t1_pass_cup(st, p, dec, None, segsym)),) \
+            if p == mb - 1 else (
+                (lambda: _t1_pass_spp(st, p, dec, None)),
+                (lambda: _t1_pass_mrp(st, p, dec, None)),
+                (lambda: _t1_pass_cup(st, p, dec, None, segsym)),
+            )
+        for fn in passes:
+            if done >= npasses:
+                return st.mag, list(st.sgn)
+            fn()
+            done += 1
+    return st.mag, list(st.sgn)
+
+
+class _T1Enc:
+    def __init__(self, av: List[int], sg: List[int]):
+        self.av = av
+        self.sg = sg
+        self.mq = MQEncoder(_N_CTX)
+        _init_t1_states(self.mq)
+
+
+def t1_encode(values: List[int], w: int, h: int, band: str,
+              segsym: bool = False) -> Tuple[bytes, int, int]:
+    """Encode one code-block of signed ints; returns
+    (mq bytes, npasses, magnitude bitplane count)."""
+    av = [abs(v) for v in values]
+    sg = [1 if v < 0 else 0 for v in values]
+    planes = max(av).bit_length() if any(av) else 0
+    if planes == 0:
+        return b"", 0, 0
+    st = _T1State(w, h, band)
+    enc = _T1Enc(av, sg)
+    for p in range(planes - 1, -1, -1):
+        if p != planes - 1:
+            _t1_pass_spp(st, p, None, enc)
+            _t1_pass_mrp(st, p, None, enc)
+        _t1_pass_cup(st, p, None, enc, segsym)
+    return enc.mq.flush(), 3 * planes - 2, planes
+
+
+# ---------------------------------------------------------------------------
+# Tier-2: packets (T.800 B.9/B.10). One precinct per resolution
+# (maximal PPx=PPy), so the code-block grid of a subband is the
+# precinct's grid and each subband carries one inclusion + one
+# zero-bitplane tag tree.
+
+_GAIN = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
+
+
+class _Block:
+    __slots__ = ("x0", "y0", "w", "h", "chunks", "npasses", "included",
+                 "lblock", "zbp", "data", "enc_npasses", "enc_planes")
+
+    def __init__(self, x0: int, y0: int, w: int, h: int):
+        self.x0, self.y0, self.w, self.h = x0, y0, w, h
+        self.chunks: List[bytes] = []
+        self.npasses = 0
+        self.included = False
+        self.lblock = 3
+        self.zbp: Optional[int] = None
+        self.data = b""         # encoder side
+        self.enc_npasses = 0
+        self.enc_planes = 0
+
+
+class _Band:
+    def __init__(self, btype: str, lev: int, w: int, h: int, mb: int,
+                 delta: Optional[float], cbw: int, cbh: int):
+        self.type, self.lev, self.w, self.h = btype, lev, w, h
+        self.mb = mb
+        self.delta = delta  # None -> reversible (no dequantization)
+        self.ncbx = _ceildiv(w, cbw) if w else 0
+        self.ncby = _ceildiv(h, cbh) if h else 0
+        self.blocks: List[List[_Block]] = [
+            [
+                _Block(bx * cbw, by * cbh,
+                       min(cbw, w - bx * cbw), min(cbh, h - by * cbh))
+                for bx in range(self.ncbx)
+            ]
+            for by in range(self.ncby)
+        ]
+        if self.ncbx and self.ncby:
+            self.inc_tree = _TagTree(self.ncbx, self.ncby)
+            self.zbp_tree = _TagTree(self.ncbx, self.ncby)
+
+    def iter_blocks(self):
+        for by in range(self.ncby):
+            for bx in range(self.ncbx):
+                yield bx, by, self.blocks[by][bx]
+
+
+def _read_npasses(br: _BitReader) -> int:
+    if not br.bit():
+        return 1
+    if not br.bit():
+        return 2
+    v = br.bits(2)
+    if v < 3:
+        return 3 + v
+    v = br.bits(5)
+    if v < 31:
+        return 6 + v
+    return 37 + br.bits(7)
+
+
+def _write_npasses(bw: _BitWriter, n: int):
+    if n == 1:
+        bw.bit(0)
+    elif n == 2:
+        bw.bits(0b10, 2)
+    elif n <= 5:
+        bw.bits(0b11, 2)
+        bw.bits(n - 3, 2)
+    elif n <= 36:
+        bw.bits(0b1111, 4)
+        bw.bits(n - 6, 5)
+    elif n <= 164:
+        bw.bits(0b111111111, 9)
+        bw.bits(n - 37, 7)
+    else:
+        raise JPXError("too many coding passes")
+
+
+def _read_packet(buf: bytes, pos: int, bands: List[_Band], layer: int,
+                 use_sop: bool, use_eph: bool) -> int:
+    """Parse one packet starting at ``pos``; returns the new position."""
+    if use_sop and buf[pos:pos + 2] == b"\xff\x91":
+        pos += 6  # SOP marker segment: FF91 + Lsop(=4) + Nsop
+    br = _BitReader(buf, pos)
+    segs: List[Tuple[_Block, int, int]] = []
+    if br.bit():  # non-empty packet
+        for band in bands:
+            if not (band.ncbx and band.ncby):
+                continue
+            for bx, by, blk in band.iter_blocks():
+                if blk.included:
+                    inc = br.bit()
+                else:
+                    inc = band.inc_tree.decode(br, bx, by, layer + 1)
+                if not inc:
+                    continue
+                if not blk.included:
+                    zb = 0
+                    while not band.zbp_tree.decode(br, bx, by, zb + 1):
+                        zb += 1
+                    blk.zbp = zb
+                    blk.included = True
+                np_new = _read_npasses(br)
+                while br.bit():
+                    blk.lblock += 1
+                nbits = blk.lblock + (np_new.bit_length() - 1)
+                nbytes = br.bits(nbits)
+                segs.append((blk, np_new, nbytes))
+    pos = br.end_header()
+    if use_eph:
+        if buf[pos:pos + 2] != b"\xff\x92":
+            raise JPXError("missing EPH marker")
+        pos += 2
+    for blk, np_new, nbytes in segs:
+        if pos + nbytes > len(buf):
+            raise JPXError("packet body overrun")
+        blk.chunks.append(buf[pos:pos + nbytes])
+        blk.npasses += np_new
+        pos += nbytes
+    return pos
+
+
+def _write_packet(bands: List[_Band], layer: int) -> bytes:
+    """Single-layer encoder: every block with data joins layer 0."""
+    bw = _BitWriter()
+    body = bytearray()
+    any_data = any(
+        blk.data for band in bands for _, _, blk in band.iter_blocks()
+    )
+    if not any_data:
+        bw.bit(0)
+        return bw.end_header()
+    bw.bit(1)
+    for band in bands:
+        if not (band.ncbx and band.ncby):
+            continue
+        for bx, by, blk in band.iter_blocks():
+            if blk.included:
+                bw.bit(1 if blk.data else 0)
+            else:
+                band.inc_tree.encode(bw, bx, by, layer + 1)
+            if not blk.data:
+                continue
+            if not blk.included:
+                zb = band.mb - blk.enc_planes
+                for t in range(1, zb + 2):
+                    band.zbp_tree.encode(bw, bx, by, t)
+                blk.included = True
+            _write_npasses(bw, blk.enc_npasses)
+            need = len(blk.data).bit_length()
+            nbits = blk.lblock + (blk.enc_npasses.bit_length() - 1)
+            while nbits < need:
+                bw.bit(1)
+                blk.lblock += 1
+                nbits += 1
+            bw.bit(0)
+            bw.bits(len(blk.data), nbits)
+            body += blk.data
+    return bw.end_header() + bytes(body)
+
+
+def _packet_sequence(prog: int, nlayers: int, ncomps: int,
+                     res_counts: List[int]):
+    """Yield (comp, res, layer) in progression order; one precinct per
+    resolution collapses the position loops (T.800 B.12)."""
+    maxres = max(res_counts)
+    if prog == 0:  # LRCP
+        for l in range(nlayers):
+            for r in range(maxres):
+                for c in range(ncomps):
+                    if r < res_counts[c]:
+                        yield c, r, l
+    elif prog == 1:  # RLCP
+        for r in range(maxres):
+            for l in range(nlayers):
+                for c in range(ncomps):
+                    if r < res_counts[c]:
+                        yield c, r, l
+    elif prog == 2:  # RPCL
+        for r in range(maxres):
+            for c in range(ncomps):
+                if r < res_counts[c]:
+                    for l in range(nlayers):
+                        yield c, r, l
+    elif prog in (3, 4):  # PCRL / CPRL (position loop is trivial)
+        for c in range(ncomps):
+            for r in range(res_counts[c]):
+                for l in range(nlayers):
+                    yield c, r, l
+    else:
+        raise JPXError(f"unknown progression order {prog}")
+
+
+# ---------------------------------------------------------------------------
+# Codestream syntax (T.800 Annex A/B).
+
+_SOC, _SIZ, _COD, _COC, _QCD, _QCC = 0xFF4F, 0xFF51, 0xFF52, 0xFF53, 0xFF5C, 0xFF5D
+_SOT, _SOD, _EOC, _COM = 0xFF90, 0xFF93, 0xFFD9, 0xFF64
+_SKIPPABLE = {0xFF55, 0xFF57, 0xFF58, 0xFF63, _COM}  # TLM/PLM/PLT/CRG
+_UNSUPPORTED_MARKERS = {0xFF5E: "RGN", 0xFF5F: "POC", 0xFF60: "PPM",
+                        0xFF61: "PPT"}
+
+
+class _COD_:
+    __slots__ = ("prog", "nlayers", "mct", "levels", "xcb", "ycb",
+                 "cbstyle", "transform", "use_sop", "use_eph")
+
+
+class _QCD_:
+    __slots__ = ("style", "guard", "exps", "mants")
+
+
+def _parse_cod(body: bytes, marker: str) -> _COD_:
+    c = _COD_()
+    scod = body[0]
+    if scod & 0x01:
+        raise JPXError("user-defined precincts unsupported")
+    c.use_sop = bool(scod & 0x02)
+    c.use_eph = bool(scod & 0x04)
+    c.prog = body[1]
+    c.nlayers = struct.unpack(">H", body[2:4])[0]
+    c.mct = body[4]
+    c.levels = body[5]
+    if c.levels > 32:
+        raise JPXError("too many decomposition levels")
+    c.xcb = (body[6] & 0x0F) + 2
+    c.ycb = (body[7] & 0x0F) + 2
+    if c.xcb > 10 or c.ycb > 10 or c.xcb + c.ycb > 12:
+        raise JPXError("bad code-block size")
+    c.cbstyle = body[8]
+    if c.cbstyle & 0x0F:  # bypass / reset / termall / causal
+        raise JPXError("unsupported code-block style")
+    c.transform = body[9]
+    if c.transform not in (0, 1):
+        raise JPXError("unknown wavelet transform")
+    if c.nlayers < 1:
+        raise JPXError("no quality layers")
+    return c
+
+
+def _parse_coc_sp(body: bytes, base: _COD_) -> _COD_:
+    """COC: Scoc + SPcoc override the coding-style parameters only."""
+    c = _COD_()
+    c.prog, c.nlayers, c.mct = base.prog, base.nlayers, base.mct
+    c.use_sop, c.use_eph = base.use_sop, base.use_eph
+    if body[0] & 0x01:
+        raise JPXError("user-defined precincts unsupported")
+    c.levels = body[1]
+    c.xcb = (body[2] & 0x0F) + 2
+    c.ycb = (body[3] & 0x0F) + 2
+    c.cbstyle = body[4]
+    if c.cbstyle & 0x0F:
+        raise JPXError("unsupported code-block style")
+    c.transform = body[5]
+    return c
+
+
+def _parse_qcd(body: bytes) -> _QCD_:
+    q = _QCD_()
+    q.style = body[0] & 0x1F
+    q.guard = body[0] >> 5
+    q.exps, q.mants = [], []
+    if q.style == 0:
+        for b in body[1:]:
+            q.exps.append(b >> 3)
+            q.mants.append(0)
+    elif q.style in (1, 2):
+        for k in range(1, len(body) - 1, 2):
+            v = struct.unpack(">H", body[k:k + 2])[0]
+            q.exps.append(v >> 11)
+            q.mants.append(v & 0x7FF)
+    else:
+        raise JPXError(f"unknown quantization style {q.style}")
+    if not q.exps:
+        raise JPXError("empty quantization segment")
+    return q
+
+
+def _band_quant(q: _QCD_, levels: int, lev: int, btype: str,
+                depth: int, reversible: bool
+                ) -> Tuple[int, Optional[float]]:
+    """-> (Mb, delta) for a subband (T.800 E.1); delta None = reversible."""
+    if btype == "LL":
+        bidx = 0
+    else:
+        r = levels - lev + 1
+        bidx = 3 * (r - 1) + 1 + ("HL", "LH", "HH").index(btype)
+    if q.style == 1:  # derived: one entry, exponents follow the level
+        eps = q.exps[0] - levels + lev
+        mant = q.mants[0]
+    else:
+        if bidx >= len(q.exps):
+            raise JPXError("quantization segment too short")
+        eps, mant = q.exps[bidx], q.mants[bidx]
+    mb = q.guard + eps - 1
+    if mb <= 0 or mb > 38:
+        raise JPXError("bad bitplane allocation")
+    if reversible:
+        return mb, None
+    rb = depth + _GAIN[btype]
+    delta = (2.0 ** (rb - eps)) * (1.0 + mant / 2048.0)
+    return mb, delta
+
+
+def _collect_markers(data: bytes):
+    """Parse a raw codestream -> (siz dict, main cod/qcd + per-comp
+    overrides, tiles {idx: {"chunks": [...], "cod": ..., "qcd": ...,
+    "coc": {}, "qcc": {}}})."""
+    n = len(data)
+    if n < 4 or struct.unpack(">H", data[0:2])[0] != _SOC:
+        raise JPXError("not a JPEG 2000 codestream")
+    pos = 2
+    siz = None
+    cod = qcd = None
+    coc: Dict[int, _COD_] = {}
+    qcc: Dict[int, _QCD_] = {}
+    tiles: Dict[int, dict] = {}
+    while pos + 2 <= n:
+        marker = struct.unpack(">H", data[pos:pos + 2])[0]
+        pos += 2
+        if marker == _EOC:
+            break
+        if marker == _SOT:
+            lsot, isot, psot, _tpsot, _tnsot = struct.unpack(
+                ">HHIBB", data[pos:pos + 10]
+            )
+            if lsot != 10:
+                raise JPXError("bad SOT length")
+            sot_start = pos - 2
+            end = sot_start + psot if psot else n - 2
+            if end > n:
+                raise JPXError("tile-part overruns codestream")
+            # tile-part header: markers until SOD
+            tpos = pos + 10
+            t = tiles.setdefault(
+                isot, {"chunks": [], "cod": None, "qcd": None,
+                       "coc": {}, "qcc": {}}
+            )
+            while tpos + 2 <= end:
+                m2 = struct.unpack(">H", data[tpos:tpos + 2])[0]
+                tpos += 2
+                if m2 == _SOD:
+                    break
+                if m2 in _UNSUPPORTED_MARKERS:
+                    raise JPXError(
+                        f"{_UNSUPPORTED_MARKERS[m2]} marker unsupported")
+                ln = struct.unpack(">H", data[tpos:tpos + 2])[0]
+                body = data[tpos + 2:tpos + ln]
+                if m2 == _COD:
+                    t["cod"] = _parse_cod(body, "COD")
+                elif m2 == _QCD:
+                    t["qcd"] = _parse_qcd(body)
+                elif m2 == _COC:
+                    ci = body[0] if siz["ncomps"] <= 256 else struct.unpack(
+                        ">H", body[:2])[0]
+                    off = 1 if siz["ncomps"] <= 256 else 2
+                    t["coc"][ci] = _parse_coc_sp(
+                        body[off:], t["cod"] or cod)
+                elif m2 == _QCC:
+                    ci = body[0] if siz["ncomps"] <= 256 else struct.unpack(
+                        ">H", body[:2])[0]
+                    off = 1 if siz["ncomps"] <= 256 else 2
+                    t["qcc"][ci] = _parse_qcd(body[off:])
+                elif m2 not in _SKIPPABLE:
+                    raise JPXError(f"unexpected marker {m2:#06x} in tile")
+                tpos += ln
+            else:
+                raise JPXError("tile-part without SOD")
+            t["chunks"].append(data[tpos:end])
+            pos = end
+            continue
+        if pos + 2 > n:
+            raise JPXError("truncated marker segment")
+        ln = struct.unpack(">H", data[pos:pos + 2])[0]
+        body = data[pos + 2:pos + ln]
+        if marker == _SIZ:
+            (_rsiz, x, y, xo, yo, xt, yt, xto, yto, ncomps) = struct.unpack(
+                ">HIIIIIIIIH", body[:36]
+            )
+            if xo or yo or xto or yto:
+                raise JPXError("nonzero image/tile offsets unsupported")
+            depths, signed = [], []
+            for k in range(ncomps):
+                ssiz, xr, yr = struct.unpack(
+                    ">BBB", body[36 + 3 * k:39 + 3 * k])
+                if xr != 1 or yr != 1:
+                    raise JPXError("component subsampling unsupported")
+                if ssiz & 0x80:
+                    raise JPXError("signed components unsupported")
+                d = (ssiz & 0x7F) + 1
+                if d > 16:
+                    raise JPXError("component depth > 16")
+                depths.append(d)
+                signed.append(False)
+            if x <= 0 or y <= 0 or x * y > 50_000_000:
+                raise JPXError("bad image dimensions")
+            if ncomps < 1 or ncomps > 16:
+                raise JPXError("bad component count")
+            siz = {"x": x, "y": y, "xt": xt, "yt": yt,
+                   "ncomps": ncomps, "depths": depths}
+        elif marker == _COD:
+            cod = _parse_cod(body, "COD")
+        elif marker == _QCD:
+            qcd = _parse_qcd(body)
+        elif marker == _COC:
+            ci = body[0] if siz["ncomps"] <= 256 else struct.unpack(
+                ">H", body[:2])[0]
+            off = 1 if siz["ncomps"] <= 256 else 2
+            coc[ci] = _parse_coc_sp(body[off:], cod)
+        elif marker == _QCC:
+            ci = body[0] if siz["ncomps"] <= 256 else struct.unpack(
+                ">H", body[:2])[0]
+            off = 1 if siz["ncomps"] <= 256 else 2
+            qcc[ci] = _parse_qcd(body[off:])
+        elif marker in _UNSUPPORTED_MARKERS:
+            raise JPXError(f"{_UNSUPPORTED_MARKERS[marker]} unsupported")
+        elif marker not in _SKIPPABLE:
+            raise JPXError(f"unexpected marker {marker:#06x}")
+        pos += ln
+    if siz is None or cod is None or qcd is None:
+        raise JPXError("missing SIZ/COD/QCD")
+    if not tiles:
+        raise JPXError("no tile-parts")
+    return siz, cod, qcd, coc, qcc, tiles
+
+
+def _decode_tile(siz, cod, qcd, coc, qcc, tinfo, tw: int, th: int
+                 ) -> List[np.ndarray]:
+    """Decode one tile -> per-component arrays (pre-MCT, pre-DC-shift)."""
+    ncomps = siz["ncomps"]
+    tcod = tinfo["cod"] or cod
+    tqcd = tinfo["qcd"] or qcd
+    comps_bands: List[List[List[_Band]]] = []  # [comp][res] -> bands
+    res_counts = []
+    for c in range(ncomps):
+        ccod = tinfo["coc"].get(c) or coc.get(c) or tcod
+        cqcd = tinfo["qcc"].get(c) or qcc.get(c) or tqcd
+        reversible = ccod.transform == 1
+        levels = ccod.levels
+        if (tw < siz["x"] or th < siz["y"]) and (
+            siz["xt"] % (1 << levels) or siz["yt"] % (1 << levels)
+        ):
+            raise JPXError(
+                "tile size not a multiple of 2**levels unsupported")
+        cbw, cbh = 1 << ccod.xcb, 1 << ccod.ycb
+        res_bands: List[List[_Band]] = []
+        for r in range(levels + 1):
+            bands = []
+            if r == 0:
+                lev = levels if levels else 0
+                bw, bh = _band_dims(tw, th, levels, 0, 0) if levels else (
+                    tw, th)
+                mb, delta = _band_quant(
+                    cqcd, levels, lev, "LL", siz["depths"][c], reversible)
+                bands.append(_Band("LL", lev, bw, bh, mb, delta, cbw, cbh))
+            else:
+                lev = levels - r + 1
+                for btype, xob, yob in (("HL", 1, 0), ("LH", 0, 1),
+                                        ("HH", 1, 1)):
+                    bw, bh = _band_dims(tw, th, lev, xob, yob)
+                    mb, delta = _band_quant(
+                        cqcd, levels, lev, btype, siz["depths"][c],
+                        reversible)
+                    bands.append(
+                        _Band(btype, lev, bw, bh, mb, delta, cbw, cbh))
+            res_bands.append(bands)
+        comps_bands.append(res_bands)
+        res_counts.append(levels + 1)
+    buf = b"".join(tinfo["chunks"])
+    pos = 0
+    for c, r, l in _packet_sequence(
+        tcod.prog, tcod.nlayers, ncomps, res_counts
+    ):
+        pos = _read_packet(buf, pos, comps_bands[c][r], l,
+                           tcod.use_sop, tcod.use_eph)
+    out = []
+    for c in range(ncomps):
+        ccod = tinfo["coc"].get(c) or coc.get(c) or tcod
+        reversible = ccod.transform == 1
+        segsym = bool(ccod.cbstyle & 0x20)
+        levels = ccod.levels
+        bands_arr: Dict[Tuple[int, str], np.ndarray] = {}
+        for r, bands in enumerate(comps_bands[c]):
+            for band in bands:
+                dtype = np.int64 if reversible else np.float64
+                arr = np.zeros((band.h, band.w), dtype=dtype)
+                for _bx, _by, blk in band.iter_blocks():
+                    if not blk.npasses:
+                        continue
+                    mb_eff = band.mb - (blk.zbp or 0)
+                    mag, sgn = t1_decode(
+                        b"".join(blk.chunks), blk.w, blk.h, band.type,
+                        mb_eff, blk.npasses, segsym)
+                    m = np.array(mag, dtype=np.float64).reshape(
+                        blk.h, blk.w)
+                    s = np.array(sgn, dtype=np.float64).reshape(
+                        blk.h, blk.w)
+                    if band.delta is None:
+                        vals = np.where(s > 0, -m, m).astype(np.int64)
+                    else:
+                        vals = np.where(m > 0, (m + 0.5) * band.delta, 0.0)
+                        vals = np.where(s > 0, -vals, vals)
+                    arr[blk.y0:blk.y0 + blk.h,
+                        blk.x0:blk.x0 + blk.w] = vals
+                bands_arr[(band.lev, band.type)] = arr
+        out.append(_idwt(bands_arr, tw, th, levels, reversible))
+    return out
+
+
+def _unwrap_jp2(data: bytes) -> bytes:
+    """Return the raw codestream: either the input itself or the
+    payload of the first 'jp2c' box (ISO 15444-1 Annex I)."""
+    if data[:2] == b"\xffO":  # FF4F = SOC
+        return data
+    pos, n = 0, len(data)
+    while pos + 8 <= n:
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        btype = data[pos + 4:pos + 8]
+        hdr = 8
+        if ln == 1:
+            (ln,) = struct.unpack(">Q", data[pos + 8:pos + 16])
+            hdr = 16
+        elif ln == 0:
+            ln = n - pos
+        if ln < hdr:
+            raise JPXError("bad JP2 box length")
+        if btype == b"jp2c":
+            return data[pos + hdr:pos + ln]
+        pos += ln
+    raise JPXError("no JPEG 2000 codestream box found")
+
+
+def jpx_decode(data: bytes) -> dict:
+    """Decode a JPX/JP2/J2K payload -> dict(width, height,
+    n_components, bits=8, samples=np.uint8 (h, w, c))."""
+    if not isinstance(data, (bytes, bytearray)) or len(data) < 8:
+        raise JPXError("not a JPEG 2000 stream")
+    try:
+        cs = _unwrap_jp2(bytes(data))
+        siz, cod, qcd, coc, qcc, tiles = _collect_markers(cs)
+        w, h, ncomps = siz["x"], siz["y"], siz["ncomps"]
+        ntx = _ceildiv(w, siz["xt"]) if siz["xt"] else 1
+        nty = _ceildiv(h, siz["yt"]) if siz["yt"] else 1
+        planes = [np.zeros((h, w), dtype=np.float64)
+                  for _ in range(ncomps)]
+        for ti in range(ntx * nty):
+            if ti not in tiles:
+                raise JPXError(f"missing tile {ti}")
+            tx, ty = ti % ntx, ti // ntx
+            x0, y0 = tx * siz["xt"], ty * siz["yt"]
+            tw = min(siz["xt"], w - x0)
+            th = min(siz["yt"], h - y0)
+            comps = _decode_tile(siz, cod, qcd, coc, qcc, tiles[ti],
+                                 tw, th)
+            tcod = tiles[ti]["cod"] or cod
+            if tcod.mct:
+                if ncomps < 3:
+                    raise JPXError("MCT with fewer than 3 components")
+                c0, c1, c2 = (a.astype(np.float64) for a in comps[:3])
+                if tcod.transform == 1:  # RCT inverse (integer)
+                    y_, u, v = (a.astype(np.int64) for a in comps[:3])
+                    g = y_ - ((u + v) >> 2)
+                    comps[0] = (v + g).astype(np.float64)
+                    comps[1] = g.astype(np.float64)
+                    comps[2] = (u + g).astype(np.float64)
+                else:  # ICT inverse
+                    comps[0] = c0 + 1.402 * c2
+                    comps[1] = c0 - 0.344136 * c1 - 0.714136 * c2
+                    comps[2] = c0 + 1.772 * c1
+            for c in range(ncomps):
+                planes[c][y0:y0 + th, x0:x0 + tw] = comps[c]
+        out = np.zeros((h, w, ncomps), dtype=np.uint8)
+        for c in range(ncomps):
+            d = siz["depths"][c]
+            vals = np.rint(planes[c]) + (1 << (d - 1))  # DC level shift
+            vals = np.clip(vals, 0, (1 << d) - 1).astype(np.int64)
+            if d > 8:
+                vals >>= d - 8
+            elif d < 8:
+                vals = (vals * 255) // ((1 << d) - 1)
+            out[:, :, c] = vals.astype(np.uint8)
+        return {"width": w, "height": h, "n_components": ncomps,
+                "bits": 8, "samples": out}
+    except JPXError:
+        raise
+    except Exception as exc:  # noqa: BLE001 — corrupt stream
+        raise JPXError(f"corrupt JPEG 2000 stream: {exc}") from exc
+
+
+# ---------------------------------------------------------------------------
+# Encoder (test/corpus generation): single tile, single quality layer,
+# maximal precincts — the exact subset the decoder's happy path covers,
+# so roundtrips exercise every decode stage.
+
+
+def _marker(code: int, body: bytes) -> bytes:
+    return struct.pack(">HH", code, len(body) + 2) + body
+
+
+def jpx_encode(arr: np.ndarray, levels: int = 2, reversible: bool = True,
+               cblk: Tuple[int, int] = (32, 32), mct: Optional[bool] = None,
+               segsym: bool = False, delta: float = 1.0 / 64.0,
+               prog: int = 0, jp2: bool = False,
+               tile_size: Optional[Tuple[int, int]] = None) -> bytes:
+    """Encode uint8 samples (h, w) or (h, w, c) -> J2K codestream
+    (or a minimal JP2 container when ``jp2``). Lossless when
+    ``reversible``; 9/7 + scalar quantization otherwise, with
+    ``delta`` the ABSOLUTE step in 8-bit sample units applied to
+    every subband (0.5 -> near-lossless maxerr ~1; 8.0 -> visibly
+    lossy; the default 1/64 is sub-unit, i.e. effectively exact
+    after rounding)."""
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.dtype != np.uint8:
+        raise JPXError("encoder expects uint8 (h, w[, c])")
+    h, w, ncomps = a.shape
+    if mct is None:
+        mct = ncomps == 3
+    if mct and ncomps < 3:
+        raise JPXError("MCT needs 3 components")
+    cbw, cbh = cblk
+    xcb, ycb = cbw.bit_length() - 1, cbh.bit_length() - 1
+    if (1 << xcb) != cbw or (1 << ycb) != cbh or not (
+        2 <= xcb <= 10 and 2 <= ycb <= 10 and xcb + ycb <= 12
+    ):
+        raise JPXError("bad code-block size")
+    guard = 2
+    depth = 8
+    comps = [a[:, :, c].astype(np.int64) - 128 for c in range(ncomps)]
+    if mct:
+        r_, g_, b_ = comps[0], comps[1], comps[2]
+        if reversible:  # RCT
+            comps[0] = (r_ + 2 * g_ + b_) >> 2
+            comps[1] = b_ - g_
+            comps[2] = r_ - g_
+        else:  # ICT
+            rf, gf, bf = (x.astype(np.float64) for x in (r_, g_, b_))
+            comps[0] = 0.299 * rf + 0.587 * gf + 0.114 * bf
+            comps[1] = -0.168736 * rf - 0.331264 * gf + 0.5 * bf
+            comps[2] = 0.5 * rf - 0.418688 * gf - 0.081312 * bf
+    if not reversible:
+        comps = [c.astype(np.float64) for c in comps]
+
+    # quantization table (identical for every component at depth 8)
+    band_order = [("LL", levels if levels else 0)] + [
+        (bt, levels - r + 1)
+        for r in range(1, levels + 1) for bt in ("HL", "LH", "HH")
+    ]
+    qparams = []  # (eps, mant, actual_delta_or_None) per band entry
+    for bt, _lev in band_order:
+        if reversible:
+            eps = depth + _GAIN[bt]
+            qparams.append((eps, 0, None))
+        else:
+            rb = depth + _GAIN[bt]
+            eps = rb - math.floor(math.log2(delta))
+            if not 0 <= eps <= 31:
+                raise JPXError("quantization step out of range")
+            mant = int(round((delta * 2.0 ** (eps - rb) - 1.0) * 2048))
+            mant = min(max(mant, 0), 2047)
+            actual = (2.0 ** (rb - eps)) * (1.0 + mant / 2048.0)
+            qparams.append((eps, mant, actual))
+
+    # tile grid (single tile unless tile_size given)
+    xt, yt = tile_size if tile_size else (w, h)
+    ntx, nty = _ceildiv(w, xt), _ceildiv(h, yt)
+    if ntx * nty > 1 and (xt % (1 << levels) or yt % (1 << levels)):
+        raise JPXError("tile size must be a multiple of 2**levels")
+    tile_parts = []
+    for ti in range(ntx * nty):
+        tx, ty = ti % ntx, ti // ntx
+        x0, y0 = tx * xt, ty * yt
+        tcomps = [cc[y0:y0 + yt, x0:x0 + xt] for cc in comps]
+        body = _encode_tile_body(tcomps, levels, reversible, cbw, cbh,
+                                 qparams, segsym, prog)
+        psot = 12 + 2 + len(body)
+        tile_parts.append(
+            struct.pack(">HHHIBB", _SOT, 10, ti, psot, 0, 1)
+            + struct.pack(">H", _SOD) + body
+        )
+
+    # markers
+    siz_body = struct.pack(
+        ">HIIIIIIIIH", 0, w, h, 0, 0, xt, yt, 0, 0, ncomps
+    ) + b"".join(struct.pack(">BBB", depth - 1, 1, 1)
+                 for _ in range(ncomps))
+    cod_body = bytes([
+        0x00,                       # Scod: no precincts/SOP/EPH
+        prog & 0xFF,
+    ]) + struct.pack(">H", 1) + bytes([
+        1 if mct else 0,
+        levels, xcb - 2, ycb - 2,
+        0x20 if segsym else 0x00,
+        1 if reversible else 0,
+    ])
+    if reversible:
+        qcd_body = bytes([(guard << 5) | 0]) + bytes(
+            (eps << 3) for eps, _m, _d in qparams
+        )
+    else:
+        qcd_body = bytes([(guard << 5) | 2]) + b"".join(
+            struct.pack(">H", (eps << 11) | mant)
+            for eps, mant, _d in qparams
+        )
+    cs = (struct.pack(">H", _SOC) + _marker(_SIZ, siz_body)
+          + _marker(_COD, cod_body) + _marker(_QCD, qcd_body)
+          + b"".join(tile_parts) + struct.pack(">H", _EOC))
+    return _wrap_jp2(cs, w, h, ncomps, depth) if jp2 else cs
+
+
+def _encode_tile_body(comps: List[np.ndarray], levels: int,
+                      reversible: bool, cbw: int, cbh: int,
+                      qparams: list, segsym: bool, prog: int) -> bytes:
+    """DWT -> quantize -> T1 -> packets for one tile's components."""
+    ncomps = len(comps)
+    guard = 2
+    comp_res_bands: List[List[List[_Band]]] = []
+    for c in range(ncomps):
+        bands_arr = _fdwt(comps[c], levels, reversible)
+        res_bands: List[List[_Band]] = []
+        bidx = 0
+        for r in range(levels + 1):
+            group = []
+            if r == 0:
+                keys = [("LL", levels if levels else 0)]
+            else:
+                lev = levels - r + 1
+                keys = [(bt, lev) for bt in ("HL", "LH", "HH")]
+            for bt, lev in keys:
+                eps, mant, actual = qparams[bidx]
+                bidx += 1
+                mb = guard + eps - 1
+                src = bands_arr[(lev, bt)]
+                if reversible:
+                    qv = src.astype(np.int64)
+                else:
+                    qv = (np.sign(src)
+                          * np.floor(np.abs(src) / actual)).astype(np.int64)
+                band = _Band(bt, lev, src.shape[1], src.shape[0], mb,
+                             actual, cbw, cbh)
+                inc_vals, zbp_vals = [], []
+                for _bx, _by, blk in band.iter_blocks():
+                    vals = qv[blk.y0:blk.y0 + blk.h,
+                              blk.x0:blk.x0 + blk.w].ravel().tolist()
+                    data, npasses, planes = t1_encode(
+                        vals, blk.w, blk.h, bt, segsym)
+                    if planes > mb:
+                        raise JPXError("coefficient exceeds Mb budget")
+                    blk.data = data
+                    blk.enc_npasses = npasses
+                    blk.enc_planes = planes
+                    inc_vals.append(0 if data else 1)
+                    zbp_vals.append(mb - planes if data else 0)
+                if band.ncbx and band.ncby:
+                    band.inc_tree.set_values(inc_vals)
+                    band.zbp_tree.set_values(zbp_vals)
+                group.append(band)
+            res_bands.append(group)
+        comp_res_bands.append(res_bands)
+
+    # packets (single layer) in the declared progression order
+    body = bytearray()
+    for c, r, l in _packet_sequence(prog, 1, ncomps,
+                                    [levels + 1] * ncomps):
+        body += _write_packet(comp_res_bands[c][r], l)
+    return bytes(body)
+
+
+def _wrap_jp2(cs: bytes, w: int, h: int, ncomps: int, depth: int) -> bytes:
+    """Minimal JP2 container (ISO 15444-1 Annex I)."""
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + btype + payload
+
+    sig = box(b"jP\x20\x20", b"\x0d\x0a\x87\x0a")
+    ftyp = box(b"ftyp", b"jp2 " + struct.pack(">I", 0) + b"jp2 ")
+    ihdr = box(b"ihdr", struct.pack(
+        ">IIHBBBB", h, w, ncomps, depth - 1, 7, 0, 0))
+    colr = box(b"colr", bytes([1, 0, 0]) + struct.pack(
+        ">I", 16 if ncomps >= 3 else 17))
+    jp2h = box(b"jp2h", ihdr + colr)
+    return sig + ftyp + jp2h + box(b"jp2c", cs)

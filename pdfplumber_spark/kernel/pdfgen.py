@@ -510,6 +510,32 @@ def make_pdf(pages: List[Dict], info: dict = None) -> bytes:
                 body = encode_embedded(
                     black, pw, ph, tpgdon=bool(seed % 2))
                 filt = b"/JBIG2Decode"
+            elif im.get("format") == "jpx":
+                # REAL embedded JPEG 2000 (kernel/jpx.py encoder):
+                # reversible 5/3 so the decoded samples equal the shared
+                # deterministic ground truth bit-exactly. Gray or RGB
+                # per im["channels"]; seed varies the container (raw
+                # J2K codestream vs JP2 box wrap) and progression order.
+                import numpy as _np
+
+                from .jpx import jpx_encode
+
+                bits = 8
+                if channels == 3:
+                    cs = b"/DeviceRGB"
+                    arr = _np.frombuffer(
+                        image_samples(seed, pw, ph, 3), _np.uint8
+                    ).reshape(ph, pw, 3)
+                else:
+                    cs = b"/DeviceGray"
+                    arr = _np.array(
+                        image_codes(seed, pw, ph, 1, 256), dtype=_np.uint8
+                    ).reshape(ph, pw)
+                body = jpx_encode(
+                    arr, reversible=True, prog=seed % 5,
+                    jp2=bool(seed % 2),
+                )
+                filt = b"/JPXDecode"
             else:
                 body = zlib.compress(raw, 9)
                 filt = b"/FlateDecode"

@@ -8,8 +8,9 @@ the former ``_decode_image_stub`` is gone): PNG via chunk walk + zlib +
 the engine's PNG-predictor reconstruction (all spec depths 1/2/4/8/16,
 Adam7 interlace), JPEG (baseline + progressive) via kernel/jpeg.py, GIF
 via a from-scratch LSB-first LZW + 4-pass deinterlace + GCE
-transparency. WEBP/JPX classify 'unsupported' (documented — no
-from-scratch decoder). Reference analogue: PIL decode in display.py:36-90.
+transparency, JPEG 2000 (JP2 + raw J2K) via kernel/jpx.py. WEBP
+classifies 'unsupported' (documented — no from-scratch decoder).
+Reference analogue: PIL decode in display.py:36-90.
 """
 
 from __future__ import annotations
@@ -111,8 +112,9 @@ _STATS_COLS = [f.name for f in IMAGE_STATS_SCHEMA.fields]
 
 def _image_stat_rows(url, payload) -> list:
     """Per-payload image pixel stats (IMAGE_STATS_SCHEMA order). REAL
-    decode for 8-bit DeviceRGB/DeviceGray behind the engine's stream
-    filters (kernel/images.py); DCT/JPX stay 'unsupported'. Float
+    decode behind the engine's stream filters (kernel/images.py —
+    Flate/LZW/CCITT/DCT/JBIG2/JPX; only exotic feature subsets remain
+    'unsupported', each raising in its kernel). Float
     discipline: per-channel means are exact int sums / int counts rounded
     to 6 — IEEE-deterministic, oracle-matchable."""
     from ..kernel.images import image_xobjects

@@ -26,7 +26,7 @@ from typing import Iterator, List, Tuple
 from ..kernel.pdfgen import glyph_width, make_pdf
 
 # bump when generated content changes — cache paths embed this
-CORPUS_VERSION = 21
+CORPUS_VERSION = 22
 
 LOREM = (
     "the quick brown fox jumps over a lazy dog while bright vixens watch "
@@ -308,7 +308,7 @@ def _pdf_images(rng: random.Random) -> bytes:
             for col, kind in enumerate(
                 ["rgb", "subbyte", "palette", "ccitt", "ccitt_g3",
                  "ccitt_mixed", "jpeg", "jpeg_prog", "dct", "cmyk",
-                 "jbig2"]
+                 "jbig2", "jpx", "jpx_rgb"]
             ):
                 im = {
                     "x": 72.0 + col * 57.0, "top": top + 30,
@@ -353,6 +353,13 @@ def _pdf_images(rng: random.Random) -> bytes:
                     # kernel's own MQ encoder (kernel/jbig2.py)
                     im["format"] = "jbig2"
                     im["channels"] = 1
+                elif kind in ("jpx", "jpx_rgb"):
+                    # v22 (round 6): real embedded JPEG 2000 via
+                    # kernel/jpx.py (reversible 5/3 — decoded samples
+                    # equal the shared ground truth bit-exactly); the
+                    # seed varies raw-J2K vs JP2 wrap + progression
+                    im["format"] = "jpx"
+                    im["channels"] = 3 if kind == "jpx_rgb" else 1
                 images.append(im)
         for _ in range(rng.randint(1, 3)):
             im = {

@@ -40,7 +40,7 @@ import pandas as pd
 from .corpus import CORPUS_VERSION, corpus_path_for_sf
 
 # bump when any expected-result computation changes
-EXPECTED_VERSION = 15
+EXPECTED_VERSION = 16
 
 
 # ---------------------------------------------------------------------------
@@ -521,6 +521,21 @@ def _b_image_stats(sf_dir: str) -> pd.DataFrame:
                     px = [1 - v for r_ in rows_px for v in r_]
                     status = "ok" if (jw, jh) == (w, h) else "error"
                 except Exception:  # noqa: BLE001 — unsupported subtype
+                    px, status = None, "unsupported"
+            elif b"/JPXDecode" in head:
+                # embedded JPEG 2000: re-decode with the SHARED kernel
+                # (kernel/jpx.py) — jpeg/jbig2-precedent distribution
+                # check; the codec's correctness is gated by the
+                # roundtrip matrix + Table F.4 anchor in tests/test_jpx
+                from ..kernel.jpx import jpx_decode
+
+                try:
+                    d = jpx_decode(body)
+                    px = [int(v) for v in d["samples"].reshape(-1)]
+                    ch = d["n_components"]
+                    status = ("ok" if (d["width"], d["height"]) == (w, h)
+                              else "error")
+                except Exception:  # noqa: BLE001 — unsupported style
                     px, status = None, "unsupported"
             elif b"/FlateDecode" in head:
                 codes = unpack(zlib.decompress(body), w, h, raw_ch, bits)

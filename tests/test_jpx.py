@@ -1,0 +1,317 @@
+"""JPEG 2000 (ITU-T T.800) codec — kernel/jpx.py.
+
+The reference fixture corpus carries NO JPX streams (surveyed round 6),
+so validation is internal, the JBIG2/JPEG precedent: encoder/decoder
+roundtrips across the config matrix (levels x progression x tiling x
+code-block geometry, lossless bit-exact), a Table F.4 filter-tap anchor
+that pins the 9/7 lifting to the PUBLISHED analysis filters (so the
+lifting constants can't drift), 9/7 rate/distortion monotonicity, JP2
+container handling, PDF end-to-end against the shared deterministic
+pixel ground truth, and malformed/unsupported-input robustness.
+"""
+
+import io
+import zlib
+
+import numpy as np
+import pytest
+
+from pdfplumber_spark.kernel.jpx import (
+    JPXError, _fwd_97, jpx_decode, jpx_encode)
+
+
+def _smooth(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return ((np.sin(xx / 9.0) + np.cos(yy / 7.0)) * 60 + 128).astype(
+        np.uint8
+    )
+
+
+def _noise(h, w, c=None, seed=11):
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if c is None else (h, w, c)
+    return rng.randint(0, 256, shape, dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Table F.4 anchor: the lifting implementation must equal direct
+# convolution with the PUBLISHED 9/7 analysis taps (whole-sample
+# symmetric extension). Low-pass lands at even interleaved indices.
+
+_H97 = {0: 0.602949018236360, 1: 0.266864118442875,
+        2: -0.078223266528990, 3: -0.016864118442875,
+        4: 0.026748757410810}
+_G97 = {0: 1.115087052457000, 1: -0.591271763114250,
+        2: -0.057543526228500, 3: 0.091271763114250}
+
+
+def test_97_lifting_matches_table_f4_taps():
+    rng = np.random.RandomState(3)
+    for n in (8, 10, 16, 30):
+        x = rng.randn(n)
+        a = _fwd_97(x.copy()[None, :], 1)[0]
+
+        def ext(i):
+            p = 2 * n - 2
+            i = i % p
+            return x[p - i if i >= n else i]
+
+        low = [sum(_H97[abs(m)] * ext(2 * k + m) for m in range(-4, 5))
+               for k in range((n + 1) // 2)]
+        high = [sum(_G97[abs(m)] * ext(2 * k + 1 + m)
+                    for m in range(-3, 4))
+                for k in range(n // 2)]
+        assert np.abs(a[0::2] - low).max() < 1e-12
+        assert np.abs(a[1::2] - high).max() < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Lossless (5/3) roundtrips across the config matrix
+
+
+@pytest.mark.parametrize("levels", [0, 1, 2, 3])
+def test_lossless_roundtrip_levels(levels):
+    img = _smooth(33, 41)
+    out = jpx_decode(jpx_encode(img, levels=levels))
+    assert out["width"] == 41 and out["height"] == 33
+    assert out["n_components"] == 1
+    assert np.array_equal(out["samples"][:, :, 0], img)
+
+
+@pytest.mark.parametrize("prog", [0, 1, 2, 3, 4])
+def test_lossless_roundtrip_progressions(prog):
+    img = _noise(21, 26)
+    out = jpx_decode(jpx_encode(img, prog=prog))
+    assert np.array_equal(out["samples"][:, :, 0], img)
+
+
+@pytest.mark.parametrize("cblk,segsym", [
+    ((8, 8), False), ((16, 32), True), ((64, 64), False), ((4, 16), True),
+])
+def test_lossless_roundtrip_codeblocks(cblk, segsym):
+    img = _noise(40, 40, seed=5)
+    out = jpx_decode(jpx_encode(img, cblk=cblk, segsym=segsym))
+    assert np.array_equal(out["samples"][:, :, 0], img)
+
+
+def test_lossless_roundtrip_tiled():
+    img = _noise(70, 100, seed=9)
+    out = jpx_decode(jpx_encode(img, levels=2, tile_size=(32, 32)))
+    assert np.array_equal(out["samples"][:, :, 0], img)
+
+
+def test_tile_size_parity_enforced():
+    # odd tile sizes would flip subband parity mid-image; encoder refuses
+    with pytest.raises(JPXError):
+        jpx_encode(_smooth(64, 64), levels=2, tile_size=(30, 30))
+
+
+def test_rgb_rct_lossless_exact():
+    rgb = _noise(24, 19, 3, seed=2)
+    out = jpx_decode(jpx_encode(rgb, reversible=True))
+    assert out["n_components"] == 3
+    assert np.array_equal(out["samples"], rgb)
+
+
+def test_four_components_no_mct():
+    arr = _noise(13, 17, 4, seed=7)
+    out = jpx_decode(jpx_encode(arr, mct=False))
+    assert out["n_components"] == 4
+    assert np.array_equal(out["samples"], arr)
+
+
+def test_single_row_and_column_images():
+    for shape in ((1, 37), (37, 1), (1, 1), (2, 3)):
+        img = _noise(*shape, seed=sum(shape))
+        out = jpx_decode(jpx_encode(img, levels=2))
+        assert np.array_equal(out["samples"][:, :, 0], img)
+
+
+# ---------------------------------------------------------------------------
+# Lossy (9/7): bounded error, monotone rate/distortion in the step
+
+
+def test_lossy_rate_distortion_monotone():
+    img = _smooth(64, 80)
+    sizes, errs = [], []
+    for delta in (0.5, 2.0, 8.0):
+        enc = jpx_encode(img, reversible=False, delta=delta, levels=3)
+        out = jpx_decode(enc)
+        err = np.abs(
+            out["samples"][:, :, 0].astype(int) - img.astype(int)
+        )
+        sizes.append(len(enc))
+        errs.append(err.max())
+        # reconstruction error is bounded by a small multiple of the
+        # step (midpoint dequantization + 4 wavelet levels of gain)
+        assert err.max() <= 2 * delta + 1
+    assert sizes == sorted(sizes, reverse=True)  # coarser -> smaller
+    assert errs == sorted(errs)  # coarser -> worse
+
+
+def test_lossy_rgb_ict():
+    rgb = np.stack([_smooth(40, 50), _smooth(40, 50)[::-1],
+                    np.roll(_smooth(40, 50), 7, 0)], axis=2)
+    out = jpx_decode(jpx_encode(rgb, reversible=False, delta=1.0))
+    assert np.abs(
+        out["samples"].astype(int) - rgb.astype(int)
+    ).max() <= 4
+
+
+# ---------------------------------------------------------------------------
+# JP2 container
+
+
+def test_jp2_container_roundtrip():
+    img = _noise(15, 22, seed=4)
+    enc = jpx_encode(img, jp2=True)
+    assert enc[:12] == b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+    out = jpx_decode(enc)
+    assert np.array_equal(out["samples"][:, :, 0], img)
+
+
+def test_imagefile_sniff_and_decode():
+    from pdfplumber_spark.kernel.imagefile import decode_image, sniff_format
+
+    img = _noise(9, 14, seed=6)
+    for jp2 in (False, True):
+        enc = jpx_encode(img, jp2=jp2)
+        assert sniff_format(enc) == "jp2"
+        d = decode_image(enc)
+        assert d["format"] == "jp2"
+        assert (d["width"], d["height"], d["channels"]) == (14, 9, 1)
+        assert np.array_equal(d["samples"][:, :, 0], img)
+
+
+# ---------------------------------------------------------------------------
+# Robustness: truncation, garbage, unsupported styles
+
+
+def test_truncated_stream_raises():
+    enc = jpx_encode(_noise(20, 20, seed=8))
+    for cut in (4, len(enc) // 2, len(enc) - 3):
+        with pytest.raises(JPXError):
+            jpx_decode(enc[:cut])
+
+
+def test_garbage_rejected():
+    for junk in (b"", b"\x00" * 40, b"not a codestream",
+                 zlib.compress(b"x" * 100)):
+        with pytest.raises(JPXError):
+            jpx_decode(junk)
+
+
+def test_random_bytes_never_hang():
+    rng = np.random.RandomState(12)
+    enc = bytearray(jpx_encode(_noise(16, 16, seed=3)))
+    for _ in range(40):
+        pos = rng.randint(4, len(enc))
+        mut = bytes(enc[:pos]) + bytes(
+            rng.randint(0, 256, 8, dtype=np.uint8).tobytes()
+        ) + bytes(enc[pos:])
+        try:
+            jpx_decode(mut)
+        except JPXError:
+            pass  # any structured failure is fine; hangs/crashes are not
+
+
+def test_subsampled_components_classified_unsupported():
+    # patch XRsiz of component 0 in the SIZ segment to 2: the decoder
+    # must refuse (no chroma-subsampling path) rather than mis-decode
+    enc = bytearray(jpx_encode(_noise(12, 12, seed=1)))
+    siz = enc.index(b"\xff\x51")
+    # SIZ body: Lsiz(2) Rsiz(2) Xsiz(4) Ysiz(4) XOsiz(4) YOsiz(4)
+    # XTsiz(4) YTsiz(4) XTOsiz(4) YTOsiz(4) Csiz(2) then per-comp
+    # Ssiz(1) XRsiz(1) YRsiz(1)
+    xrsiz_off = siz + 2 + 2 + 2 + 8 * 4 + 2 + 1
+    assert enc[xrsiz_off] == 1
+    enc[xrsiz_off] = 2
+    with pytest.raises(JPXError, match="subsampling"):
+        jpx_decode(bytes(enc))
+
+
+# ---------------------------------------------------------------------------
+# PDF end-to-end (shared deterministic ground truth) + corpus presence
+
+
+def test_pdf_end_to_end_pixels_gray_and_rgb():
+    from pdfplumber_spark.kernel.images import image_xobjects
+    from pdfplumber_spark.kernel.pdfgen import (
+        image_codes, image_samples, make_pdf)
+
+    for seed in (0, 1, 2, 3, 4):  # covers both wraps + all 5 prog orders
+        pdf = make_pdf([{
+            "width": 612, "height": 792, "texts": [],
+            "images": [
+                {"x": 72, "top": 100, "w": 50, "h": 50, "pw": 9, "ph": 7,
+                 "channels": 1, "seed": seed, "format": "jpx"},
+                {"x": 150, "top": 100, "w": 50, "h": 50, "pw": 6,
+                 "ph": 11, "channels": 3, "seed": seed + 100,
+                 "format": "jpx"},
+            ],
+        }])
+        gray, rgb = image_xobjects(pdf)
+        assert gray["status"] == "ok"
+        assert (gray["width"], gray["height"], gray["channels"]) == (9, 7, 1)
+        assert gray["samples"] == bytes(image_codes(seed, 9, 7, 1, 256))
+        assert rgb["status"] == "ok"
+        assert rgb["colorspace"] == "DeviceRGB"
+        assert rgb["samples"] == image_samples(seed + 100, 6, 11, 3)
+
+
+def test_pdf_dimension_mismatch_flags_error():
+    from pdfplumber_spark.kernel.images import image_xobjects
+    from pdfplumber_spark.kernel.pdfgen import make_pdf
+
+    pdf = make_pdf([{
+        "width": 200, "height": 200,
+        "images": [{"x": 10, "top": 10, "w": 50, "h": 50, "pw": 8,
+                    "ph": 6, "channels": 1, "seed": 3, "format": "jpx"}],
+    }])
+    # corrupt the dict's /Width (codestream says 8): engine flags 'error'
+    bad = pdf.replace(b"/Width 8/Height 6", b"/Width 9/Height 6")
+    assert bad != pdf
+    (row,) = image_xobjects(bad)
+    assert row["status"] == "error"
+
+
+def test_corpus_images_family_carries_jpx():
+    import random as _r
+
+    from pdfplumber_spark.sources.corpus import _pdf_images
+
+    payload = _pdf_images(_r.Random(5))
+    assert payload.count(b"/JPXDecode") >= 2  # gray + rgb matrix rows
+
+
+def test_oracle_scanner_agrees_on_jpx_rows():
+    """The INDEPENDENT-path contract: sources/expected.py re-decodes
+    /JPXDecode streams through the shared kernel and must land on the
+    same (status, channel, pixel) result the engine does."""
+    from pdfplumber_spark.kernel.images import image_xobjects
+    from pdfplumber_spark.kernel.pdfgen import make_pdf
+
+    pdf = make_pdf([{
+        "width": 612, "height": 792, "texts": [],
+        "images": [
+            {"x": 72, "top": 100, "w": 50, "h": 50, "pw": 7, "ph": 5,
+             "channels": 1, "seed": 42, "format": "jpx"},
+            {"x": 150, "top": 100, "w": 50, "h": 50, "pw": 5, "ph": 4,
+             "channels": 3, "seed": 43, "format": "jpx"},
+        ],
+    }])
+    import re
+
+    from pdfplumber_spark.kernel.jpx import jpx_decode as kernel_decode
+
+    rows = image_xobjects(pdf)
+    bodies = []
+    for m in re.finditer(rb"(<<[^>]*?/JPXDecode[^>]*?>>)\s*stream\r?\n",
+                         pdf, re.S):
+        ln = int(re.search(rb"/Length (\d+)", m.group(1)).group(1))
+        bodies.append(pdf[m.end():m.end() + ln])
+    assert len(bodies) == 2
+    for row, body in zip(rows, bodies):
+        d = kernel_decode(body)
+        assert row["status"] == "ok"
+        assert d["samples"].tobytes() == row["samples"]

@@ -172,17 +172,19 @@ def test_display_cropped_size():
 def test_display_cropbox_issue_1054():
     """test_display.py:76-83 (issue-1054): an uncropped page renders its
     CROPBOX view by default; force_mediabox renders the full page. The
-    reference gets (596, 842)/(2227, 2923) via pypdfium2's ceil; our
-    rasterizer rounds, pinned at the same semantics one pixel off."""
+    reference gets (596, 842)/(2227, 2923) via pypdfium2. Since the
+    round-6 ceil-parity change our cropbox dims match the reference
+    EXACTLY; force_mediabox stays 1-3px below pdfium's internal sizing
+    (documented divergence — pdfium pads rotated mediaboxes)."""
     page = api.open(f"{PDFS}/issue-1054-example.pdf").pages[0]
     assert page.rotation == 270
     assert page.mediabox == (0.0, 0.0, 2225.2, 2919.69)
     # reference page.py:233-238 formula, origin-shifted to our frame
     assert page.cropbox == (1615.75, 2063.627, 2211.02, 2905.5168)
     im = page.to_image()
-    assert (im.original.width, im.original.height) == (595, 842)
+    assert (im.original.width, im.original.height) == (596, 842)
     im = page.to_image(force_mediabox=True)
-    assert (im.original.width, im.original.height) == (2225, 2920)
+    assert (im.original.width, im.original.height) == (2226, 2920)
 
 
 def test_display_bytes_stream_and_copy_and_repr_png():
