@@ -238,6 +238,31 @@ def _split_kwargs(kwargs: dict):
     return WordSettings(**ws), rest
 
 
+# reference table.py:439-452 NON_NEGATIVE_SETTINGS
+_NON_NEGATIVE_TABLE_SETTINGS = (
+    "snap_tolerance", "snap_x_tolerance", "snap_y_tolerance",
+    "join_tolerance", "join_x_tolerance", "join_y_tolerance",
+    "edge_min_length", "min_words_vertical", "min_words_horizontal",
+    "intersection_tolerance", "intersection_x_tolerance",
+    "intersection_y_tolerance",
+)
+
+
+def _resolve_table_settings(table_settings) -> dict:
+    """TableSettings.resolve parity (reference table.py:482-552): None ->
+    defaults; non-dict -> ValueError; negative tolerances -> ValueError.
+    Unknown keys raise TypeError downstream (find_tables_frame signature),
+    matching the reference dataclass's unexpected-keyword TypeError."""
+    if table_settings is None:
+        return {}
+    if not isinstance(table_settings, dict):
+        raise ValueError(f"Cannot resolve settings: {table_settings}")
+    for k in _NON_NEGATIVE_TABLE_SETTINGS:
+        if (table_settings.get(k) or 0) < 0:
+            raise ValueError(f"Table setting '{k}' cannot be negative")
+    return dict(table_settings)
+
+
 class Page:
     def __init__(self, pdf: "PDF", interp, chars: pd.DataFrame,
                  lines: pd.DataFrame, rects: pd.DataFrame,
@@ -549,7 +574,7 @@ class Page:
 
     # --- tables --------------------------------------------------------------
     def find_tables(self, table_settings: Optional[dict] = None):
-        ts = dict(table_settings or {})
+        ts = _resolve_table_settings(table_settings)
         text_settings = {
             k[5:]: ts.pop(k) for k in list(ts) if k.startswith("text_")
         }
@@ -573,7 +598,7 @@ class Page:
         as a namespace object)."""
         from types import SimpleNamespace
 
-        ts = dict(table_settings or {})
+        ts = _resolve_table_settings(table_settings)
         text_settings = {
             k[5:]: ts.pop(k) for k in list(ts) if k.startswith("text_")
         }
