@@ -11,11 +11,12 @@ the engine's stream filters (Flate incl. PNG predictors, LZW, A85, AHx,
 RL), plus CCITT Group 3/4 fax (``kernel/ccitt.py``: K < 0, K = 0 and
 mixed K > 0; ImageMask stencils included), baseline+progressive JPEG
 (``kernel/jpeg.py``, SOF0/SOF2), arithmetic JBIG2 generic regions
-(``kernel/jbig2.py``), and JPEG 2000 (``kernel/jpx.py``, T.800 Part 1:
-5/3 + 9/7 wavelets, all progression orders, tiles — the round-6 close
-of the raster matrix). Remaining ``unsupported``: CMYK JPEG and the
-exotic JPX styles (precinct partitions, bypass/termall code-block
-modes, subsampling) — each raises in its kernel and classifies here.
+(``kernel/jbig2.py``), JPEG 2000 (``kernel/jpx.py``, T.800 Part 1:
+5/3 + 9/7 wavelets, all progression orders, tiles), and since round 7
+CMYK / YCCK JPEG (Adobe APP14 transforms, libjpeg-pinned sign
+convention). Remaining ``unsupported``: the exotic JPX styles
+(precinct partitions, bypass/termall code-block modes, subsampling) —
+each raises in its kernel and classifies here.
 """
 
 from __future__ import annotations
@@ -27,9 +28,9 @@ from .pdfparse import PDFDocument, StreamObj
 # filters whose output is still entropy-coded raster data, not raw
 # samples. The set emptied over rounds 5-6 as kernels landed: CCITT
 # (ccitt.py), DCT (jpeg.py), JBIG2 (jbig2.py), and finally JPX
-# (jpx.py). Undecodable FEATURE subsets (progressive-CMYK JPEG, JBIG2
-# halftone regions, JPX precinct partitions, ...) raise inside their
-# kernel and classify 'unsupported' per-stream below.
+# (jpx.py). Undecodable FEATURE subsets (JBIG2 halftone regions, JPX
+# precinct partitions, ...) raise inside their kernel and classify
+# 'unsupported' per-stream below.
 _UNSUPPORTED_FILTERS: set = set()
 
 _CHANNELS = {"DeviceRGB": 3, "CalRGB": 3, "DeviceGray": 1, "CalGray": 1,
@@ -221,8 +222,9 @@ def _decode_one(doc: PDFDocument, xo: StreamObj) -> dict:
             return row
         row.update(
             width=jw, height=jh, bits=8, channels=jc,
-            colorspace=row["colorspace"] or ("DeviceRGB" if jc == 3
-                                             else "DeviceGray"),
+            colorspace=row["colorspace"] or {
+                1: "DeviceGray", 3: "DeviceRGB", 4: "DeviceCMYK",
+            }.get(jc, "DeviceGray"),
             samples=samples.tobytes(), status="ok",
         )
         return row

@@ -7,9 +7,16 @@ DC first/refine scans (interleaved or single-component), per-band AC
 first scans with cross-block EOB runs, and AC successive-approximation
 refinement with correction bits. Every DCT stream across the reference's
 fixture corpus is SOF0 (121/121 surveyed); progressive is the largest
-real-corpus class beyond that.
+real-corpus class beyond that. Round 7 adds 4-component CMYK / YCCK
+(Adobe APP14 transform 0/2) for both sequential and progressive frames —
+the print-origin scanned-PDF class. Decoded output follows the
+libjpeg+PIL convention (the stack behind the reference's
+``display.py:36-90``): Adobe-marked files store inverted CMYK, so
+``samples`` is TRUE CMYK after the inversion; YCCK applies the YCbCr
+inverse to the first three channels first (T.81 carries no colorspace —
+the Adobe APP14 transform flag is the only public signal).
 Unsupported (raise ``JPEGError`` → callers classify 'unsupported'):
-arithmetic coding, hierarchical/lossless SOFs, 12-bit, CMYK/YCCK.
+arithmetic coding, hierarchical/lossless SOFs, 12-bit.
 
 The fixture ENCODERS (baseline ``jpeg_encode_gray``, progressive
 ``jpeg_encode_gray_progressive``) use an all-ones quant table, so both
@@ -130,8 +137,9 @@ def _extend(v: int, t: int) -> int:
 
 def jpeg_decode(data: bytes) -> dict:
     """-> {width, height, n_components, samples} with ``samples`` a
-    (h, w, C) uint8 array (C = 1 gray or 3 RGB). Every malformed-stream
-    failure surfaces as ``JPEGError`` (callers classify, never crash)."""
+    (h, w, C) uint8 array (C = 1 gray, 3 RGB, or 4 true CMYK). Every
+    malformed-stream failure surfaces as ``JPEGError`` (callers
+    classify, never crash)."""
     try:
         return _jpeg_decode_inner(data)
     except JPEGError:
@@ -259,7 +267,7 @@ def _init_progressive_state(frame):
     """Per-component zigzag-order coefficient planes, padded to MCU
     multiples (interleaved DC scans address the padding; non-interleaved
     AC scans stay inside the component's true block grid)."""
-    if len(frame["comps"]) not in (1, 3):
+    if len(frame["comps"]) not in (1, 3, 4):
         raise JPEGError(f"{len(frame['comps'])}-component JPEG unsupported")
     hmax, vmax, mcux, mcuy = _mcu_geometry(frame)
     state = []
@@ -483,6 +491,28 @@ def _finish_planes(frame, planes, adobe_transform) -> dict:
         out.append(p[:h, :w])
     if len(out) == 1:
         rgb = out[0][:, :, None]
+    elif len(out) == 4:
+        # CMYK / YCCK (Adobe APP14 transform 0 / 2). Net decode rule of
+        # the libjpeg ycck_cmyk path + PIL's "CMYK;I" inversion for
+        # Adobe-marked files: Adobe stores INVERTED CMYK; YCCK further
+        # runs the YCbCr forward transform over the inverted C,M,Y.
+        # Sign audit (libjpeg jccolor.c cmyk_ycck_convert is the public
+        # authority): the encoder computes YCbCr over (255 - stored CMY)
+        # and passes stored K through; Photoshop hands it INVERTED CMYK
+        # (stored = 255 - true), so the YCbCr inverse lands directly on
+        # true C,M,Y while K needs the inversion. Equivalent two-step
+        # view: libjpeg's ycck_cmyk output (255-R, 255-G, 255-B, K)
+        # then the consumer-side Adobe inversion of all four channels.
+        y, cb, cr, k = out
+        if adobe_transform == 2:  # YCCK
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            b = y + 1.772 * (cb - 128.0)
+            rgb = np.stack([r, g, b, 255.0 - k], axis=2)
+        elif adobe_transform is not None:  # Adobe CMYK, stored inverted
+            rgb = 255.0 - np.stack([y, cb, cr, k], axis=2)
+        else:  # no Adobe marker: raw CMYK samples (PIL convention)
+            rgb = np.stack([y, cb, cr, k], axis=2)
     else:
         y, cb, cr = out
         if adobe_transform == 0:
@@ -500,7 +530,7 @@ def _finish_planes(frame, planes, adobe_transform) -> dict:
 def _decode_scan(data, start, frame, scan, qt, huff_dc, huff_ac,
                  restart_interval, adobe_transform) -> dict:
     w, h, comps = frame["w"], frame["h"], frame["comps"]
-    if len(comps) not in (1, 3):
+    if len(comps) not in (1, 3, 4):
         raise JPEGError(f"{len(comps)}-component JPEG unsupported")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -868,5 +898,130 @@ def jpeg_encode_gray_progressive(pixels: np.ndarray) -> bytes:
     scan(0, 0, 1, 0, dc_refine)
     scan(1, 5, 1, 0, ac_refine(1, 5, 1, 0))
     scan(6, 63, 1, 0, ac_refine(6, 63, 1, 0))
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+# --- CMYK / YCCK fixture encoder (tests/corpus only) -------------------------
+
+
+def _plane_blocks(plane: np.ndarray) -> list:
+    """8x8 FDCT blocks of one component plane, zigzag int64 vectors."""
+    h, w = plane.shape
+    bh, bwid = (h + 7) // 8, (w + 7) // 8
+    padded = np.pad(
+        plane.astype(np.float32),
+        ((0, bh * 8 - h), (0, bwid * 8 - w)), mode="edge",
+    )
+    blocks = []
+    for by in range(bh):
+        for bx in range(bwid):
+            block = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+            coefs = _A @ block @ _A.T
+            blocks.append(
+                np.round(coefs.reshape(64)[ZIGZAG]).astype(np.int64))
+    return blocks
+
+
+def jpeg_encode_cmyk(pixels: np.ndarray, transform: int = 2,
+                     adobe: bool = True) -> bytes:
+    """Baseline 4-component JPEG of TRUE CMYK pixels (h, w, 4) uint8,
+    all-ones quant table, 1x1 sampling on every component.
+
+    ``transform=2`` stores YCCK exactly as Photoshop does (APP14 Adobe
+    transform 2; YCbCr over the true C,M,Y, K channel inverted — see the
+    sign audit in ``_finish_planes``); ``transform=0`` stores inverted
+    CMYK with an APP14 transform-0 marker. ``adobe=False`` (only valid
+    with transform=0) omits the marker and stores RAW CMYK — the
+    non-Adobe convention real decoders fall back to."""
+    pixels = np.asarray(pixels, dtype=np.float32)
+    h, w = pixels.shape[:2]
+    if pixels.ndim != 3 or pixels.shape[2] != 4:
+        raise ValueError("jpeg_encode_cmyk wants (h, w, 4)")
+    if transform == 2:
+        if not adobe:
+            raise ValueError("YCCK requires the Adobe marker")
+        c, m, yy, k = [pixels[:, :, i] for i in range(4)]
+        ych = 0.299 * c + 0.587 * m + 0.114 * yy
+        cb = 128.0 - 0.168736 * c - 0.331264 * m + 0.5 * yy
+        cr = 128.0 + 0.5 * c - 0.418688 * m - 0.081312 * yy
+        stored = [ych, cb, cr, 255.0 - k]
+    elif transform == 0:
+        stored = [
+            (255.0 - pixels[:, :, i]) if adobe else pixels[:, :, i]
+            for i in range(4)
+        ]
+    else:
+        raise ValueError(f"transform {transform} not encodable")
+    stored = [np.clip(p, 0, 255) for p in stored]
+    dc_codes = _enc_codes(_STD_DC_COUNTS, _STD_DC_SYMBOLS)
+    ac_codes = _enc_codes(_STD_AC_COUNTS, _STD_AC_SYMBOLS)
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes):
+        out.extend(b"\xff" + bytes([marker])
+                   + (len(payload) + 2).to_bytes(2, "big") + payload)
+
+    if adobe:
+        # APP14: "Adobe" + version 100 + flags0 + flags1 + transform
+        seg(0xEE, b"Adobe" + (100).to_bytes(2, "big") + b"\x00\x00"
+            + b"\x00\x00" + bytes([transform]))
+    q = np.ones(64, dtype=np.uint8)
+    seg(0xDB, bytes([0]) + q.tobytes())
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([4])
+    for cid in range(1, 5):
+        sof += bytes([cid, 0x11, 0])
+    seg(0xC0, sof)
+    seg(0xC4, bytes([0x00] + _STD_DC_COUNTS) + bytes(_STD_DC_SYMBOLS))
+    seg(0xC4, bytes([0x10] + _STD_AC_COUNTS) + bytes(_STD_AC_SYMBOLS))
+    sos = bytes([4])
+    for cid in range(1, 5):
+        sos += bytes([cid, 0x00])
+    seg(0xDA, sos + bytes([0, 63, 0]))
+
+    plane_blocks = [_plane_blocks(p) for p in stored]
+    bw = _BitWriter()
+    preds = [0, 0, 0, 0]
+
+    def mag(v: int):
+        a = abs(v)
+        t = a.bit_length()
+        return (t, v) if v >= 0 else (t, v + (1 << t) - 1)
+
+    for bi in range(len(plane_blocks[0])):  # MCU order == block order (1x1)
+        for ci in range(4):
+            zz = plane_blocks[ci][bi]
+            dc = int(zz[0])
+            t, bits = mag(dc - preds[ci])
+            preds[ci] = dc
+            ln, code = dc_codes[t]
+            bw.write(code, ln)
+            if t:
+                bw.write(bits, t)
+            run = 0
+            last_nz = 0
+            for kk in range(1, 64):
+                if zz[kk]:
+                    last_nz = kk
+            for kk in range(1, last_nz + 1):
+                v = int(zz[kk])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                t, bits = mag(v)
+                ln, code = ac_codes[(run << 4) | t]
+                bw.write(code, ln)
+                bw.write(bits, t)
+                run = 0
+            if last_nz < 63:
+                ln, code = ac_codes[0x00]
+                bw.write(code, ln)
+    bw.flush()
+    out.extend(bw.bytes)
     out.extend(b"\xff\xd9")
     return bytes(out)

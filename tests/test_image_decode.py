@@ -827,3 +827,108 @@ def test_cmyk_render_blit_converts_to_rgb():
     page = api.open(pdf_bytes).pages[0]
     im = page.to_image(resolution=36)
     assert im._repr_png_()[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+# --- CMYK / YCCK JPEG (round-7; kernel/jpeg.py APP14 transforms) -------------
+
+
+def test_jpeg_cmyk_roundtrip_all_conventions():
+    """Encode true CMYK under each storage convention (Adobe-inverted
+    CMYK, Photoshop YCCK, raw non-Adobe CMYK); decode must recover the
+    true values (±1 IDCT rounding; ±2 through the YCbCr pair). The sign
+    convention itself is pinned against the system libjpeg in
+    test_jpeg_libjpeg_oracle.py."""
+    from pdfplumber_spark.kernel.jpeg import jpeg_decode, jpeg_encode_cmyk
+
+    yy, xx = np.mgrid[0:21, 0:37].astype(np.float64)
+    img = np.stack(
+        [
+            np.clip(128 + 90 * np.sin(xx / 5) * np.cos(yy / 7), 0, 255),
+            np.clip(128 + 90 * np.cos(xx / 6), 0, 255),
+            np.clip(xx * 6, 0, 255),
+            np.clip(yy * 11, 0, 255),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    for transform, adobe, tol in ((0, True, 1), (2, True, 2), (0, False, 1)):
+        d = jpeg_decode(jpeg_encode_cmyk(img, transform=transform,
+                                         adobe=adobe))
+        assert d["n_components"] == 4
+        assert d["samples"].shape == (21, 37, 4)
+        err = np.abs(d["samples"].astype(int) - img.astype(int)).max()
+        assert err <= tol, (transform, adobe, err)
+
+
+def test_jpeg_cmyk_solid_colors_survive():
+    from pdfplumber_spark.kernel.jpeg import jpeg_decode, jpeg_encode_cmyk
+
+    for chan in range(4):
+        solid = np.zeros((16, 16, 4), np.uint8)
+        solid[:, :, chan] = 255
+        for transform in (0, 2):
+            got = jpeg_decode(jpeg_encode_cmyk(solid, transform=transform))[
+                "samples"].astype(int)
+            assert np.abs(got - solid.astype(int)).max() <= 1, (chan, transform)
+
+
+def test_jpeg_cmyk_garbage_never_crashes():
+    from pdfplumber_spark.kernel.jpeg import (
+        JPEGError,
+        jpeg_decode,
+        jpeg_encode_cmyk,
+    )
+
+    rng = np.random.RandomState(11)
+    good = bytearray(jpeg_encode_cmyk(
+        rng.randint(0, 256, (16, 16, 4)).astype(np.uint8), transform=2))
+    for _trial in range(200):
+        bad = bytearray(good)
+        for _ in range(rng.randint(1, 6)):
+            bad[rng.randint(2, len(bad))] = rng.randint(0, 256)
+        try:
+            jpeg_decode(bytes(bad))
+        except JPEGError:
+            pass
+
+
+def test_cmyk_dct_pdf_end_to_end():
+    """DeviceCMYK DCTDecode image XObject decodes to 4-channel true-CMYK
+    samples through image_xobjects (the consumer path display.py already
+    converts 4-channel samples via (255-c)(255-k)/255)."""
+    from pdfplumber_spark.kernel.jpeg import jpeg_encode_cmyk
+
+    img = np.zeros((6, 6, 4), np.uint8)
+    img[:, :, 1] = 200  # magenta-ish
+    img[:, :, 3] = 40
+    real = jpeg_encode_cmyk(img, transform=2)
+    objs = [
+        b"<</Type/Catalog/Pages 2 0 R>>",
+        b"<</Type/Pages/Kids[3 0 R]/Count 1>>",
+        b"<</Type/Page/Parent 2 0 R/MediaBox[0 0 100 100]"
+        b"/Resources<</XObject<</Im0 4 0 R>>>>/Contents 5 0 R>>",
+        b"<</Type/XObject/Subtype/Image/Width 6/Height 6"
+        b"/ColorSpace/DeviceCMYK/BitsPerComponent 8/Filter/DCTDecode"
+        b"/Length %d>>\nstream\n%s\nendstream" % (len(real), real),
+        b"<</Length 33>>\nstream\nq 50 0 0 50 10 10 cm /Im0 Do Q\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.5\n")
+    offs = []
+    for i, o in enumerate(objs, 1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    xa = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offs:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<</Size %d/Root 1 0 R>>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xa))
+    (row,) = image_xobjects(bytes(out))
+    assert row["status"] == "ok"
+    assert (row["width"], row["height"], row["channels"]) == (6, 6, 4)
+    got = np.frombuffer(row["samples"], np.uint8).reshape(6, 6, 4)
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 1
+    # and the page renders through the display CMYK->RGB path
+    from pdfplumber_spark import api
+
+    im = api.open(bytes(out)).pages[0].to_image(resolution=36)
+    assert im._repr_png_()[:8] == b"\x89PNG\r\n\x1a\n"
