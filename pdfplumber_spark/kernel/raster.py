@@ -30,10 +30,48 @@ _NAMED_COLORS = {
 }
 
 
+_COLOR_CACHE: dict = {}
+
+_CH3 = np.arange(3)
+_BLEND_LUTS: dict = {}
+
+
+def _blend_lut(rgba: RGBA) -> np.ndarray:
+    """(256, 3) uint8 table: lut[v, c] = the historical float blend of
+    channel value v under ``rgba`` — np.clip(v*(1-a) + col*a + 0.5)."""
+    lut = _BLEND_LUTS.get(rgba)
+    if lut is None:
+        a = rgba[3] / 255.0
+        vals = np.repeat(
+            np.arange(256, dtype=np.float32)[:, None], 3, axis=1
+        )
+        col = np.array(rgba[:3], dtype=np.float32)
+        lut = np.clip(
+            vals * (1.0 - a) + col * a + 0.5, 0, 255
+        ).astype(np.uint8)
+        if len(_BLEND_LUTS) < 1024:
+            _BLEND_LUTS[rgba] = lut
+    return lut
+
+
 def _norm_color(color, default_alpha: int = 255) -> Optional[RGBA]:
     """(r,g,b) / (r,g,b,a) / PIL-style name / None -> RGBA or None."""
     if color is None:
         return None
+    try:
+        hit = _COLOR_CACHE.get((color, default_alpha))
+    except TypeError:  # unhashable (e.g. list) — normalize uncached
+        hit = None
+    else:
+        if hit is None:
+            hit = _norm_color_uncached(color, default_alpha)
+            if len(_COLOR_CACHE) < 4096:
+                _COLOR_CACHE[(color, default_alpha)] = hit
+        return hit
+    return _norm_color_uncached(color, default_alpha)
+
+
+def _norm_color_uncached(color, default_alpha: int) -> RGBA:
     if isinstance(color, str):
         named = _NAMED_COLORS.get(color.lower())
         if named is None:
@@ -56,6 +94,7 @@ class Canvas:
         self.height = int(height)
         self.arr = np.empty((self.height, self.width, 3), dtype=np.uint8)
         self.arr[:, :] = np.array(bg, dtype=np.uint8)
+        self._axis_cache: dict = {}
 
     @property
     def size(self):
@@ -66,6 +105,7 @@ class Canvas:
         c = Canvas.__new__(Canvas)
         c.width, c.height = self.width, self.height
         c.arr = self.arr.copy()
+        c._axis_cache = {}
         return c
 
     @property
@@ -84,15 +124,25 @@ class Canvas:
     # --- low-level ---------------------------------------------------------
 
     def _clip_box(self, x0, y0, x1, y1):
-        ix0 = max(0, min(self.width, int(np.floor(min(x0, x1)))))
-        ix1 = max(0, min(self.width, int(np.ceil(max(x0, x1)))))
-        iy0 = max(0, min(self.height, int(np.floor(min(y0, y1)))))
-        iy1 = max(0, min(self.height, int(np.ceil(max(y0, y1)))))
+        # math.floor/ceil, not np.floor/ceil: identical IEEE results on
+        # python floats, ~10x less per-call overhead (stamp_mask runs
+        # thousands of times per page render)
+        import math
+
+        ix0 = max(0, min(self.width, math.floor(min(x0, x1))))
+        ix1 = max(0, min(self.width, math.ceil(max(x0, x1))))
+        iy0 = max(0, min(self.height, math.floor(min(y0, y1))))
+        iy1 = max(0, min(self.height, math.ceil(max(y0, y1))))
         return ix0, iy0, ix1, iy1
 
     def _blend_slice(self, ys, xs, rgba: RGBA) -> None:
         a = rgba[3] / 255.0
         if a <= 0:
+            return
+        if rgba[3] >= 255:
+            # exact fast path: at a=1 the blend reduces to
+            # clip(col + 0.5).astype(uint8) == col for integer col
+            self.arr[ys, xs] = np.array(rgba[:3], dtype=np.uint8)
             return
         region = self.arr[ys, xs].astype(np.float32)
         col = np.array(rgba[:3], dtype=np.float32)
@@ -205,6 +255,39 @@ class Canvas:
             if len(ys):
                 self._blend_slice(ys + iy0, xs + ix0, srgba)
 
+    def _axis_indices(self, lo: int, hi: int, a0: float, a1: float,
+                      s: int) -> np.ndarray:
+        """Nearest-neighbour source indices for one stamp axis, memoized:
+        every glyph on a text line shares the exact (lo, hi, a0, a1, s)
+        vertical key, so the per-stamp cost collapses to a dict hit. The
+        expression is kept OP-FOR-OP identical to the historical inline
+        form (float associativity changes a last-ulp floor → a pixel →
+        the pinned render hash)."""
+        key = (lo, hi, a0, a1, s)
+        cached = self._axis_cache.get(key)
+        if cached is None:
+            d = max(a1 - a0, 1e-9)
+            if hi - lo <= 32:
+                # small spans (glyph stamps): scalar loop beats numpy's
+                # per-op dispatch. int() and .astype(int) both truncate
+                # toward zero and python-float / numpy-float64 arithmetic
+                # is the same IEEE sequence — results are bit-identical.
+                top = s - 1
+                cached = np.array(
+                    [min(max(int((v + 0.5 - a0) / d * s), 0), top)
+                     for v in range(lo, hi)],
+                    dtype=np.int64,
+                )
+            else:
+                cached = np.clip(
+                    ((np.arange(lo, hi) + 0.5 - a0) / d * s).astype(int),
+                    0, s - 1,
+                )
+            if len(self._axis_cache) > 4096:
+                self._axis_cache.clear()
+            self._axis_cache[key] = cached
+        return cached
+
     def stamp_mask(self, mask: np.ndarray, x0, y0, x1, y1, color) -> None:
         """Nearest-neighbour scale a boolean mask into the box and blend
         ``color`` where True (glyph stamping)."""
@@ -215,16 +298,23 @@ class Canvas:
         if ix0 >= ix1 or iy0 >= iy1 or mask.size == 0:
             return
         sh, sw = mask.shape
-        dys = np.arange(iy0, iy1)
-        dxs = np.arange(ix0, ix1)
-        sy = np.clip(((dys + 0.5 - y0) / max(y1 - y0, 1e-9) * sh).astype(int),
-                     0, sh - 1)
-        sx = np.clip(((dxs + 0.5 - x0) / max(x1 - x0, 1e-9) * sw).astype(int),
-                     0, sw - 1)
-        sub = mask[np.ix_(sy, sx)]
-        ys, xs = np.nonzero(sub)
-        if len(ys):
-            self._blend_slice(ys + iy0, xs + ix0, rgba)
+        sy = self._axis_indices(iy0, iy1, y0, y1, sh)
+        sx = self._axis_indices(ix0, ix1, x0, x1, sw)
+        sub = mask[sy[:, None], sx] != 0
+        # blend in-place on the rectangular view — one boolean-mask store
+        # instead of nonzero + two scattered fancy-index passes (the
+        # glyph-stamp layer is thousands of small masks per page)
+        region = self.arr[iy0:iy1, ix0:ix1]
+        if rgba[3] >= 255:
+            region[sub] = np.array(rgba[:3], dtype=np.uint8)
+            return
+        if rgba[3] <= 0:
+            return
+        # alpha blend via a per-color 256-entry LUT: the blend of a fixed
+        # rgba depends only on the underlying channel value, so the float
+        # formula runs 256x3 times at LUT build and never per-stamp —
+        # bit-identical to the inline form by construction
+        region[sub] = _blend_lut(rgba)[region[sub], _CH3]
 
     def blit(self, samples: np.ndarray, x0, y0, x1, y1) -> None:
         """Nearest-neighbour scale of a (h, w) gray or (h, w, 3) RGB

@@ -32,6 +32,48 @@ def _n_persistent(spark) -> int:
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
 
+def _leak_report(spark) -> str:
+    """Identify surviving persisted RDDs (JVM side) and any live Python
+    DataFrames pinning them (module-level references survive teardown
+    via sys.modules) — makes an order-dependent failure actionable."""
+    lines = []
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    it = jmap.entrySet().iterator()
+    while it.hasNext():
+        e = it.next()
+        rdd = e.getValue().rdd()
+        lines.append("  jvm id=%s %s level=%s" % (
+            e.getKey(), rdd.toString()[:120],
+            rdd.getStorageLevel().description()))
+    from pyspark.sql import DataFrame
+
+    for obj in gc.get_objects():
+        if type(obj).__name__ != "DataFrame" or not isinstance(
+            obj, DataFrame
+        ):
+            continue
+        try:
+            sl = obj.storageLevel
+            if not (sl.useMemory or sl.useDisk):
+                continue
+        except Exception:  # noqa: BLE001
+            continue
+        owners = []
+        for ref in gc.get_referrers(obj):
+            if isinstance(ref, dict):
+                keys = [k for k, v in list(ref.items()) if v is obj]
+                for owner in gc.get_referrers(ref):
+                    name = getattr(owner, "__name__", None)
+                    if name:
+                        owners.append(f"{name}.{keys}")
+                        break
+                else:
+                    if keys:
+                        owners.append(f"dict{keys}")
+        lines.append("  live cached DF pinned by: %s" % (owners or "?"))
+    return "\n".join(lines) or "  (none visible)"
+
+
 def test_session_soak_no_leaks_and_stable_walls(spark):
     pdfplumber_spark.unpersist_all(blocking=True)
     spark.catalog.clearCache()
@@ -51,7 +93,9 @@ def test_session_soak_no_leaks_and_stable_walls(spark):
             gc.collect()
             spark.sparkContext._jvm.System.gc()
             time.sleep(0.25)
-        assert _n_persistent(spark) == 0, f"persisted RDDs after cycle {cycle}"
+        assert _n_persistent(spark) == 0, (
+            f"persisted RDDs after cycle {cycle}:\n{_leak_report(spark)}"
+        )
     # wall stability: a leak shows up as MONOTONIC growth, so compare
     # the best of the last two cycles against the best of the first two
     # — a one-off external CPU burst (e.g. the full suite running
