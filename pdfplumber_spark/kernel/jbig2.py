@@ -1,32 +1,41 @@
-"""From-scratch JBIG2 (ITU-T T.88) — MQ arithmetic coder + generic
-region decoding, plus the matching encoder for test/corpus generation.
+"""From-scratch JBIG2 (ITU-T T.88) — MQ arithmetic coder, generic
+region decoding (templates 0-3, custom AT pixels), symbol dictionaries
+(§6.5) and text regions (§6.4) — the region types real scanned PDFs
+overwhelmingly use — plus the matching encoders for test/corpus
+generation.
 
 Public sources only: ITU-T T.88 (JBIG2) — Annex E software conventions
 for the MQ coder (Tables E.1, flowcharts INITDEC/DECODE/BYTEIN and
-INITENC/CODEMPS/CODELPS/BYTEOUT/FLUSH), §6.2 generic region decoding
-(GB template 0 with nominal adaptive pixels, optional TPGDON), and
-§7.2 segment headers for the embedded (PDF) stream format.
+INITENC/CODEMPS/CODELPS/BYTEOUT/FLUSH), Annex A arithmetic integer
+decoding (IAx bands + IAID tree), §6.2 generic region decoding
+(optional TPGDON), §6.4 text region decoding, §6.5 symbol dictionary
+decoding, and §7.2/§7.4 segment headers + segment data formats for the
+embedded (PDF) stream format.
 
-Scope and validation: template 0 / arithmetic coding only (MMR regions
-and refinement/halftone/text regions are out of scope — classified
-'unsupported' upstream). The reference corpus contains NO JBIG2
-fixtures (surveyed round 6), so external interop cannot be exercised
-offline; correctness is pinned by encoder/decoder roundtrips over
-random bitmaps and contexts (the two sides are implemented from the
-spec's separate encoder/decoder flowcharts) plus structural tests.
-Context bit order is the spec figure's raster order (MSB = top-left),
-documented on ``_context``.
+Scope: arithmetic coding only. MMR-coded regions, huffman-coded
+dictionaries/text (SDHUFF/SBHUFF), refinement/aggregation
+(SDREFAGG/SBREFINE), halftone regions, and cross-segment arithmetic
+context reuse all raise ``JBIG2Error`` (classified 'unsupported'
+upstream). The reference corpus contains NO JBIG2 fixtures (surveyed
+round 6), so external interop cannot be exercised offline; correctness
+is pinned by encoder/decoder roundtrips (the two sides come from the
+spec's separate flowcharts) plus structural tests. Context bit order
+is raster order (MSB = top-left) over fixed-template + AT pixels — a
+fixed relabeling of the spec's figure order, which is behaviour-
+preserving for an adaptive coder (any injective context relabeling
+sees the same per-slot bit sequences); the TPGDON pseudo-context uses
+the spec constants, which coincide under nominal AT placement.
 """
 
 from __future__ import annotations
 
 import struct
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 __all__ = [
     "JBIG2Error", "MQDecoder", "MQEncoder",
     "decode_generic_region", "encode_generic_region",
-    "decode_embedded", "encode_embedded",
+    "decode_embedded", "encode_embedded", "encode_text_embedded",
 ]
 
 
@@ -90,32 +99,34 @@ class MQDecoder:
             self.ct = 8
         self.c &= 0xFFFFFFFF
 
-    def decode(self, cx: int) -> int:
-        qe, nmps, nlps, switch = _QE[self.i[cx]]
+    def decode(self, cx: int, ctx: Optional["ArithCtx"] = None) -> int:
+        istate = ctx.i if ctx is not None else self.i
+        mps = ctx.mps if ctx is not None else self.mps
+        qe, nmps, nlps, switch = _QE[istate[cx]]
         self.a -= qe
         if (self.c >> 16) < qe:
             # LPS exchange path
             if self.a < qe:
-                d = self.mps[cx]
-                self.i[cx] = nmps
+                d = mps[cx]
+                istate[cx] = nmps
             else:
-                d = 1 - self.mps[cx]
+                d = 1 - mps[cx]
                 if switch:
-                    self.mps[cx] ^= 1
-                self.i[cx] = nlps
+                    mps[cx] ^= 1
+                istate[cx] = nlps
             self.a = qe
         else:
             self.c -= qe << 16
             if self.a & 0x8000:
-                return self.mps[cx]
+                return mps[cx]
             if self.a < qe:
-                d = 1 - self.mps[cx]
+                d = 1 - mps[cx]
                 if switch:
-                    self.mps[cx] ^= 1
-                self.i[cx] = nlps
+                    mps[cx] ^= 1
+                istate[cx] = nlps
             else:
-                d = self.mps[cx]
-                self.i[cx] = nmps
+                d = mps[cx]
+                istate[cx] = nmps
         # RENORMD
         while True:
             if self.ct == 0:
@@ -141,9 +152,11 @@ class MQEncoder:
         self.out = bytearray()
         self.b = -1  # index of the byte being built (B in the spec)
 
-    def encode(self, cx: int, d: int):
-        qe, nmps, nlps, switch = _QE[self.i[cx]]
-        if d == self.mps[cx]:  # CODEMPS
+    def encode(self, cx: int, d: int, ctx: Optional["ArithCtx"] = None):
+        istate = ctx.i if ctx is not None else self.i
+        mps = ctx.mps if ctx is not None else self.mps
+        qe, nmps, nlps, switch = _QE[istate[cx]]
+        if d == mps[cx]:  # CODEMPS
             self.a -= qe
             if self.a & 0x8000:
                 self.c += qe  # MPS interval sits above the Qe LPS slot
@@ -152,7 +165,7 @@ class MQEncoder:
                 self.a = qe  # conditional exchange: MPS takes the slot
             else:
                 self.c += qe
-            self.i[cx] = nmps
+            istate[cx] = nmps
         else:  # CODELPS
             self.a -= qe
             if self.a < qe:
@@ -160,8 +173,8 @@ class MQEncoder:
             else:
                 self.a = qe
             if switch:
-                self.mps[cx] ^= 1
-            self.i[cx] = nlps
+                mps[cx] ^= 1
+            istate[cx] = nlps
         # RENORME
         while True:
             self.a = (self.a << 1) & 0xFFFF
@@ -220,40 +233,176 @@ class MQEncoder:
         return bytes(self.out)
 
 
-# -- generic region (T.88 6.2, GB template 0, nominal AT pixels) --------
+# resource guard for the pure-python decode loops: a corrupted or
+# adversarial stream must classify 'unsupported', not spend minutes of
+# MQ decoding. 1M pixels (~1000x1000) comfortably covers the embedded
+# rasters this engine meets in corpus PDFs; full-page 300-dpi scans
+# (8M+) are beyond a pure-python coder's interactive budget either way
+# and classify 'unsupported' honestly.
+_MAX_PIXELS = 1_000_000
 
-# template 0 pixel offsets in raster order (MSB first); includes the
-# nominal adaptive pixels A1..A4 at their default positions
-# (A1=(+3,-1), A2=(-3,-1), A3=(+2,-2), A4=(-2,-2))
-_TPL0 = (
-    (-2, -2), (-1, -2), (0, -2), (1, -2), (2, -2),       # row y-2 (A4..A3)
-    (-3, -1), (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1), (3, -1),
-    (-4, 0), (-3, 0), (-2, 0), (-1, 0),                  # row y
+
+class ArithCtx:
+    """One adaptive-context space (state index + MPS per context)."""
+
+    __slots__ = ("i", "mps")
+
+    def __init__(self, n: int = 512):
+        self.i = [0] * n
+        self.mps = [0] * n
+
+
+# -- arithmetic integer decoding (T.88 Annex A) --------------------------
+
+# (prefix-selected value bands: n value bits, offset) — Table A.1
+_INT_BANDS = ((2, 0), (4, 4), (6, 20), (8, 84), (12, 340), (32, 4436))
+
+
+def _decode_int(dec: MQDecoder, ctx: ArithCtx) -> Optional[int]:
+    """IAx decode (A.2): returns the signed value, or None for OOB."""
+    prev = 1
+
+    def bit() -> int:
+        nonlocal prev
+        b = dec.decode(prev, ctx)
+        prev = ((prev << 1) | b) if prev < 256 else (
+            ((((prev << 1) | b)) & 511) | 256)
+        return b
+
+    s = bit()
+    for k, (n, off) in enumerate(_INT_BANDS):
+        if k == len(_INT_BANDS) - 1 or not bit():
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | bit()
+            v += off
+            break
+    if s and v == 0:
+        return None  # OOB
+    return -v if s else v
+
+
+def _encode_int(enc: MQEncoder, ctx: ArithCtx, value: Optional[int]):
+    """IAx encode — exact inverse of ``_decode_int`` (None = OOB)."""
+    prev = 1
+
+    def bit(b: int):
+        nonlocal prev
+        enc.encode(prev, b, ctx)
+        prev = ((prev << 1) | b) if prev < 256 else (
+            ((((prev << 1) | b)) & 511) | 256)
+
+    if value is None:
+        s, v = 1, 0
+    else:
+        s, v = (1 if value < 0 else 0), abs(value)
+    bit(s)
+    for k, (n, off) in enumerate(_INT_BANDS):
+        top = off + (1 << n) - 1
+        if v <= top or k == len(_INT_BANDS) - 1:
+            if k < len(_INT_BANDS) - 1:
+                bit(0)
+            rem = v - off
+            if rem < 0:
+                raise JBIG2Error(f"integer {value} below band")
+            for j in range(n - 1, -1, -1):
+                bit((rem >> j) & 1)
+            return
+        bit(1)
+
+
+def _decode_iaid(dec: MQDecoder, ctx: ArithCtx, codelen: int) -> int:
+    """IAID decode (A.3): full binary tree of SYMCODELEN bits."""
+    prev = 1
+    for _ in range(codelen):
+        prev = (prev << 1) | dec.decode(prev, ctx)
+    return prev - (1 << codelen)
+
+
+def _encode_iaid(enc: MQEncoder, ctx: ArithCtx, value: int, codelen: int):
+    v = value + (1 << codelen)
+    prev = 1
+    for k in range(codelen - 1, -1, -1):
+        b = (v >> k) & 1
+        enc.encode(prev, b, ctx)
+        prev = (prev << 1) | b
+
+
+# -- generic region (T.88 6.2, GB templates 0-3, AT pixels) --------------
+
+# fixed (non-adaptive) template pixels per GB template, T.88 figures 4-7
+_TPL_FIXED = (
+    ((-1, -2), (0, -2), (1, -2),
+     (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1),
+     (-4, 0), (-3, 0), (-2, 0), (-1, 0)),
+    ((-1, -2), (0, -2), (1, -2), (2, -2),
+     (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1),
+     (-3, 0), (-2, 0), (-1, 0)),
+    ((-1, -2), (0, -2), (1, -2),
+     (-2, -1), (-1, -1), (0, -1), (1, -1),
+     (-2, 0), (-1, 0)),
+    ((-3, -1), (-2, -1), (-1, -1), (0, -1), (1, -1),
+     (-4, 0), (-3, 0), (-2, 0), (-1, 0)),
 )
-_TPGDON_CX = 0x9B25  # T.88 6.2.5.7 SLTP context for template 0
+# nominal adaptive pixels (A1..A4 for template 0, A1 for 1-3)
+_AT_NOMINAL = (
+    ((3, -1), (-3, -1), (2, -2), (-2, -2)),
+    ((3, -1),),
+    ((2, -1),),
+    ((2, -1),),
+)
+# SLTP pseudo-contexts (6.2.5.7) per template
+_TPGDON_CTXS = (0x9B25, 0x0795, 0x00E5, 0x0195)
+_TPGDON_CX = _TPGDON_CTXS[0]  # template-0 constant (compat)
+
+_TPL_CACHE: Dict[tuple, tuple] = {}
 
 
-def _context(rows: List[List[int]], x: int, y: int, w: int) -> int:
-    """Template-0 context: _TPL0 pixels MSB-first; out-of-bounds = 0."""
+def _template_pixels(template: int, at: tuple) -> tuple:
+    """Fixed + AT pixels in raster order (MSB = first). A fixed injective
+    relabeling of the spec's context numbering — equivalent for the
+    adaptive coder (see module docstring)."""
+    key = (template, at)
+    tpl = _TPL_CACHE.get(key)
+    if tpl is None:
+        if not (0 <= template <= 3):
+            raise JBIG2Error(f"GB template {template} unsupported")
+        if len(at) != len(_AT_NOMINAL[template]):
+            raise JBIG2Error("wrong AT pixel count")
+        for (ax, ay) in at:
+            if ay > 0 or (ay == 0 and ax >= 0):
+                raise JBIG2Error("AT pixel not strictly causal")
+        tpl = tuple(sorted(_TPL_FIXED[template] + tuple(at),
+                           key=lambda p: (p[1], p[0])))
+        _TPL_CACHE[key] = tpl
+    return tpl
+
+
+def _bitmap_context(rows, x, y, w, tpl) -> int:
     cx = 0
-    for (dx, dy) in _TPL0:
+    for (dx, dy) in tpl:
         xx, yy = x + dx, y + dy
         bit = rows[yy][xx] if 0 <= yy < len(rows) and 0 <= xx < w else 0
         cx = (cx << 1) | bit
     return cx
 
 
-def decode_generic_region(data: bytes, w: int, h: int,
-                          tpgdon: bool = False) -> List[List[int]]:
-    """Arithmetic generic region decode -> rows of 0/1 ints."""
-    if w <= 0 or h <= 0 or w * h > 50_000_000:
+def _decode_bitmap(dec: MQDecoder, w: int, h: int, template: int = 0,
+                   at: Optional[tuple] = None, tpgdon: bool = False,
+                   ctx: Optional[ArithCtx] = None) -> List[List[int]]:
+    """Generic-region bitmap decode over an EXISTING decoder/context —
+    the symbol-dictionary path decodes many bitmaps from one MQ stream
+    with shared GB contexts (§6.5.8.1)."""
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
         raise JBIG2Error("bad region dims")
-    dec = MQDecoder(data)
+    at = tuple(at) if at is not None else _AT_NOMINAL[template]
+    tpl = _template_pixels(template, at)
+    sltp_cx = _TPGDON_CTXS[template]
     rows: List[List[int]] = []
     ltp = 0
     for y in range(h):
         if tpgdon:
-            if dec.decode(_TPGDON_CX):
+            if dec.decode(sltp_cx, ctx):
                 ltp ^= 1
             if ltp:
                 rows.append(list(rows[y - 1]) if y else [0] * w)
@@ -261,53 +410,394 @@ def decode_generic_region(data: bytes, w: int, h: int,
         row = [0] * w
         rows.append(row)
         for x in range(w):
-            row[x] = dec.decode(_context(rows, x, y, w))
+            row[x] = dec.decode(_bitmap_context(rows, x, y, w, tpl), ctx)
     return rows
 
 
-def encode_generic_region(rows: List[List[int]], w: int, h: int,
-                          tpgdon: bool = False) -> bytes:
-    """Arithmetic generic region encode (the decoder's exact inverse)."""
-    enc = MQEncoder()
+def _encode_bitmap(enc: MQEncoder, rows, w: int, h: int, template: int = 0,
+                   at: Optional[tuple] = None, tpgdon: bool = False,
+                   ctx: Optional[ArithCtx] = None):
+    at = tuple(at) if at is not None else _AT_NOMINAL[template]
+    tpl = _template_pixels(template, at)
+    sltp_cx = _TPGDON_CTXS[template]
     ltp = 0
     prev: Optional[List[int]] = None
     for y in range(h):
         if tpgdon:
             same = prev is not None and rows[y] == prev
             flip = 1 if same != bool(ltp) else 0
-            enc.encode(_TPGDON_CX, flip)
+            enc.encode(sltp_cx, flip, ctx)
             if flip:
                 ltp ^= 1
             if ltp:
                 prev = rows[y]
                 continue
         for x in range(w):
-            enc.encode(_context(rows, x, y, w), rows[y][x])
+            enc.encode(_bitmap_context(rows, x, y, w, tpl), rows[y][x], ctx)
         prev = rows[y]
+
+
+def decode_generic_region(data: bytes, w: int, h: int,
+                          tpgdon: bool = False) -> List[List[int]]:
+    """Arithmetic generic region decode -> rows of 0/1 ints (template 0,
+    nominal AT — standalone form)."""
+    return _decode_bitmap(MQDecoder(data), w, h, 0, None, tpgdon)
+
+
+def encode_generic_region(rows: List[List[int]], w: int, h: int,
+                          tpgdon: bool = False) -> bytes:
+    """Arithmetic generic region encode (the decoder's exact inverse)."""
+    enc = MQEncoder()
+    _encode_bitmap(enc, rows, w, h, 0, None, tpgdon)
     return enc.flush()
+
+
+# -- symbol dictionary (T.88 §6.5, arithmetic, no refinement) -----------
+
+def _parse_at(data: bytes, pos: int, count: int) -> Tuple[tuple, int]:
+    at = []
+    for _ in range(count):
+        ax = data[pos]
+        ay = data[pos + 1]
+        at.append((ax - 256 if ax > 127 else ax,
+                   ay - 256 if ay > 127 else ay))
+        pos += 2
+    return tuple(at), pos
+
+
+def _decode_symbol_dict(seg: bytes, in_syms: List[list]) -> List[list]:
+    """§6.5 symbol dictionary decode -> exported symbols (each a rows
+    list; dims are len(rows[0]) x len(rows)). ``in_syms`` are the
+    imported symbols from referred dictionaries, in order."""
+    if len(seg) < 12:
+        raise JBIG2Error("short symbol dictionary")
+    (flags,) = struct.unpack(">H", seg[:2])
+    pos = 2
+    sdhuff = flags & 1
+    refagg = (flags >> 1) & 1
+    ctx_used = (flags >> 8) & 1
+    template = (flags >> 10) & 3
+    if sdhuff:
+        raise JBIG2Error("huffman symbol dictionary unsupported")
+    if refagg:
+        raise JBIG2Error("refinement/aggregate symbols unsupported")
+    if ctx_used:
+        raise JBIG2Error("imported arithmetic contexts unsupported")
+    at, pos = _parse_at(seg, pos, 4 if template == 0 else 1)
+    numex, numnew = struct.unpack(">II", seg[pos:pos + 8])
+    pos += 8
+    if numnew > 100_000 or numex > 100_000:
+        raise JBIG2Error("implausible symbol counts")
+    dec = MQDecoder(seg[pos:])
+    iadh, iadw, iaex = ArithCtx(), ArithCtx(), ArithCtx()
+    new_syms: List[list] = []
+    hcheight = 0
+    classes = 0
+    while len(new_syms) < numnew:
+        classes += 1
+        if classes > numnew + 16:
+            # empty height classes make no progress — garbage streams
+            # (an EOF-padded MQ coder yields stable bits forever) must
+            # terminate, not spin
+            raise JBIG2Error("height classes without symbols")
+        dh = _decode_int(dec, iadh)
+        if dh is None:
+            raise JBIG2Error("OOB delta height")
+        hcheight += dh
+        if hcheight <= 0 or hcheight > 10_000:
+            raise JBIG2Error("bad symbol height")
+        symwidth = 0
+        while True:
+            dw = _decode_int(dec, iadw)
+            if dw is None:
+                break  # end of height class
+            symwidth += dw
+            if symwidth <= 0 or symwidth > 10_000:
+                raise JBIG2Error("bad symbol width")
+            if len(new_syms) >= numnew:
+                raise JBIG2Error("too many symbols in dictionary")
+            # bitmap rides the SAME MQ stream; GB contexts shared across
+            # symbols (decoder-default context space)
+            new_syms.append(
+                _decode_bitmap(dec, symwidth, hcheight, template, at))
+    # export flags (6.5.10): alternating run lengths over input+new
+    allsyms = list(in_syms) + new_syms
+    exported: List[list] = []
+    exindex = 0
+    curflag = 0
+    while exindex < len(allsyms):
+        run = _decode_int(dec, iaex)
+        if run is None or run < 0 or exindex + run > len(allsyms):
+            raise JBIG2Error("bad export run")
+        if curflag:
+            exported.extend(allsyms[exindex:exindex + run])
+        exindex += run
+        curflag ^= 1
+    if len(exported) != numex:
+        raise JBIG2Error("export count mismatch")
+    return exported
+
+
+def _encode_symbol_dict(symbols: List[list]) -> bytes:
+    """Encoder inverse of ``_decode_symbol_dict`` (template 0, nominal
+    AT, no imports, exports ALL symbols). ``symbols`` must be sorted by
+    (height, width) — the caller maps ids."""
+    numnew = len(symbols)
+    enc = MQEncoder()
+    iadh, iadw, iaex = ArithCtx(), ArithCtx(), ArithCtx()
+    hcheight = 0
+    i = 0
+    while i < numnew:
+        h = len(symbols[i])
+        _encode_int(enc, iadh, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        while i < numnew and len(symbols[i]) == hcheight:
+            w = len(symbols[i][0])
+            _encode_int(enc, iadw, w - symwidth)
+            symwidth = w
+            _encode_bitmap(enc, symbols[i], w, hcheight, 0, None)
+            i += 1
+        _encode_int(enc, iadw, None)  # OOB: height class done
+    # export runs: 0 unexported, then all exported
+    _encode_int(enc, iaex, 0)
+    _encode_int(enc, iaex, numnew)
+    data = enc.flush()
+    at = b"".join(bytes([(ax) & 0xFF, (ay) & 0xFF])
+                  for (ax, ay) in _AT_NOMINAL[0])
+    return (struct.pack(">H", 0) + at
+            + struct.pack(">II", numnew, numnew) + data)
+
+
+# -- text region (T.88 §6.4, arithmetic, no refinement) ------------------
+
+def _signed5(v: int) -> int:
+    return v - 32 if v > 15 else v
+
+
+def _sym_codelen(n: int) -> int:
+    if n <= 1:
+        return 0
+    return (n - 1).bit_length()
+
+
+def _combine_pixel(dst: int, src: int, op: int) -> int:
+    if op == 0:
+        return dst | src
+    if op == 1:
+        return dst & src
+    if op == 2:
+        return dst ^ src
+    if op == 3:
+        return 1 - (dst ^ src)
+    return src  # REPLACE
+
+
+def _draw_symbol(bitmap, sym, x0: int, y0: int, op: int):
+    h = len(bitmap)
+    w = len(bitmap[0]) if h else 0
+    for sy, srow in enumerate(sym):
+        yy = y0 + sy
+        if not 0 <= yy < h:
+            continue
+        drow = bitmap[yy]
+        for sx, bit in enumerate(srow):
+            xx = x0 + sx
+            if 0 <= xx < w:
+                drow[xx] = _combine_pixel(drow[xx], bit, op)
+
+
+def _decode_text_region(seg: bytes, syms: List[list]) -> Tuple[
+        List[List[int]], int, int, int, int, int]:
+    """§6.4 text region decode -> (rows, w, h, x, y, external_combop)."""
+    if len(seg) < 23:
+        raise JBIG2Error("short text region segment")
+    w, h, rx, ry, rflags = struct.unpack(">IIIIB", seg[:17])
+    ext_comb = rflags & 7
+    (flags,) = struct.unpack(">H", seg[17:19])
+    pos = 19
+    sbhuff = flags & 1
+    sbrefine = (flags >> 1) & 1
+    strips = 1 << ((flags >> 2) & 3)
+    refcorner = (flags >> 4) & 3
+    transposed = (flags >> 6) & 1
+    combop = (flags >> 7) & 3
+    defpixel = (flags >> 9) & 1
+    dsoffset = _signed5((flags >> 10) & 0x1F)
+    rtemplate = (flags >> 15) & 1
+    if sbhuff:
+        raise JBIG2Error("huffman text region unsupported")
+    if sbrefine:
+        if rtemplate == 0:
+            pos += 4  # SBRAT pixels present even though we reject
+        raise JBIG2Error("refinement text region unsupported")
+    (numinstances,) = struct.unpack(">I", seg[pos:pos + 4])
+    pos += 4
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+        raise JBIG2Error("bad region dims")
+    if numinstances > min(1_000_000, w * h):
+        raise JBIG2Error("implausible instance count")
+    if not syms:
+        raise JBIG2Error("text region with no symbols")
+    codelen = _sym_codelen(len(syms))
+    dec = MQDecoder(seg[pos:])
+    iadt, iafs, iads, iait = (ArithCtx(), ArithCtx(), ArithCtx(),
+                              ArithCtx())
+    iaid = ArithCtx(1 << (codelen + 1))
+    bitmap = [[defpixel] * w for _ in range(h)]
+    dt0 = _decode_int(dec, iadt)
+    if dt0 is None:
+        raise JBIG2Error("OOB STRIPT")
+    stript = -dt0 * strips
+    firsts = 0
+    ninst = 0
+    while ninst < numinstances:
+        dt = _decode_int(dec, iadt)
+        if dt is None:
+            raise JBIG2Error("OOB strip DT")
+        stript += dt * strips
+        dfs = _decode_int(dec, iafs)
+        if dfs is None:
+            raise JBIG2Error("OOB first S")
+        firsts += dfs
+        curs = firsts
+        first = True
+        while True:
+            if first:
+                first = False
+            else:
+                ids = _decode_int(dec, iads)
+                if ids is None:
+                    break  # end of strip
+                curs += ids + dsoffset
+            if ninst >= numinstances:
+                raise JBIG2Error("instance overrun in strip")
+            curt = _decode_int(dec, iait) if strips > 1 else 0
+            if curt is None:
+                raise JBIG2Error("OOB CURT")
+            ti = stript + curt
+            sid = _decode_iaid(dec, iaid, codelen)
+            if not 0 <= sid < len(syms):
+                raise JBIG2Error("symbol id out of range")
+            sym = syms[sid]
+            hi = len(sym)
+            wi = len(sym[0]) if hi else 0
+            # placement (6.4.5 step 3c viii-xii)
+            if not transposed:
+                if refcorner in (2, 3):  # BOTTOMRIGHT / TOPRIGHT
+                    curs += wi - 1
+                x0 = curs - (wi - 1) if refcorner in (2, 3) else curs
+                y0 = ti if refcorner in (1, 3) else ti - hi + 1
+                _draw_symbol(bitmap, sym, x0, y0, combop)
+                if refcorner in (0, 1):  # BOTTOMLEFT / TOPLEFT
+                    curs += wi - 1
+            else:
+                if refcorner in (0, 2):  # bottom corners
+                    curs += hi - 1
+                y0 = curs - (hi - 1) if refcorner in (0, 2) else curs
+                x0 = ti if refcorner in (0, 1) else ti - wi + 1
+                _draw_symbol(bitmap, sym, x0, y0, combop)
+                if refcorner in (1, 3):  # top corners
+                    curs += hi - 1
+            ninst += 1
+    return bitmap, w, h, rx, ry, ext_comb
+
+
+def _encode_text_region(symbols: List[list], placements, w: int, h: int,
+                        x: int = 0, y: int = 0, refcorner: int = 1,
+                        transposed: int = 0, logstrips: int = 0,
+                        dsoffset: int = 0, combop: int = 0,
+                        defpixel: int = 0) -> bytes:
+    """Encoder inverse of ``_decode_text_region`` — parameterized over
+    every arithmetic decode path (all four REFCORNERs, TRANSPOSED,
+    SBSTRIPS>1 via IAIT, SBDSOFFSET, combine ops, SBDEFPIXEL).
+    ``placements`` = [(sym_id, x, y)] with x,y the symbol's TOP-LEFT in
+    region coordinates regardless of refcorner (the encoder derives the
+    spec's (S, T) coordinates); ``symbols`` indexed by sym_id."""
+    codelen = _sym_codelen(len(symbols))
+    strips = 1 << logstrips
+    enc = MQEncoder()
+    iadt, iafs, iads, iait = (ArithCtx(), ArithCtx(), ArithCtx(),
+                              ArithCtx())
+    iaid = ArithCtx(1 << (codelen + 1))
+    # spec (S, T) of each instance's REFCORNER from the top-left input
+    insts = []
+    for sid, sx, sy in placements:
+        hi = len(symbols[sid])
+        wi = len(symbols[sid][0]) if hi else 0
+        if not transposed:
+            t = sy if refcorner in (1, 3) else sy + hi - 1
+            s = sx
+            adv = wi - 1
+        else:
+            t = sx if refcorner in (0, 1) else sx + wi - 1
+            s = sy
+            adv = hi - 1
+        insts.append((t // strips * strips, s, t, sid, adv))
+    by_strip: Dict[int, list] = {}
+    for st, s, t, sid, adv in insts:
+        by_strip.setdefault(st, []).append((s, t, sid, adv))
+    _encode_int(enc, iadt, 0)  # STRIPT starts at 0
+    stript = 0
+    firsts = 0
+    for st in sorted(by_strip):
+        _encode_int(enc, iadt, (st - stript) // strips)
+        stript = st
+        row = sorted(by_strip[st])
+        s0 = row[0][0]
+        _encode_int(enc, iafs, s0 - firsts)
+        firsts = s0
+        curs = s0
+        for k, (s, t, sid, adv) in enumerate(row):
+            if k > 0:
+                _encode_int(enc, iads, s - curs - dsoffset)
+                curs = s
+            if strips > 1:
+                _encode_int(enc, iait, t - st)
+            _encode_iaid(enc, iaid, sid, codelen)
+            curs += adv
+        _encode_int(enc, iads, None)  # OOB: strip done
+    data = enc.flush()
+    flags = ((logstrips & 3) << 2) | ((refcorner & 3) << 4) \
+        | ((transposed & 1) << 6) | ((combop & 3) << 7) \
+        | ((defpixel & 1) << 9) | ((dsoffset & 0x1F) << 10)
+    return (struct.pack(">IIIIB", w, h, x, y, 0)
+            + struct.pack(">H", flags)
+            + struct.pack(">I", len(placements))
+            + data)
 
 
 # -- embedded (PDF) segment stream (T.88 §7.2, Annex H) -----------------
 
-def _seg_header(num: int, seg_type: int, page: int,
-                data_len: int) -> bytes:
-    # flags: deferred=0, page-assoc-4byte=0 -> 1-byte page association
-    # referred-to count 0 (3 bits) + retain bits 0
-    return (struct.pack(">IB", num, seg_type & 0x3F)
-            + bytes([0x00])      # 0 referred segments
-            + bytes([page & 0xFF])
-            + struct.pack(">I", data_len))
+def _seg_header(num: int, seg_type: int, page: int, data_len: int,
+                refs: Tuple[int, ...] = ()) -> bytes:
+    # flags: deferred=0, page-assoc-4byte=0 -> 1-byte page association;
+    # short-form referred-to count (<= 4) + retain bits 0
+    if len(refs) > 4:
+        raise JBIG2Error("too many referred segments for short form")
+    out = struct.pack(">IB", num, seg_type & 0x3F)
+    out += bytes([len(refs) << 5])
+    ref_size = 1 if num <= 256 else (2 if num <= 65536 else 4)
+    for r in refs:
+        out += r.to_bytes(ref_size, "big")
+    out += bytes([page & 0xFF])
+    out += struct.pack(">I", data_len)
+    return out
 
 
 def encode_embedded(rows: List[List[int]], w: int, h: int,
                     tpgdon: bool = False) -> bytes:
     """Minimal embedded-format JBIG2: page info segment + one immediate
-    generic region segment (lossless, template 0, arithmetic)."""
+    generic region segment (lossless, template 0, arithmetic, explicit
+    nominal AT bytes per §7.4.6.2)."""
     region = encode_generic_region(rows, w, h, tpgdon)
+    at = b"".join(bytes([ax & 0xFF, ay & 0xFF])
+                  for (ax, ay) in _AT_NOMINAL[0])
     # region segment info (17 bytes) + flags byte (MMR=0, TEMPLATE=0,
-    # TPGDON bit 3)
+    # TPGDON bit 3) + AT pixels
     seg_data = (struct.pack(">IIIIB", w, h, 0, 0, 0)  # x,y,combop
                 + bytes([(8 if tpgdon else 0)])
+                + at
                 + region)
     page_info = struct.pack(">IIIIB", w, h, 0, 0, 0) + b"\x00\x00\x00"
     out = _seg_header(0, 48, 1, len(page_info)) + page_info
@@ -316,14 +806,35 @@ def encode_embedded(rows: List[List[int]], w: int, h: int,
     return out
 
 
-def decode_embedded(data: bytes,
-                    globals_data: bytes = b"") -> Tuple[List[List[int]],
-                                                        int, int]:
-    """Decode an embedded-format JBIG2 stream (PDF /JBIG2Decode):
-    returns (rows, width, height) of the page's first generic region.
-    Only arithmetic template-0 generic regions are supported — anything
-    else raises JBIG2Error (classified 'unsupported' upstream)."""
-    buf = globals_data + data
+def encode_text_embedded(symbols: List[list], placements,
+                         w: int, h: int) -> bytes:
+    """Embedded-format JBIG2 page built from a SYMBOL DICTIONARY + TEXT
+    REGION (the structure real scanned PDFs use): page info + symbol
+    dictionary (template 0, arithmetic) + one immediate text region
+    referring to it + end of page.
+
+    ``symbols``: list of bitmaps (rows of 0/1). ``placements``:
+    [(symbol_index, x, y)] top-left positions on the page."""
+    order = sorted(range(len(symbols)),
+                   key=lambda i: (len(symbols[i]), len(symbols[i][0])))
+    remap = {orig: new for new, orig in enumerate(order)}
+    sorted_syms = [symbols[i] for i in order]
+    dict_seg = _encode_symbol_dict(sorted_syms)
+    text_seg = _encode_text_region(
+        sorted_syms, [(remap[sid], sx, sy) for sid, sx, sy in placements],
+        w, h)
+    page_info = struct.pack(">IIIIB", w, h, 0, 0, 0) + b"\x00\x00\x00"
+    out = _seg_header(0, 48, 1, len(page_info)) + page_info
+    out += _seg_header(1, 0, 1, len(dict_seg)) + dict_seg
+    out += _seg_header(2, 6, 1, len(text_seg), refs=(1,)) + text_seg
+    out += _seg_header(3, 49, 1, 0)
+    return out
+
+
+def _parse_segments(buf: bytes):
+    """-> [(num, type, refs, payload)] per T.88 §7.2. Every malformed
+    layout raises JBIG2Error (garbage must terminate, never spin)."""
+    segments = []
     pos = 0
     n = len(buf)
     while pos + 11 <= n:
@@ -334,6 +845,8 @@ def decode_embedded(data: bytes,
         rts = buf[pos]
         count = rts >> 5
         if count == 7:  # long form
+            if pos + 4 > n:
+                raise JBIG2Error("truncated referred-to count")
             (count,) = struct.unpack(">I", buf[pos:pos + 4])
             count &= 0x1FFFFFFF
             pos += 4 + (count + 8) // 8
@@ -342,30 +855,128 @@ def decode_embedded(data: bytes,
         # referred-to segment numbers: size depends on this segment's
         # number (T.88 7.2.5)
         ref_size = 1 if num <= 256 else (2 if num <= 65536 else 4)
-        pos += count * ref_size
+        if count * ref_size > n - pos:
+            raise JBIG2Error("referred-to list past end of stream")
+        refs = []
+        for _ in range(count):
+            refs.append(int.from_bytes(buf[pos:pos + ref_size], "big"))
+            pos += ref_size
         pos += 4 if page_assoc_4 else 1
+        if pos + 4 > n:
+            raise JBIG2Error("truncated segment length")
         (dlen,) = struct.unpack(">I", buf[pos:pos + 4])
         pos += 4
         if dlen == 0xFFFFFFFF:
             raise JBIG2Error("unknown-length segment unsupported")
-        seg = buf[pos:pos + dlen]
+        if pos + dlen > n:
+            raise JBIG2Error("truncated segment")
+        segments.append((num, seg_type, refs, buf[pos:pos + dlen]))
         pos += dlen
-        if seg_type in (36, 38, 39):  # generic region (any placement)
-            if len(seg) < 18:
-                raise JBIG2Error("short region segment")
-            w, h, _x, _y, _comb = struct.unpack(">IIIIB", seg[:17])
-            rflags = seg[17]
-            if rflags & 1:
-                raise JBIG2Error("MMR region unsupported")
-            if (rflags >> 1) & 3 != 0:
-                raise JBIG2Error("only GB template 0 supported")
-            tpgdon = bool(rflags & 8)
-            # nominal AT pixels follow (4 pairs for template 0) when
-            # encoded; our encoder omits them (nominal), real streams
-            # include them — accept both by checking remaining length
-            body = seg[18:]
-            if len(body) >= 8 and body[:8] == bytes(
-                    (3, 0xFF, 0xFD, 0xFF, 2, 0xFE, 0xFE, 0xFE)):
-                body = body[8:]  # explicit nominal AT bytes
-            return decode_generic_region(body, w, h, tpgdon), w, h
-    raise JBIG2Error("no generic region segment found")
+    return segments
+
+
+def _decode_generic_segment(seg: bytes) -> Tuple[List[List[int]],
+                                                 int, int, int, int, int]:
+    if len(seg) < 18:
+        raise JBIG2Error("short region segment")
+    w, h, rx, ry, rinfo = struct.unpack(">IIIIB", seg[:17])
+    rflags = seg[17]
+    if rflags & 1:
+        raise JBIG2Error("MMR region unsupported")
+    template = (rflags >> 1) & 3
+    tpgdon = bool(rflags & 8)
+    body = seg[18:]
+    at: Optional[tuple] = None
+    n_at = 4 if template == 0 else 1
+    if len(body) >= 2 * n_at:
+        at, off = _parse_at(body, 0, n_at)
+        body = body[off:]
+    else:
+        # legacy pre-round-7 corpus streams omitted the (mandatory)
+        # nominal AT bytes — tolerate by assuming nominal
+        at = _AT_NOMINAL[template]
+    rows = _decode_bitmap(MQDecoder(body), w, h, template, at, tpgdon)
+    return rows, w, h, rx, ry, rinfo & 7
+
+
+def _compose(page: List[List[int]], rows, rx: int, ry: int, op: int):
+    ph = len(page)
+    pw = len(page[0]) if ph else 0
+    for sy, srow in enumerate(rows):
+        yy = ry + sy
+        if not 0 <= yy < ph:
+            continue
+        prow = page[yy]
+        for sx, bit in enumerate(srow):
+            xx = rx + sx
+            if 0 <= xx < pw:
+                prow[xx] = _combine_pixel(prow[xx], bit, op)
+
+
+def decode_embedded(data: bytes,
+                    globals_data: bytes = b"") -> Tuple[List[List[int]],
+                                                        int, int]:
+    """Decode an embedded-format JBIG2 stream (PDF /JBIG2Decode):
+    composes every immediate generic/text region onto the page bitmap
+    (symbol dictionaries resolved through the referred-to segment
+    graph). Arithmetic coding only — MMR, huffman, refinement and
+    halftone regions raise JBIG2Error (classified 'unsupported'
+    upstream)."""
+    segments = _parse_segments(globals_data + data)
+    page: Optional[List[List[int]]] = None
+    pw = ph = 0
+    sym_exports: Dict[int, List[list]] = {}
+    saw_region = False
+    for num, seg_type, refs, seg in segments:
+        if seg_type == 48:  # page info
+            if len(seg) < 8:
+                raise JBIG2Error("short page info")
+            pw, ph = struct.unpack(">II", seg[:8])
+            pflags = seg[16] if len(seg) > 16 else 0
+            default = (pflags >> 2) & 1
+            if ph == 0xFFFFFFFF:
+                ph = 0  # unknown height: grow as regions land
+            if pw * max(ph, 1) > _MAX_PIXELS:
+                raise JBIG2Error("implausible page dims")
+            page = [[default] * pw for _ in range(ph)]
+        elif seg_type == 0:  # symbol dictionary
+            in_syms: List[list] = []
+            for r in refs:
+                in_syms.extend(sym_exports.get(r, []))
+            sym_exports[num] = _decode_symbol_dict(seg, in_syms)
+        elif seg_type in (36, 38, 39):  # generic region
+            rows, w, h, rx, ry, op = _decode_generic_segment(seg)
+            saw_region = True
+            if page is None:
+                return rows, w, h
+            page = _grow_page(page, pw, ry + h)
+            _compose(page, rows, rx, ry, op)
+        elif seg_type in (4, 6, 7):  # text region
+            syms: List[list] = []
+            for r in refs:
+                syms.extend(sym_exports.get(r, []))
+            rows, w, h, rx, ry, op = _decode_text_region(seg, syms)
+            saw_region = True
+            if page is None:
+                return rows, w, h
+            page = _grow_page(page, pw, ry + h)
+            _compose(page, rows, rx, ry, op)
+        elif seg_type in (40, 41, 42, 43):
+            raise JBIG2Error("refinement region unsupported")
+        elif seg_type in (16, 20, 22, 23):
+            raise JBIG2Error("halftone/pattern segments unsupported")
+        elif seg_type == 53:
+            raise JBIG2Error("huffman table segment unsupported")
+        # 49 end-of-page / 50 end-of-stripe / 51 end-of-file /
+        # 62 extension: no raster effect
+    if page is None or not saw_region:
+        raise JBIG2Error("no region segment found")
+    return page, pw, len(page)
+
+
+def _grow_page(page: List[List[int]], pw: int, need_h: int):
+    if pw * need_h > _MAX_PIXELS:
+        raise JBIG2Error("region places page past the pixel guard")
+    while len(page) < need_h:
+        page.append([0] * pw)
+    return page

@@ -510,6 +510,51 @@ def make_pdf(pages: List[Dict], info: dict = None) -> bytes:
                 body = encode_embedded(
                     black, pw, ph, tpgdon=bool(seed % 2))
                 filt = b"/JBIG2Decode"
+            elif im.get("format") == "jbig2_text":
+                # REAL embedded JBIG2 SYMBOL DICTIONARY + TEXT REGION
+                # (T.88 §6.4/§6.5 — the structure real scanned PDFs
+                # use). Symbols + placements derive deterministically
+                # from the shared ground truth; the oracle re-decodes
+                # the stream with the same kernel (jbig2 precedent).
+                from .jbig2 import encode_text_embedded
+
+                bits = 1
+                cs = b"/DeviceGray"
+                syms = []
+                for k in range(3):
+                    sw, sh = 3 + k, 4 + (seed + k) % 3
+                    codes = image_codes(seed + 17 * k, sw, sh, 1, 2)
+                    syms.append([
+                        [1 - codes[r * sw + c] for c in range(sw)]
+                        for r in range(sh)
+                    ])
+                placements = [
+                    (i % 3,
+                     (seed + i * 7) % max(1, pw - 6),
+                     (seed // 3 + i * 5) % max(1, ph - 7))
+                    for i in range(6)
+                ]
+                body = encode_text_embedded(syms, placements, pw, ph)
+                filt = b"/JBIG2Decode"
+            elif im.get("format") == "cmyk_jpeg":
+                # REAL 4-component Adobe CMYK/YCCK JPEG
+                # (kernel/jpeg.py): all-ones quant over the shared
+                # ground truth; transform 0 (inverted CMYK) for even
+                # seeds, 2 (YCCK) for odd. The YCbCr pair is lossy by
+                # ±2, so ground truth uses a coarse code grid the
+                # roundtrip preserves exactly after rounding.
+                import numpy as _np
+
+                from .jpeg import jpeg_encode_cmyk
+
+                bits = 8
+                cs = b"/DeviceCMYK"
+                codes = image_codes(seed, pw, ph, 4, 16)
+                cmyk = (_np.array(codes, dtype=_np.uint8)
+                        .reshape(ph, pw, 4) * 17)
+                body = jpeg_encode_cmyk(cmyk, transform=2 if seed % 2
+                                        else 0)
+                filt = b"/DCTDecode"
             elif im.get("format") == "jpx":
                 # REAL embedded JPEG 2000 (kernel/jpx.py encoder):
                 # reversible 5/3 so the decoded samples equal the shared

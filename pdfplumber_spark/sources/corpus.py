@@ -26,7 +26,7 @@ from typing import Iterator, List, Tuple
 from ..kernel.pdfgen import glyph_width, make_pdf
 
 # bump when generated content changes — cache paths embed this
-CORPUS_VERSION = 22
+CORPUS_VERSION = 23
 
 LOREM = (
     "the quick brown fox jumps over a lazy dog while bright vixens watch "
@@ -308,7 +308,7 @@ def _pdf_images(rng: random.Random) -> bytes:
             for col, kind in enumerate(
                 ["rgb", "subbyte", "palette", "ccitt", "ccitt_g3",
                  "ccitt_mixed", "jpeg", "jpeg_prog", "dct", "cmyk",
-                 "jbig2", "jpx", "jpx_rgb"]
+                 "jbig2", "jpx", "jpx_rgb", "jbig2_text", "cmyk_jpeg"]
             ):
                 im = {
                     "x": 72.0 + col * 57.0, "top": top + 30,
@@ -353,6 +353,20 @@ def _pdf_images(rng: random.Random) -> bytes:
                     # kernel's own MQ encoder (kernel/jbig2.py)
                     im["format"] = "jbig2"
                     im["channels"] = 1
+                elif kind == "jbig2_text":
+                    # v23 (round 7): JBIG2 symbol dictionary + text
+                    # region (T.88 §6.4/§6.5) — the structure real
+                    # scanned PDFs use
+                    im["format"] = "jbig2_text"
+                    im["channels"] = 1
+                    im["pw"] = max(14, im["pw"])
+                    im["ph"] = max(12, im["ph"])
+                elif kind == "cmyk_jpeg":
+                    # v23 (round 7): Adobe APP14 CMYK/YCCK JPEG
+                    # (kernel/jpeg.py 4-component decode, libjpeg-pinned
+                    # sign convention); seed picks transform 0 vs 2
+                    im["format"] = "cmyk_jpeg"
+                    im["channels"] = 4
                 elif kind in ("jpx", "jpx_rgb"):
                     # v22 (round 6): real embedded JPEG 2000 via
                     # kernel/jpx.py (reversible 5/3 — decoded samples
