@@ -14,9 +14,10 @@ mixed K > 0; ImageMask stencils included), baseline+progressive JPEG
 (``kernel/jbig2.py``), JPEG 2000 (``kernel/jpx.py``, T.800 Part 1:
 5/3 + 9/7 wavelets, all progression orders, tiles), and since round 7
 CMYK / YCCK JPEG (Adobe APP14 transforms, libjpeg-pinned sign
-convention). Remaining ``unsupported``: the exotic JPX styles
-(precinct partitions, bypass/termall code-block modes, subsampling) —
-each raises in its kernel and classifies here.
+convention) and the JPX bypass code-block style. Remaining
+``unsupported``: the exotic JPX styles (precinct partitions,
+reset/termall/causal code-block modes, subsampling) — each raises in
+its kernel and classifies here.
 """
 
 from __future__ import annotations

@@ -24,7 +24,9 @@ precinct partitions raise), tile grids whose tile size is a multiple
 of ``2**levels`` (so subband parity stays even — typical 256/512/1024
 tiles), zero image/tile offsets, no subsampling (XRsiz=YRsiz=1),
 unsigned components up to 16 bits. Code-block styles: segmentation
-symbols supported; bypass / reset / termall / causal raise
+symbols and selective arithmetic coding bypass (D.6 — raw SPP/MRP
+segments under the 10/2/1 termination schedule, multi-length packet
+headers) supported since round 7; reset / termall / causal raise
 (classified 'unsupported' upstream, the DCT precedent). The reference
 corpus contains NO JPX fixtures (surveyed round 6), so external
 interop cannot be exercised offline; correctness is pinned by
@@ -352,6 +354,92 @@ def _init_t1_states(coder):
     coder.i[_CTX_UNI] = 46
 
 
+# -- selective arithmetic coding bypass (T.800 D.6) ----------------------
+#
+# Raw (uncoded) bit I/O for bypassed SPP/MRP passes: bytes MSB-first; a
+# byte following 0xFF carries only 7 payload bits (stuffed 0 MSB). The
+# conventions mirror the spec's flowcharts; reading past the segment
+# end yields 1-bits like the MQ coder's EOF behaviour.
+
+class _RawDec:
+    __slots__ = ("data", "pos", "c", "ct")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.c = 0
+        self.ct = 0
+
+    def bit(self) -> int:
+        if self.ct == 0:
+            if self.c == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] > 0x8F:
+                    self.c = 0xFF
+                    self.ct = 8
+                else:
+                    self.c = self.data[self.pos]
+                    self.pos += 1
+                    self.ct = 7
+            else:
+                if self.pos < len(self.data):
+                    self.c = self.data[self.pos]
+                    self.pos += 1
+                else:
+                    self.c = 0xFF
+                self.ct = 8
+        self.ct -= 1
+        return (self.c >> self.ct) & 1
+
+
+class _RawEnc:
+    __slots__ = ("out", "c", "nb", "cap")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.c = 0
+        self.nb = 0     # bits accumulated in c
+        self.cap = 8    # capacity of the current byte (7 after 0xFF)
+
+    def bit(self, d: int):
+        self.c = (self.c << 1) | d
+        self.nb += 1
+        if self.nb == self.cap:
+            self.out.append(self.c)
+            self.cap = 7 if self.c == 0xFF else 8
+            self.c = 0
+            self.nb = 0
+
+    def flush(self) -> bytes:
+        # zero-pad the final partial byte (decoders never read past the
+        # bits the pass structure demands, so padding is inert)
+        if self.nb:
+            self.out.append(self.c << (self.cap - self.nb))
+            self.c = 0
+            self.nb = 0
+            self.cap = 8
+        return bytes(self.out)
+
+
+def _bypass_segment_of(pass_index: int) -> Tuple[int, int, int]:
+    """(segment_index, segment_start_pass, segment_capacity) containing
+    ``pass_index`` under the bypass termination schedule: the first 10
+    passes are one MQ segment, then raw SPP+MRP pairs (2) alternate
+    with MQ cleanup singles (1)."""
+    if pass_index < 10:
+        return 0, 0, 10
+    q = pass_index - 10
+    triple, within = divmod(q, 3)
+    if within < 2:
+        return 1 + 2 * triple, 10 + 3 * triple, 2
+    return 2 + 2 * triple, 10 + 3 * triple + 2, 1
+
+
+def _pass_is_raw(pass_index: int, bypass: bool) -> bool:
+    # pass 0 = cleanup; thereafter (i-1) % 3 -> 0 spp, 1 mrp, 2 cleanup
+    return (bypass and pass_index >= 10
+            and (pass_index - 1) % 3 in (0, 1))
+
+
 def _build_zc_lut(band: str) -> List[List[List[int]]]:
     """zc[h][v][d] -> context 0-8 (T.800 Table D.1)."""
     tbl = [[[0] * 5 for _ in range(3)] for _ in range(3)]
@@ -466,8 +554,11 @@ class _T1State:
                     yield x, y, y * w + x, k0
 
 
-def _t1_pass_spp(st: _T1State, p: int, dec, enc):
-    """Significance propagation; dec/enc is the MQ side in use."""
+def _t1_pass_spp(st: _T1State, p: int, dec, enc, raw=None):
+    """Significance propagation; dec/enc is the MQ side in use. When
+    ``raw`` is set (bypass mode, D.6) bits ride the raw channel with no
+    contexts and the sign carries no prediction — the coefficient
+    SELECTION logic is identical either way."""
     for x, y, idx, _k0 in st.scan():
         if st.sig[idx]:
             st.vis[idx] = 0
@@ -478,34 +569,49 @@ def _t1_pass_spp(st: _T1State, p: int, dec, enc):
             continue
         st.vis[idx] = 1
         if dec is not None:
-            bit = dec.decode(ctx)
+            bit = raw.bit() if raw is not None else dec.decode(ctx)
         else:
             bit = (enc.av[idx] >> p) & 1
-            enc.mq.encode(ctx, bit)
+            if raw is not None:
+                raw.bit(bit)
+            else:
+                enc.mq.encode(ctx, bit)
         if bit:
-            sctx, xorbit = st._sc_ctx(x, y)
             if dec is not None:
-                s = dec.decode(sctx) ^ xorbit
+                if raw is not None:
+                    s = raw.bit()
+                else:
+                    sctx, xorbit = st._sc_ctx(x, y)
+                    s = dec.decode(sctx) ^ xorbit
                 st.mag[idx] = 1 << p
             else:
                 s = enc.sg[idx]
-                enc.mq.encode(sctx, s ^ xorbit)
+                if raw is not None:
+                    raw.bit(s)
+                else:
+                    sctx, xorbit = st._sc_ctx(x, y)
+                    enc.mq.encode(sctx, s ^ xorbit)
             st.sgn[idx] = s
             st.sig[idx] = 1
 
 
-def _t1_pass_mrp(st: _T1State, p: int, dec, enc):
+def _t1_pass_mrp(st: _T1State, p: int, dec, enc, raw=None):
     for x, y, idx, _k0 in st.scan():
         if not st.sig[idx] or st.vis[idx]:
             continue
-        ctx = st._mr_ctx(x, y, idx)
         if dec is not None:
-            bit = dec.decode(ctx)
+            if raw is not None:
+                bit = raw.bit()
+            else:
+                bit = dec.decode(st._mr_ctx(x, y, idx))
             if bit:
                 st.mag[idx] |= 1 << p
         else:
             bit = (enc.av[idx] >> p) & 1
-            enc.mq.encode(ctx, bit)
+            if raw is not None:
+                raw.bit(bit)
+            else:
+                enc.mq.encode(st._mr_ctx(x, y, idx), bit)
         st.ref[idx] = 1
 
 
@@ -587,37 +693,99 @@ def _t1_pass_cup(st: _T1State, p: int, dec, enc, segsym: bool):
                 enc.mq.encode(_CTX_UNI, b)
 
 
+class _MQDecWrap:
+    """MQ decoder over one codeword segment with SHARED contexts —
+    bypass termination restarts the register state per segment but the
+    probability contexts persist across segments (T.800 D.6)."""
+
+    __slots__ = ("mq", "ctx")
+
+    def __init__(self, data: bytes, ctx):
+        self.mq = MQDecoder(data, 1)
+        self.ctx = ctx
+
+    def decode(self, cx: int) -> int:
+        return self.mq.decode(cx, self.ctx)
+
+
+class _MQEncWrap:
+    __slots__ = ("mq", "ctx")
+
+    def __init__(self, ctx):
+        self.mq = MQEncoder(1)
+        self.ctx = ctx
+
+    def encode(self, cx: int, d: int):
+        self.mq.encode(cx, d, self.ctx)
+
+    def flush(self) -> bytes:
+        return self.mq.flush()
+
+
+def _new_t1_ctx():
+    from .jbig2 import ArithCtx
+
+    ctx = ArithCtx(_N_CTX)
+    _init_t1_states(ctx)
+    return ctx
+
+
+def _pass_plane_type(pass_index: int, mb: int) -> Tuple[int, int]:
+    """(bitplane, pass type 0=spp/1=mrp/2=cup) of a pass index."""
+    if pass_index == 0:
+        return mb - 1, 2
+    k = pass_index - 1
+    return mb - 2 - k // 3, k % 3
+
+
+def t1_decode_segments(segments: List[Tuple[bytes, int]], w: int, h: int,
+                       band: str, mb: int, segsym: bool, bypass: bool
+                       ) -> Tuple[List[int], List[int]]:
+    """Decode one code-block from its ordered codeword segments
+    [(bytes, npasses)]; with ``bypass`` the D.6 schedule decides which
+    passes ride raw segments."""
+    total = sum(n for _, n in segments)
+    if mb <= 0 or total > 3 * mb - 2:
+        raise JPXError("inconsistent code-block pass count")
+    st = _T1State(w, h, band)
+    ctx = _new_t1_ctx()
+    pass_i = 0
+    for data, n_seg in segments:
+        if n_seg <= 0:
+            continue
+        is_raw = _pass_is_raw(pass_i, bypass)
+        coder = _RawDec(data) if is_raw else _MQDecWrap(data, ctx)
+        for _ in range(n_seg):
+            p, ptype = _pass_plane_type(pass_i, mb)
+            if p < 0:
+                raise JPXError("pass past LSB plane")
+            if _pass_is_raw(pass_i, bypass) != is_raw:
+                raise JPXError("segment crosses a bypass boundary")
+            if ptype == 0:
+                _t1_pass_spp(st, p, coder, None,
+                             raw=coder if is_raw else None)
+            elif ptype == 1:
+                _t1_pass_mrp(st, p, coder, None,
+                             raw=coder if is_raw else None)
+            else:
+                _t1_pass_cup(st, p, coder, None, segsym)
+            pass_i += 1
+    return st.mag, list(st.sgn)
+
+
 def t1_decode(data: bytes, w: int, h: int, band: str, mb: int,
               npasses: int, segsym: bool = False
               ) -> Tuple[List[int], List[int]]:
     """Decode one code-block: returns (magnitudes, signs)."""
-    if mb <= 0 or npasses > 3 * mb - 2:
-        raise JPXError("inconsistent code-block pass count")
-    st = _T1State(w, h, band)
-    dec = MQDecoder(data, _N_CTX)
-    _init_t1_states(dec)
-    done = 0
-    for p in range(mb - 1, -1, -1):
-        passes = ((lambda: _t1_pass_cup(st, p, dec, None, segsym)),) \
-            if p == mb - 1 else (
-                (lambda: _t1_pass_spp(st, p, dec, None)),
-                (lambda: _t1_pass_mrp(st, p, dec, None)),
-                (lambda: _t1_pass_cup(st, p, dec, None, segsym)),
-            )
-        for fn in passes:
-            if done >= npasses:
-                return st.mag, list(st.sgn)
-            fn()
-            done += 1
-    return st.mag, list(st.sgn)
+    return t1_decode_segments([(data, npasses)], w, h, band, mb,
+                              segsym, False)
 
 
 class _T1Enc:
-    def __init__(self, av: List[int], sg: List[int]):
+    def __init__(self, av: List[int], sg: List[int], mq):
         self.av = av
         self.sg = sg
-        self.mq = MQEncoder(_N_CTX)
-        _init_t1_states(self.mq)
+        self.mq = mq
 
 
 def t1_encode(values: List[int], w: int, h: int, band: str,
@@ -630,13 +798,54 @@ def t1_encode(values: List[int], w: int, h: int, band: str,
     if planes == 0:
         return b"", 0, 0
     st = _T1State(w, h, band)
-    enc = _T1Enc(av, sg)
+    mq = _MQEncWrap(_new_t1_ctx())
+    enc = _T1Enc(av, sg, mq)
     for p in range(planes - 1, -1, -1):
         if p != planes - 1:
             _t1_pass_spp(st, p, None, enc)
             _t1_pass_mrp(st, p, None, enc)
         _t1_pass_cup(st, p, None, enc, segsym)
-    return enc.mq.flush(), 3 * planes - 2, planes
+    return mq.flush(), 3 * planes - 2, planes
+
+
+def t1_encode_bypass(values: List[int], w: int, h: int, band: str,
+                     segsym: bool = False
+                     ) -> Tuple[List[Tuple[bytes, int]], int, int]:
+    """Bypass (lazy) encode: returns ([(segment bytes, npasses)],
+    total passes, planes) under the D.6 termination schedule — MQ
+    contexts persist across segments, register state restarts."""
+    av = [abs(v) for v in values]
+    sg = [1 if v < 0 else 0 for v in values]
+    planes = max(av).bit_length() if any(av) else 0
+    if planes == 0:
+        return [], 0, 0
+    st = _T1State(w, h, band)
+    ctx = _new_t1_ctx()
+    total = 3 * planes - 2
+    segments: List[Tuple[bytes, int]] = []
+    pass_i = 0
+    while pass_i < total:
+        seg_i, seg_start, cap = _bypass_segment_of(pass_i)
+        n_seg = min(cap, total - seg_start)
+        is_raw = _pass_is_raw(seg_start, True)
+        if is_raw:
+            raw = _RawEnc()
+            enc = _T1Enc(av, sg, None)
+        else:
+            raw = None
+            enc = _T1Enc(av, sg, _MQEncWrap(ctx))
+        for _ in range(n_seg):
+            p, ptype = _pass_plane_type(pass_i, planes)
+            if ptype == 0:
+                _t1_pass_spp(st, p, None, enc, raw=raw)
+            elif ptype == 1:
+                _t1_pass_mrp(st, p, None, enc, raw=raw)
+            else:
+                _t1_pass_cup(st, p, None, enc, segsym)
+            pass_i += 1
+        segments.append((raw.flush() if is_raw else enc.mq.flush(),
+                         n_seg))
+    return segments, total, planes
 
 
 # ---------------------------------------------------------------------------
@@ -650,7 +859,8 @@ _GAIN = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
 
 class _Block:
     __slots__ = ("x0", "y0", "w", "h", "chunks", "npasses", "included",
-                 "lblock", "zbp", "data", "enc_npasses", "enc_planes")
+                 "lblock", "zbp", "data", "enc_npasses", "enc_planes",
+                 "seg_chunks", "seg_passes", "enc_segments")
 
     def __init__(self, x0: int, y0: int, w: int, h: int):
         self.x0, self.y0, self.w, self.h = x0, y0, w, h
@@ -659,16 +869,23 @@ class _Block:
         self.included = False
         self.lblock = 3
         self.zbp: Optional[int] = None
+        # bypass decode: per-segment accumulation (a segment may span
+        # packets, a packet may cover several segments)
+        self.seg_chunks: Dict[int, bytearray] = {}
+        self.seg_passes: Dict[int, int] = {}
         self.data = b""         # encoder side
         self.enc_npasses = 0
         self.enc_planes = 0
+        self.enc_segments: List[Tuple[bytes, int]] = []
 
 
 class _Band:
     def __init__(self, btype: str, lev: int, w: int, h: int, mb: int,
-                 delta: Optional[float], cbw: int, cbh: int):
+                 delta: Optional[float], cbw: int, cbh: int,
+                 bypass: bool = False):
         self.type, self.lev, self.w, self.h = btype, lev, w, h
         self.mb = mb
+        self.bypass = bypass  # selective arithmetic bypass (D.6)
         self.delta = delta  # None -> reversible (no dequantization)
         self.ncbx = _ceildiv(w, cbw) if w else 0
         self.ncby = _ceildiv(h, cbh) if h else 0
@@ -749,20 +966,46 @@ def _read_packet(buf: bytes, pos: int, bands: List[_Band], layer: int,
                 np_new = _read_npasses(br)
                 while br.bit():
                     blk.lblock += 1
-                nbits = blk.lblock + (np_new.bit_length() - 1)
-                nbytes = br.bits(nbits)
-                segs.append((blk, np_new, nbytes))
+                if not band.bypass:
+                    nbits = blk.lblock + (np_new.bit_length() - 1)
+                    nbytes = br.bits(nbits)
+                    segs.append((blk, [(None, np_new, nbytes)]))
+                else:
+                    # bypass: the contribution may span several codeword
+                    # segments — one length per segment (B.10.7.2), the
+                    # D.6 schedule fixing the split
+                    parts = []
+                    start = blk.npasses
+                    remaining = np_new
+                    while remaining > 0:
+                        seg_i, seg_start, cap = _bypass_segment_of(start)
+                        take = min(remaining, seg_start + cap - start)
+                        nbits = blk.lblock + (take.bit_length() - 1)
+                        nbytes = br.bits(nbits)
+                        parts.append((seg_i, take, nbytes))
+                        start += take
+                        remaining -= take
+                    segs.append((blk, parts))
+                    blk.npasses = start
+                    continue
     pos = br.end_header()
     if use_eph:
         if buf[pos:pos + 2] != b"\xff\x92":
             raise JPXError("missing EPH marker")
         pos += 2
-    for blk, np_new, nbytes in segs:
-        if pos + nbytes > len(buf):
-            raise JPXError("packet body overrun")
-        blk.chunks.append(buf[pos:pos + nbytes])
-        blk.npasses += np_new
-        pos += nbytes
+    for blk, parts in segs:
+        for seg_i, np_new, nbytes in parts:
+            if pos + nbytes > len(buf):
+                raise JPXError("packet body overrun")
+            chunk = buf[pos:pos + nbytes]
+            pos += nbytes
+            if seg_i is None:
+                blk.chunks.append(chunk)
+                blk.npasses += np_new
+            else:
+                blk.seg_chunks.setdefault(seg_i, bytearray()).extend(chunk)
+                blk.seg_passes[seg_i] = blk.seg_passes.get(seg_i, 0) \
+                    + np_new
     return pos
 
 
@@ -771,7 +1014,8 @@ def _write_packet(bands: List[_Band], layer: int) -> bytes:
     bw = _BitWriter()
     body = bytearray()
     any_data = any(
-        blk.data for band in bands for _, _, blk in band.iter_blocks()
+        blk.data or blk.enc_segments
+        for band in bands for _, _, blk in band.iter_blocks()
     )
     if not any_data:
         bw.bit(0)
@@ -781,11 +1025,12 @@ def _write_packet(bands: List[_Band], layer: int) -> bytes:
         if not (band.ncbx and band.ncby):
             continue
         for bx, by, blk in band.iter_blocks():
+            has = bool(blk.data) or bool(blk.enc_segments)
             if blk.included:
-                bw.bit(1 if blk.data else 0)
+                bw.bit(1 if has else 0)
             else:
                 band.inc_tree.encode(bw, bx, by, layer + 1)
-            if not blk.data:
+            if not has:
                 continue
             if not blk.included:
                 zb = band.mb - blk.enc_planes
@@ -793,6 +1038,22 @@ def _write_packet(bands: List[_Band], layer: int) -> bytes:
                     band.zbp_tree.encode(bw, bx, by, t)
                 blk.included = True
             _write_npasses(bw, blk.enc_npasses)
+            if blk.enc_segments:
+                # bypass: one length per codeword segment, the shared
+                # lblock grown until every segment's length fits
+                while any(
+                    len(d).bit_length()
+                    > blk.lblock + (np_.bit_length() - 1)
+                    for d, np_ in blk.enc_segments
+                ):
+                    bw.bit(1)
+                    blk.lblock += 1
+                bw.bit(0)
+                for d, np_ in blk.enc_segments:
+                    bw.bits(len(d),
+                            blk.lblock + (np_.bit_length() - 1))
+                    body += d
+                continue
             need = len(blk.data).bit_length()
             nbits = blk.lblock + (blk.enc_npasses.bit_length() - 1)
             while nbits < need:
@@ -874,7 +1135,7 @@ def _parse_cod(body: bytes, marker: str) -> _COD_:
     if c.xcb > 10 or c.ycb > 10 or c.xcb + c.ycb > 12:
         raise JPXError("bad code-block size")
     c.cbstyle = body[8]
-    if c.cbstyle & 0x0F:  # bypass / reset / termall / causal
+    if c.cbstyle & 0x0E:  # reset / termall / causal (bypass supported)
         raise JPXError("unsupported code-block style")
     c.transform = body[9]
     if c.transform not in (0, 1):
@@ -895,7 +1156,7 @@ def _parse_coc_sp(body: bytes, base: _COD_) -> _COD_:
     c.xcb = (body[2] & 0x0F) + 2
     c.ycb = (body[3] & 0x0F) + 2
     c.cbstyle = body[4]
-    if c.cbstyle & 0x0F:
+    if c.cbstyle & 0x0E:  # reset / termall / causal (bypass supported)
         raise JPXError("unsupported code-block style")
     c.transform = body[5]
     return c
@@ -1089,6 +1350,7 @@ def _decode_tile(siz, cod, qcd, coc, qcc, tinfo, tw: int, th: int
             raise JPXError(
                 "tile size not a multiple of 2**levels unsupported")
         cbw, cbh = 1 << ccod.xcb, 1 << ccod.ycb
+        bypass = bool(ccod.cbstyle & 0x01)
         res_bands: List[List[_Band]] = []
         for r in range(levels + 1):
             bands = []
@@ -1098,7 +1360,8 @@ def _decode_tile(siz, cod, qcd, coc, qcc, tinfo, tw: int, th: int
                     tw, th)
                 mb, delta = _band_quant(
                     cqcd, levels, lev, "LL", siz["depths"][c], reversible)
-                bands.append(_Band("LL", lev, bw, bh, mb, delta, cbw, cbh))
+                bands.append(_Band("LL", lev, bw, bh, mb, delta, cbw, cbh,
+                                   bypass))
             else:
                 lev = levels - r + 1
                 for btype, xob, yob in (("HL", 1, 0), ("LH", 0, 1),
@@ -1108,7 +1371,8 @@ def _decode_tile(siz, cod, qcd, coc, qcc, tinfo, tw: int, th: int
                         cqcd, levels, lev, btype, siz["depths"][c],
                         reversible)
                     bands.append(
-                        _Band(btype, lev, bw, bh, mb, delta, cbw, cbh))
+                        _Band(btype, lev, bw, bh, mb, delta, cbw, cbh,
+                              bypass))
             res_bands.append(bands)
         comps_bands.append(res_bands)
         res_counts.append(levels + 1)
@@ -1134,9 +1398,19 @@ def _decode_tile(siz, cod, qcd, coc, qcc, tinfo, tw: int, th: int
                     if not blk.npasses:
                         continue
                     mb_eff = band.mb - (blk.zbp or 0)
-                    mag, sgn = t1_decode(
-                        b"".join(blk.chunks), blk.w, blk.h, band.type,
-                        mb_eff, blk.npasses, segsym)
+                    if band.bypass:
+                        seg_list = [
+                            (bytes(blk.seg_chunks.get(k, b"")),
+                             blk.seg_passes[k])
+                            for k in sorted(blk.seg_passes)
+                        ]
+                        mag, sgn = t1_decode_segments(
+                            seg_list, blk.w, blk.h, band.type,
+                            mb_eff, segsym, True)
+                    else:
+                        mag, sgn = t1_decode(
+                            b"".join(blk.chunks), blk.w, blk.h, band.type,
+                            mb_eff, blk.npasses, segsym)
                     m = np.array(mag, dtype=np.float64).reshape(
                         blk.h, blk.w)
                     s = np.array(sgn, dtype=np.float64).reshape(
@@ -1247,7 +1521,8 @@ def jpx_encode(arr: np.ndarray, levels: int = 2, reversible: bool = True,
                cblk: Tuple[int, int] = (32, 32), mct: Optional[bool] = None,
                segsym: bool = False, delta: float = 1.0 / 64.0,
                prog: int = 0, jp2: bool = False,
-               tile_size: Optional[Tuple[int, int]] = None) -> bytes:
+               tile_size: Optional[Tuple[int, int]] = None,
+               bypass: bool = False) -> bytes:
     """Encode uint8 samples (h, w) or (h, w, c) -> J2K codestream
     (or a minimal JP2 container when ``jp2``). Lossless when
     ``reversible``; 9/7 + scalar quantization otherwise, with
@@ -1319,7 +1594,7 @@ def jpx_encode(arr: np.ndarray, levels: int = 2, reversible: bool = True,
         x0, y0 = tx * xt, ty * yt
         tcomps = [cc[y0:y0 + yt, x0:x0 + xt] for cc in comps]
         body = _encode_tile_body(tcomps, levels, reversible, cbw, cbh,
-                                 qparams, segsym, prog)
+                                 qparams, segsym, prog, bypass)
         psot = 12 + 2 + len(body)
         tile_parts.append(
             struct.pack(">HHHIBB", _SOT, 10, ti, psot, 0, 1)
@@ -1337,7 +1612,7 @@ def jpx_encode(arr: np.ndarray, levels: int = 2, reversible: bool = True,
     ]) + struct.pack(">H", 1) + bytes([
         1 if mct else 0,
         levels, xcb - 2, ycb - 2,
-        0x20 if segsym else 0x00,
+        (0x20 if segsym else 0x00) | (0x01 if bypass else 0x00),
         1 if reversible else 0,
     ])
     if reversible:
@@ -1357,7 +1632,8 @@ def jpx_encode(arr: np.ndarray, levels: int = 2, reversible: bool = True,
 
 def _encode_tile_body(comps: List[np.ndarray], levels: int,
                       reversible: bool, cbw: int, cbh: int,
-                      qparams: list, segsym: bool, prog: int) -> bytes:
+                      qparams: list, segsym: bool, prog: int,
+                      bypass: bool = False) -> bytes:
     """DWT -> quantize -> T1 -> packets for one tile's components."""
     ncomps = len(comps)
     guard = 2
@@ -1384,16 +1660,22 @@ def _encode_tile_body(comps: List[np.ndarray], levels: int,
                     qv = (np.sign(src)
                           * np.floor(np.abs(src) / actual)).astype(np.int64)
                 band = _Band(bt, lev, src.shape[1], src.shape[0], mb,
-                             actual, cbw, cbh)
+                             actual, cbw, cbh, bypass)
                 inc_vals, zbp_vals = [], []
                 for _bx, _by, blk in band.iter_blocks():
                     vals = qv[blk.y0:blk.y0 + blk.h,
                               blk.x0:blk.x0 + blk.w].ravel().tolist()
-                    data, npasses, planes = t1_encode(
-                        vals, blk.w, blk.h, bt, segsym)
+                    if bypass:
+                        segments, npasses, planes = t1_encode_bypass(
+                            vals, blk.w, blk.h, bt, segsym)
+                        blk.enc_segments = segments
+                        data = b"".join(d for d, _ in segments)
+                    else:
+                        data, npasses, planes = t1_encode(
+                            vals, blk.w, blk.h, bt, segsym)
+                        blk.data = data
                     if planes > mb:
                         raise JPXError("coefficient exceeds Mb budget")
-                    blk.data = data
                     blk.enc_npasses = npasses
                     blk.enc_planes = planes
                     inc_vals.append(0 if data else 1)

@@ -579,6 +579,9 @@ def make_pdf(pages: List[Dict], info: dict = None) -> bytes:
                 body = jpx_encode(
                     arr, reversible=True, prog=seed % 5,
                     jp2=bool(seed % 2),
+                    # v24: odd seed//2 exercises the selective
+                    # arithmetic bypass style (T.800 D.6)
+                    bypass=bool((seed >> 1) % 2),
                 )
                 filt = b"/JPXDecode"
             else:

@@ -315,3 +315,98 @@ def test_oracle_scanner_agrees_on_jpx_rows():
         d = kernel_decode(body)
         assert row["status"] == "ok"
         assert d["samples"].tobytes() == row["samples"]
+
+
+# ---------------------------------------------------------------------------
+# Selective arithmetic coding bypass (round-7; T.800 D.6)
+
+
+def test_bypass_t1_roundtrip_matrix():
+    """Tier-1 bypass segments vs the plain path: same values decode
+    from both codings across bands, dims, and magnitude depths (deep
+    enough that several raw SPP/MRP pairs engage — raw starts at pass
+    10, i.e. the 5th bitplane)."""
+    import random as _r
+
+    from pdfplumber_spark.kernel.jpx import (
+        t1_decode_segments,
+        t1_encode_bypass,
+    )
+
+    rng = _r.Random(77)
+    for trial in range(24):
+        w, h = rng.randint(1, 20), rng.randint(1, 20)
+        magbits = rng.randint(1, 13)  # > 5 planes engages raw passes
+        vals = [rng.randint(-(1 << magbits), 1 << magbits)
+                for _ in range(w * h)]
+        band = rng.choice(["LL", "HL", "LH", "HH"])
+        segsym = rng.random() < 0.3
+        segs, npasses, planes = t1_encode_bypass(vals, w, h, band, segsym)
+        if not planes:
+            continue
+        if planes >= 5:
+            assert len(segs) > 1, "deep block must have raw segments"
+        m, s = t1_decode_segments(segs, w, h, band, planes, segsym, True)
+        got = [(-v if sg else v) for v, sg in zip(m, s)]
+        assert got == vals, (trial, w, h, band)
+
+
+def test_bypass_end_to_end_matrix():
+    """Full codestream roundtrips with the bypass style flag: lossless
+    bit-exact, irreversible within quantizer tolerance, across levels,
+    MCT, tiles, and progression orders."""
+    rng = np.random.RandomState(41)
+    cases = [
+        dict(shape=(21, 17), levels=1),
+        dict(shape=(32, 32, 3), levels=2, prog=2),
+        dict(shape=(48, 48), levels=2, segsym=True),
+        dict(shape=(64, 40, 3), levels=2, tile_size=(32, 32), prog=4),
+    ]
+    for case in cases:
+        shape = case.pop("shape")
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        enc = jpx_encode(img, reversible=True, bypass=True, **case)
+        got = jpx_decode(enc)["samples"]
+        if img.ndim == 2:
+            got = got[:, :, 0]
+        assert (got == img).all(), case
+        enc = jpx_encode(img, reversible=False, bypass=True,
+                         delta=0.5, **case)
+        got = jpx_decode(enc)["samples"]
+        if img.ndim == 2:
+            got = got[:, :, 0]
+        err = np.abs(got.astype(int) - img.astype(int)).max()
+        assert err <= 3, (case, err)
+
+
+def test_bypass_flag_read_from_codestream():
+    """The COD cbstyle bypass bit must actually round the decoder's
+    bypass path (not be ignored): flipping it off on a bypass-coded
+    stream must NOT decode to the original."""
+    img = (np.arange(24 * 24) * 7 % 256).astype(np.uint8).reshape(24, 24)
+    enc = bytearray(jpx_encode(img, levels=1, reversible=True,
+                               bypass=True))
+    cod = enc.index(b"\xff\x52")
+    # COD body: Lcod(2) Scod(1) SGcod(4) SPcod: levels(1) xcb(1) ycb(1)
+    # cbstyle(1) ...
+    cb_off = cod + 2 + 2 + 1 + 4 + 3
+    assert enc[cb_off] & 1, "bypass bit expected in fixture"
+    enc[cb_off] &= ~1
+    try:
+        got = jpx_decode(bytes(enc))["samples"][:, :, 0]
+        assert not (got == img).all()
+    except JPXError:
+        pass  # structured failure equally proves the bit matters
+
+
+def test_bypass_garbage_never_hangs():
+    rng = np.random.RandomState(9)
+    enc = bytearray(jpx_encode(_noise(16, 16, seed=5), bypass=True))
+    for _ in range(60):
+        bad = bytearray(enc)
+        for _m in range(rng.randint(1, 5)):
+            bad[rng.randint(4, len(bad))] = rng.randint(0, 256)
+        try:
+            jpx_decode(bytes(bad))
+        except JPXError:
+            pass
