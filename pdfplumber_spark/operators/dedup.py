@@ -161,6 +161,57 @@ def minhash_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+def _ckpt_rdd(df: DataFrame):
+    """The persisted JVM RDD backing a localCheckpoint'ed DataFrame (its
+    analyzed plan is a LogicalRDD whose ``rdd`` field IS the checkpoint).
+    Explicit handles let superseded per-round checkpoints be released
+    deterministically — GC-driven ContextCleaner reclamation proved
+    unreliable inside long sessions (round-7 soak-test finding: 5
+    localCheckpoint RDDs survived blocking unpersist + 10 s of forced
+    GC in 1-of-2 full-suite runs)."""
+    try:
+        return df._jdf.queryExecution().analyzed().rdd()
+    except Exception:  # noqa: BLE001 — non-LogicalRDD plan shape
+        return None
+
+
+def _release_ckpt(df: DataFrame, blocking: bool = False) -> None:
+    """Unpersist a SUPERSEDED checkpoint's blocks. Only call once every
+    consumer of the DataFrame has materialized — the lineage is
+    truncated, so the data cannot be recomputed afterwards."""
+    r = _ckpt_rdd(df)
+    if r is not None:
+        try:
+            r.unpersist(blocking)
+        except Exception:  # noqa: BLE001 — context may be stopping
+            pass
+
+
+class _CheckpointHandle:
+    """Registry shim: lets ``unpersist_all()`` release the FINAL
+    checkpoint backing an operator's returned DataFrame (same contract
+    as cached intermediates: evict after the caller's terminal
+    action)."""
+
+    __slots__ = ("_jrdd",)
+
+    def __init__(self, jrdd):
+        self._jrdd = jrdd
+
+    def unpersist(self, blocking: bool = False):
+        if self._jrdd is not None:
+            self._jrdd.unpersist(blocking)
+
+
+def _track_final_ckpt(df: DataFrame) -> DataFrame:
+    from ._cache import track
+
+    r = _ckpt_rdd(df)
+    if r is not None:
+        track(_CheckpointHandle(r))
+    return df
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -192,9 +243,12 @@ def connected_components(
     truncation the logical plan doubles per round — exponential analysis
     cost by round ~8 (measured). Checkpointing also makes the returned
     DataFrame a plan-stable LogicalRDD with no dependency on ``edges``, so
-    the edge cache is evicted in-function (try/finally); checkpoint blocks
-    themselves are reclaimed by Spark's ContextCleaner when the DataFrames
-    are garbage-collected. On a real cluster prefer
+    the edge cache is evicted in-function (try/finally). Superseded
+    per-round checkpoint blocks are released EXPLICITLY as soon as the
+    next round materializes (round-7 fix: GC-driven ContextCleaner
+    reclamation leaked across long sessions), and the final checkpoint
+    registers with the eviction registry so ``unpersist_all()`` frees it
+    after the caller's terminal action. On a real cluster prefer
     ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` for
     executor-loss resilience (SCALE.md §4)."""
     if algorithm == "star":
@@ -241,6 +295,9 @@ def connected_components(
                 .where(F.col("_nl") < F.col("label"))
                 .count()
             )
+            # `new` is materialized (eager checkpoint) and `changed`
+            # consumed the old labels — release the superseded round now
+            _release_ckpt(labels)
             labels = new
             if changed == 0:
                 converged = True
@@ -249,6 +306,7 @@ def connected_components(
             # Silent wrong components are worse than a loud failure: a
             # diameter > max_iters graph would keep several labels per
             # component. algorithm="star" needs only O(log n) rounds.
+            _release_ckpt(labels)
             raise RuntimeError(
                 f"connected_components(label_prop) did not converge in "
                 f"{max_iters} rounds (graph diameter exceeds max_iters); "
@@ -256,6 +314,7 @@ def connected_components(
             )
     finally:
         edges.unpersist()
+    _track_final_ckpt(labels)
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -276,6 +335,7 @@ def _cc_star(canon: DataFrame, max_iters: int) -> DataFrame:
     stable = False
     for _ in range(max_iters):
         prev = cur
+        superseded = []
         for phase in ("large", "small"):
             sym = cur.select(
                 F.col("a").alias("u"), F.col("b").alias("v")
@@ -296,6 +356,7 @@ def _cc_star(canon: DataFrame, max_iters: int) -> DataFrame:
                 ).union(
                     m.select(F.col("u").alias("x"), F.col("m").alias("y"))
                 )
+            superseded.append(cur)
             cur = (
                 out.select(
                     F.least("x", "y").alias("a"),
@@ -309,13 +370,20 @@ def _cc_star(canon: DataFrame, max_iters: int) -> DataFrame:
             cur.exceptAll(prev).count() == 0
             and prev.exceptAll(cur).count() == 0
         )
+        # both exceptAll counts consumed prev (= superseded[0]) and the
+        # intra-cycle intermediate — release their checkpoint blocks
+        # explicitly (round-7 leak fix; see _ckpt_rdd)
+        for s in superseded:
+            _release_ckpt(s)
         if stable:
             break
     if not stable:
+        _release_ckpt(cur)
         raise RuntimeError(
             f"connected_components(star) did not converge in {max_iters} "
             f"large/small-star cycles; raise max_iters"
         )
+    _track_final_ckpt(cur)
     # at convergence every edge is (component_min, member)
     sym = cur.select(F.col("a").alias("node"), F.col("b").alias("other")).union(
         cur.select(F.col("b").alias("node"), F.col("a").alias("other"))

@@ -26,10 +26,15 @@ CACHING_QUERIES = [
     "quality",  # carries the repetition join since the round-6 board merge
     "quality_filter",
     "winnow_overlap",
+    # round 7: connected_components releases superseded per-round
+    # localCheckpoint blocks explicitly and registers the FINAL
+    # checkpoint with the eviction registry, so the CC query is now
+    # covered by the same unpersist_all contract as everything else
+    # (the GC-reclamation design leaked across long sessions — soak
+    # finding: 5 checkpoint RDDs survived blocking unpersist + 10 s of
+    # forced GC)
+    "minhash_dedup_cc",
 ]
-# NOT listed: minhash_dedup_cc — connected_components uses localCheckpoint
-# per round (lineage truncation); checkpoint blocks are reclaimed by the
-# ContextCleaner on GC, not by unpersist_all (documented in the operator).
 
 
 def _start_clean(spark):
