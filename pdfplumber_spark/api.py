@@ -890,17 +890,27 @@ class PDF:
             curves["object_type"] = "curve"
             self.pages.append(Page(self, interp, chars, lines, rects, curves))
 
-    def structure_tree(self, page_number: Optional[int] = None):
+    def structure_tree(self, page_number: Optional[int] = None,
+                       page: Optional["Page"] = None):
         """Tagged-PDF structure tree (structure.py:101-509 analogue);
-        optionally scoped to one page."""
+        optionally scoped to one page — pass ``page`` (possibly a
+        cropped derivation) for reference ``PDFStructTree(pdf, page)``
+        semantics incl. ``element_bbox`` crop clipping."""
         from .kernel.pdfparse import PDFDocument
         from .kernel.structure import StructTree
 
-        return StructTree(
+        if page is not None and page_number is None:
+            page_number = page.page_number
+        tree = StructTree(
             PDFDocument(self._data, password=self._password),
             page_number=page_number,
             pages=self._pages_subset if page_number is None else None,
         )
+        # attach the api pages so element_bbox can reach mediaboxes,
+        # crop state, and mcid objects (kernel stays api-agnostic)
+        tree._api_pages = {p.page_number: p for p in self.pages}
+        tree._api_page = page
+        return tree
 
     @property
     def chars(self):
@@ -982,3 +992,8 @@ def open(path_or_fp: Union[str, bytes, io.IOBase], pages=None,
         # not pass the password through
         password = ""
     return PDF(data, pages=pages, password=password, laparams=laparams)
+
+
+# reference `pdfplumber.repair` surface (repair.py:57-76) re-exported on
+# the facade so `api.repair(...)` mirrors `api.open(...)`
+from .repair import repair  # noqa: E402,F401

@@ -505,7 +505,14 @@ class Font:
         self._ttf = None  # parsed lazily, False = tried and failed
         self._cff = None
         self._t1f = None
-        self.descent = float(doc.resolve(desc.get("Descent", FONT_DESCENT)) or FONT_DESCENT)
+        # explicit numeric values stand AS WRITTEN, including 0 — pdfminer
+        # (pdffont.py) reads descriptor.get("Descent") verbatim, and
+        # LibreOffice emits Ascent/Descent 0 (round-7 element_bbox port:
+        # chars sat 0.212 em low on pdf_structure.pdf). The writer-contract
+        # default applies only when the key is ABSENT.
+        _desc_v = doc.resolve(desc.get("Descent"))
+        self.descent = (float(_desc_v) if isinstance(_desc_v, (int, float))
+                        else float(FONT_DESCENT))
         # PDF RM 9.8.1: /Descent must be negative. PScript5.dll emits a
         # positive value; pdfminer (pdffont.py PDFFont.__init__) forces it
         # negative, and the reference's laparams line grouping on
@@ -513,7 +520,9 @@ class Font:
         # font sizes shift otherwise.
         if self.descent > 0:
             self.descent = -self.descent
-        self.ascent = float(doc.resolve(desc.get("Ascent", FONT_ASCENT)) or FONT_ASCENT)
+        _asc_v = doc.resolve(desc.get("Ascent"))
+        self.ascent = (float(_asc_v) if isinstance(_asc_v, (int, float))
+                       else float(FONT_ASCENT))
         self.default_width = float(doc.resolve(desc.get("MissingWidth", 556)) or 556)
         if not self.widths:
             # fallback: deterministic base table (ASCII)
@@ -591,7 +600,9 @@ class Font:
             self._fontfile_ref = desc.get("FontFile")
             self._fontfile2_ref = desc.get("FontFile2")
             self._fontfile3_ref = desc.get("FontFile3")
-            self.descent = float(doc.resolve(desc.get("Descent", self.descent)) or self.descent)
+            _dv = doc.resolve(desc.get("Descent"))
+            if isinstance(_dv, (int, float)):  # explicit 0 stands (see
+                self.descent = float(_dv)      # simple-font note above)
             if self.descent > 0:  # same RM 9.8.1 correction as simple fonts
                 self.descent = -self.descent
 

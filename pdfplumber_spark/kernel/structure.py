@@ -437,9 +437,66 @@ class StructTree:
     def find(self, matcher: MatchType) -> Optional[StructElement]:
         return next(_find_all(self.children, matcher), None)
 
+    def element_bbox(self, el: StructElement, page=None) -> tuple:
+        """Visual-debug bbox of an element (reference
+        structure.py:464-509): the /BBox attribute when present —
+        PDF-space coordinates inverted against the MEDIABOX height,
+        because cropping does not translate coordinates — else the
+        union of the element's marked-content objects. Cropped pages
+        clip the result through the shared crop kernel; an element
+        cropped off the page raises IndexError.
+
+        ``page`` is an ``api.Page`` (possibly cropped). When omitted,
+        the tree uses the page objects the API facade attached
+        (``api.PDF.structure_tree``) keyed by the element's page."""
+        import pandas as pd
+
+        from .geom import crop_frame, frame_bbox
+
+        pages = getattr(self, "_api_pages", None) or {}
+        if page is None:
+            page = getattr(self, "_api_page", None)
+        if page is None and el.page_number is not None:
+            page = pages.get(el.page_number)
+        bbox = (el.attributes or {}).get("BBox") if el.attributes else None
+        if page is not None and bbox is not None:
+            mb = page.mediabox
+            mh = float(mb[3]) - float(mb[1])
+            vals = [float(v) for v in bbox]
+            x0, x1 = sorted((vals[0], vals[2]))
+            yb, yt = sorted((vals[1], vals[3]))
+            rect = pd.DataFrame([{
+                "x0": x0, "top": mh - yt, "x1": x1, "bottom": mh - yb,
+                "width": x1 - x0, "height": yt - yb,
+            }])
+            full = (0.0, 0.0, float(mb[2]) - float(mb[0]), mh)
+            if tuple(float(v) for v in page.bbox) != full:
+                rect = crop_frame(rect, tuple(page.bbox))
+                if not len(rect):
+                    raise IndexError("Element no longer on page")
+            r = rect.iloc[0]
+            return (float(r["x0"]), float(r["top"]),
+                    float(r["x1"]), float(r["bottom"]))
+        # no BBox attribute: union of the element's mcid objects
+        objs = []
+        for page_number, mcid in el.all_mcids():
+            pg = pages.get(page_number) if page_number is not None else page
+            if pg is None:
+                pg = page
+            if pg is None:
+                continue
+            for lst in pg.objects.values():
+                for o in lst:
+                    if o.get("mcid") == mcid:
+                        objs.append(o)
+        if not objs:
+            raise IndexError("No objects found")
+        return frame_bbox(pd.DataFrame(objs))
+
 
 def tree_to_json(
-    data: bytes, password: str = "", with_text: bool = False, laparams=None
+    data: bytes, password: str = "", with_text: bool = False, laparams=None,
+    pages=None,
 ) -> str:
     """Document structure tree as a JSON string (the Spark column form).
     ``with_text`` attaches per-MCID text like the reference CLI's
@@ -449,7 +506,7 @@ def tree_to_json(
     the PDF was opened with laparams (cli.py:29: --laparams honored for
     --structure/--structure-text)."""
     doc = PDFDocument(data, password=password)
-    tree = StructTree(doc)
+    tree = StructTree(doc, pages=pages)
     out = [el.to_dict() for el in tree.children]
     if with_text:
         from .pdfparse import pdf_to_frames
