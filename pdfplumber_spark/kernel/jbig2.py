@@ -12,10 +12,11 @@ decoding (IAx bands + IAID tree), §6.2 generic region decoding
 decoding, and §7.2/§7.4 segment headers + segment data formats for the
 embedded (PDF) stream format.
 
-Scope: arithmetic coding only. MMR-coded regions, huffman-coded
+Scope: arithmetic coding plus MMR generic regions (§6.2.6 — the T.6
+coding reused from ``kernel/ccitt.py``). Huffman-coded
 dictionaries/text (SDHUFF/SBHUFF), refinement/aggregation
 (SDREFAGG/SBREFINE), halftone regions, and cross-segment arithmetic
-context reuse all raise ``JBIG2Error`` (classified 'unsupported'
+context reuse raise ``JBIG2Error`` (classified 'unsupported'
 upstream). The reference corpus contains NO JBIG2 fixtures (surveyed
 round 6), so external interop cannot be exercised offline; correctness
 is pinned by encoder/decoder roundtrips (the two sides come from the
@@ -786,19 +787,28 @@ def _seg_header(num: int, seg_type: int, page: int, data_len: int,
 
 
 def encode_embedded(rows: List[List[int]], w: int, h: int,
-                    tpgdon: bool = False) -> bytes:
+                    tpgdon: bool = False, mmr: bool = False) -> bytes:
     """Minimal embedded-format JBIG2: page info segment + one immediate
-    generic region segment (lossless, template 0, arithmetic, explicit
-    nominal AT bytes per §7.4.6.2)."""
-    region = encode_generic_region(rows, w, h, tpgdon)
-    at = b"".join(bytes([ax & 0xFF, ay & 0xFF])
-                  for (ax, ay) in _AT_NOMINAL[0])
-    # region segment info (17 bytes) + flags byte (MMR=0, TEMPLATE=0,
-    # TPGDON bit 3) + AT pixels
-    seg_data = (struct.pack(">IIIIB", w, h, 0, 0, 0)  # x,y,combop
-                + bytes([(8 if tpgdon else 0)])
-                + at
-                + region)
+    generic region segment (lossless; arithmetic template 0 with
+    explicit nominal AT bytes per §7.4.6.2, or T.6 MMR coding when
+    ``mmr`` — no AT bytes in that case)."""
+    if mmr:
+        from .ccitt import ccitt_g4_encode
+
+        region = ccitt_g4_encode(rows, w, h)
+        seg_data = (struct.pack(">IIIIB", w, h, 0, 0, 0)
+                    + bytes([1])  # flags: MMR
+                    + region)
+    else:
+        region = encode_generic_region(rows, w, h, tpgdon)
+        at = b"".join(bytes([ax & 0xFF, ay & 0xFF])
+                      for (ax, ay) in _AT_NOMINAL[0])
+        # region segment info (17 bytes) + flags byte (MMR=0, TEMPLATE=0,
+        # TPGDON bit 3) + AT pixels
+        seg_data = (struct.pack(">IIIIB", w, h, 0, 0, 0)  # x,y,combop
+                    + bytes([(8 if tpgdon else 0)])
+                    + at
+                    + region)
     page_info = struct.pack(">IIIIB", w, h, 0, 0, 0) + b"\x00\x00\x00"
     out = _seg_header(0, 48, 1, len(page_info)) + page_info
     out += _seg_header(1, 38, 1, len(seg_data)) + seg_data  # immediate
@@ -882,7 +892,27 @@ def _decode_generic_segment(seg: bytes) -> Tuple[List[List[int]],
     w, h, rx, ry, rinfo = struct.unpack(">IIIIB", seg[:17])
     rflags = seg[17]
     if rflags & 1:
-        raise JBIG2Error("MMR region unsupported")
+        # MMR generic region (T.88 §6.2.6): the coding is exactly T.6
+        # (Group 4) — reuse the CCITT kernel. JBIG2 pixel 1 = black;
+        # no AT bytes are present when MMR is set (§7.4.6.2).
+        if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+            raise JBIG2Error("bad region dims")
+        from .ccitt import CCITTError, ccittfax_decode
+
+        try:
+            packed = ccittfax_decode(
+                bytes(seg[18:]), columns=w, rows=h, k=-1, black_is_1=True)
+        except CCITTError as exc:
+            raise JBIG2Error(f"bad MMR data: {exc}") from exc
+        row_bytes = (w + 7) // 8
+        if len(packed) < row_bytes * h:
+            raise JBIG2Error("short MMR region")
+        rows = [
+            [(packed[r * row_bytes + (x >> 3)] >> (7 - (x & 7))) & 1
+             for x in range(w)]
+            for r in range(h)
+        ]
+        return rows, w, h, rx, ry, rinfo & 7
     template = (rflags >> 1) & 3
     tpgdon = bool(rflags & 8)
     body = seg[18:]

@@ -507,8 +507,11 @@ def make_pdf(pages: List[Dict], info: dict = None) -> bytes:
                     [1 - codes[r * pw + c] for c in range(pw)]
                     for r in range(ph)
                 ]
+                # v25: seed also alternates T.6 MMR coding vs the
+                # arithmetic template-0 path (both real-world classes)
                 body = encode_embedded(
-                    black, pw, ph, tpgdon=bool(seed % 2))
+                    black, pw, ph, tpgdon=bool(seed % 2),
+                    mmr=bool((seed >> 2) % 2))
                 filt = b"/JBIG2Decode"
             elif im.get("format") == "jbig2_text":
                 # REAL embedded JBIG2 SYMBOL DICTIONARY + TEXT REGION

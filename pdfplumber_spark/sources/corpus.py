@@ -26,7 +26,7 @@ from typing import Iterator, List, Tuple
 from ..kernel.pdfgen import glyph_width, make_pdf
 
 # bump when generated content changes — cache paths embed this
-CORPUS_VERSION = 24
+CORPUS_VERSION = 25
 
 LOREM = (
     "the quick brown fox jumps over a lazy dog while bright vixens watch "

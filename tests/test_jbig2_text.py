@@ -322,3 +322,54 @@ def test_text_page_through_pdf_filter_path():
     want = [0 if oracle[y][x] else 1
             for y in range(9) for x in range(18)]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# MMR generic regions (round-7; T.88 §6.2.6 == T.6 via the CCITT kernel)
+
+
+def test_mmr_generic_region_roundtrip():
+    from pdfplumber_spark.kernel.jbig2 import decode_embedded, encode_embedded
+
+    rng = random.Random(17)
+    for trial in range(10):
+        w, h = rng.randint(1, 40), rng.randint(1, 30)
+        bm = [[rng.randint(0, 1) for _ in range(w)] for _ in range(h)]
+        rows, ww, hh = decode_embedded(encode_embedded(bm, w, h, mmr=True))
+        assert (ww, hh) == (w, h) and rows == bm, trial
+    # structured runs (the case MMR actually compresses)
+    bm = [[1 if (x // 5 + y // 3) % 2 else 0 for x in range(33)]
+          for y in range(21)]
+    rows, _, _ = decode_embedded(encode_embedded(bm, 33, 21, mmr=True))
+    assert rows == bm
+
+
+def test_mmr_matches_arithmetic_decode():
+    """The same bitmap through BOTH codings decodes identically."""
+    from pdfplumber_spark.kernel.jbig2 import decode_embedded, encode_embedded
+
+    rng = random.Random(23)
+    bm = [[rng.randint(0, 1) for _ in range(19)] for _ in range(13)]
+    a, _, _ = decode_embedded(encode_embedded(bm, 19, 13))
+    m, _, _ = decode_embedded(encode_embedded(bm, 19, 13, mmr=True))
+    assert a == m == bm
+
+
+def test_mmr_garbage_never_crashes():
+    from pdfplumber_spark.kernel.jbig2 import (
+        JBIG2Error,
+        decode_embedded,
+        encode_embedded,
+    )
+
+    rng = random.Random(29)
+    bm = [[rng.randint(0, 1) for _ in range(20)] for _ in range(12)]
+    good = bytearray(encode_embedded(bm, 20, 12, mmr=True))
+    for _t in range(120):
+        bad = bytearray(good)
+        for _ in range(rng.randint(1, 4)):
+            bad[rng.randrange(len(bad))] = rng.randrange(256)
+        try:
+            decode_embedded(bytes(bad))
+        except JBIG2Error:
+            pass
