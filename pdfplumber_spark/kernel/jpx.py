@@ -23,11 +23,14 @@ orders at maximal precincts (one precinct per resolution; Scod
 precinct partitions raise), tile grids whose tile size is a multiple
 of ``2**levels`` (so subband parity stays even — typical 256/512/1024
 tiles), zero image/tile offsets, no subsampling (XRsiz=YRsiz=1),
-unsigned components up to 16 bits. Code-block styles: segmentation
-symbols and selective arithmetic coding bypass (D.6 — raw SPP/MRP
-segments under the 10/2/1 termination schedule, multi-length packet
-headers) supported since round 7; reset / termall / causal raise
-(classified 'unsupported' upstream, the DCT precedent). The reference
+unsigned components up to 16 bits. Code-block styles: ALL SIX bits
+supported since round 7 — segmentation symbols, selective arithmetic
+coding bypass (D.6 — raw SPP/MRP segments under the 10/2/1 termination
+schedule, multi-length packet headers), per-pass context reset,
+termall (every pass its own codeword segment), vertically stripe-
+causal context formation (D.5), and the decoder-inert predictable
+termination. Precinct partitions and component subsampling remain
+'unsupported'. The reference
 corpus contains NO JPX fixtures (surveyed round 6), so external
 interop cannot be exercised offline; correctness is pinned by
 encoder/decoder roundtrips (lossless 5/3 bit-exact, 9/7 within
@@ -434,6 +437,18 @@ def _bypass_segment_of(pass_index: int) -> Tuple[int, int, int]:
     return 2 + 2 * triple, 10 + 3 * triple + 2, 1
 
 
+def _segment_of(pass_index: int, bypass: bool,
+                termall: bool) -> Tuple[int, int, int]:
+    """Codeword-segment layout per code-block style: TERMALL makes
+    every pass its own segment; bypass uses the 10/2/1 schedule; plain
+    streams are one segment."""
+    if termall:
+        return pass_index, pass_index, 1
+    if bypass:
+        return _bypass_segment_of(pass_index)
+    return 0, 0, 1 << 20
+
+
 def _pass_is_raw(pass_index: int, bypass: bool) -> bool:
     # pass 0 = cleanup; thereafter (i-1) % 3 -> 0 spp, 1 mrp, 2 cleanup
     return (bypass and pass_index >= 10
@@ -488,11 +503,15 @@ _SC_LUT = {
 
 class _T1State:
     """Shared state machine for the three coding passes; the encoder and
-    decoder drive identical control flow so context decisions agree."""
+    decoder drive identical control flow so context decisions agree.
+    ``causal`` (D.5 vertically stripe-causal context formation): pixels
+    of the NEXT stripe read as insignificant when forming contexts for
+    a stripe's last row."""
 
-    def __init__(self, w: int, h: int, band: str):
+    def __init__(self, w: int, h: int, band: str, causal: bool = False):
         self.w, self.h = w, h
         self.zc = _ZC_LUT[band]
+        self.causal = causal
         n = w * h
         self.sig = bytearray(n)
         self.vis = bytearray(n)
@@ -500,8 +519,12 @@ class _T1State:
         self.sgn = bytearray(n)
         self.mag = [0] * n
 
+    def _south_blocked(self, y: int) -> bool:
+        return self.causal and (y & 3) == 3
+
     def _nbhood(self, x: int, y: int) -> Tuple[int, int, int]:
         w, h, sig = self.w, self.h, self.sig
+        south = not self._south_blocked(y)
         hc = vc = dc = 0
         if x > 0 and sig[y * w + x - 1]:
             hc += 1
@@ -509,11 +532,11 @@ class _T1State:
             hc += 1
         if y > 0 and sig[(y - 1) * w + x]:
             vc += 1
-        if y + 1 < h and sig[(y + 1) * w + x]:
+        if south and y + 1 < h and sig[(y + 1) * w + x]:
             vc += 1
         for dy in (-1, 1):
             yy = y + dy
-            if 0 <= yy < h:
+            if 0 <= yy < h and (dy < 0 or south):
                 for dx in (-1, 1):
                     xx = x + dx
                     if 0 <= xx < w and sig[yy * w + xx]:
@@ -526,6 +549,7 @@ class _T1State:
 
     def _sc_ctx(self, x: int, y: int) -> Tuple[int, int]:
         w, h, sig, sgn = self.w, self.h, self.sig, self.sgn
+        south = not self._south_blocked(y)
         hc = vc = 0
         if x > 0 and sig[y * w + x - 1]:
             hc += 1 if not sgn[y * w + x - 1] else -1
@@ -533,7 +557,7 @@ class _T1State:
             hc += 1 if not sgn[y * w + x + 1] else -1
         if y > 0 and sig[(y - 1) * w + x]:
             vc += 1 if not sgn[(y - 1) * w + x] else -1
-        if y + 1 < h and sig[(y + 1) * w + x]:
+        if south and y + 1 < h and sig[(y + 1) * w + x]:
             vc += 1 if not sgn[(y + 1) * w + x] else -1
         hc = max(-1, min(1, hc))
         vc = max(-1, min(1, vc))
@@ -739,15 +763,19 @@ def _pass_plane_type(pass_index: int, mb: int) -> Tuple[int, int]:
 
 
 def t1_decode_segments(segments: List[Tuple[bytes, int]], w: int, h: int,
-                       band: str, mb: int, segsym: bool, bypass: bool
+                       band: str, mb: int, segsym: bool, bypass: bool,
+                       termall: bool = False, reset: bool = False,
+                       causal: bool = False
                        ) -> Tuple[List[int], List[int]]:
     """Decode one code-block from its ordered codeword segments
-    [(bytes, npasses)]; with ``bypass`` the D.6 schedule decides which
-    passes ride raw segments."""
+    [(bytes, npasses)]. Styles: ``bypass`` (D.6 raw segments),
+    ``termall`` (every pass its own segment), ``reset`` (contexts
+    reinitialized before every pass), ``causal`` (stripe-causal
+    context formation)."""
     total = sum(n for _, n in segments)
     if mb <= 0 or total > 3 * mb - 2:
         raise JPXError("inconsistent code-block pass count")
-    st = _T1State(w, h, band)
+    st = _T1State(w, h, band, causal)
     ctx = _new_t1_ctx()
     pass_i = 0
     for data, n_seg in segments:
@@ -761,6 +789,8 @@ def t1_decode_segments(segments: List[Tuple[bytes, int]], w: int, h: int,
                 raise JPXError("pass past LSB plane")
             if _pass_is_raw(pass_i, bypass) != is_raw:
                 raise JPXError("segment crosses a bypass boundary")
+            if reset:
+                _init_t1_states(_reset_ctx(ctx))
             if ptype == 0:
                 _t1_pass_spp(st, p, coder, None,
                              raw=coder if is_raw else None)
@@ -771,6 +801,13 @@ def t1_decode_segments(segments: List[Tuple[bytes, int]], w: int, h: int,
                 _t1_pass_cup(st, p, coder, None, segsym)
             pass_i += 1
     return st.mag, list(st.sgn)
+
+
+def _reset_ctx(ctx):
+    for k in range(len(ctx.i)):
+        ctx.i[k] = 0
+        ctx.mps[k] = 0
+    return ctx
 
 
 def t1_decode(data: bytes, w: int, h: int, band: str, mb: int,
@@ -808,26 +845,29 @@ def t1_encode(values: List[int], w: int, h: int, band: str,
     return mq.flush(), 3 * planes - 2, planes
 
 
-def t1_encode_bypass(values: List[int], w: int, h: int, band: str,
-                     segsym: bool = False
+def t1_encode_styled(values: List[int], w: int, h: int, band: str,
+                     segsym: bool = False, bypass: bool = False,
+                     termall: bool = False, reset: bool = False,
+                     causal: bool = False
                      ) -> Tuple[List[Tuple[bytes, int]], int, int]:
-    """Bypass (lazy) encode: returns ([(segment bytes, npasses)],
-    total passes, planes) under the D.6 termination schedule — MQ
-    contexts persist across segments, register state restarts."""
+    """Styled encode: returns ([(segment bytes, npasses)], total
+    passes, planes) under the termination schedule the styles imply —
+    MQ contexts persist across segments unless ``reset``; register
+    state restarts per segment."""
     av = [abs(v) for v in values]
     sg = [1 if v < 0 else 0 for v in values]
     planes = max(av).bit_length() if any(av) else 0
     if planes == 0:
         return [], 0, 0
-    st = _T1State(w, h, band)
+    st = _T1State(w, h, band, causal)
     ctx = _new_t1_ctx()
     total = 3 * planes - 2
     segments: List[Tuple[bytes, int]] = []
     pass_i = 0
     while pass_i < total:
-        seg_i, seg_start, cap = _bypass_segment_of(pass_i)
+        seg_i, seg_start, cap = _segment_of(pass_i, bypass, termall)
         n_seg = min(cap, total - seg_start)
-        is_raw = _pass_is_raw(seg_start, True)
+        is_raw = _pass_is_raw(seg_start, bypass)
         if is_raw:
             raw = _RawEnc()
             enc = _T1Enc(av, sg, None)
@@ -836,6 +876,8 @@ def t1_encode_bypass(values: List[int], w: int, h: int, band: str,
             enc = _T1Enc(av, sg, _MQEncWrap(ctx))
         for _ in range(n_seg):
             p, ptype = _pass_plane_type(pass_i, planes)
+            if reset:
+                _init_t1_states(_reset_ctx(ctx))
             if ptype == 0:
                 _t1_pass_spp(st, p, None, enc, raw=raw)
             elif ptype == 1:
@@ -846,6 +888,14 @@ def t1_encode_bypass(values: List[int], w: int, h: int, band: str,
         segments.append((raw.flush() if is_raw else enc.mq.flush(),
                          n_seg))
     return segments, total, planes
+
+
+def t1_encode_bypass(values: List[int], w: int, h: int, band: str,
+                     segsym: bool = False
+                     ) -> Tuple[List[Tuple[bytes, int]], int, int]:
+    """Bypass (lazy) encode — kept as the named form of
+    ``t1_encode_styled(bypass=True)``."""
+    return t1_encode_styled(values, w, h, band, segsym, bypass=True)
 
 
 # ---------------------------------------------------------------------------
@@ -882,10 +932,14 @@ class _Block:
 class _Band:
     def __init__(self, btype: str, lev: int, w: int, h: int, mb: int,
                  delta: Optional[float], cbw: int, cbh: int,
-                 bypass: bool = False):
+                 cbstyle: int = 0):
         self.type, self.lev, self.w, self.h = btype, lev, w, h
         self.mb = mb
-        self.bypass = bypass  # selective arithmetic bypass (D.6)
+        self.cbstyle = cbstyle
+        self.bypass = bool(cbstyle & 0x01)   # selective bypass (D.6)
+        self.reset = bool(cbstyle & 0x02)    # context reset per pass
+        self.termall = bool(cbstyle & 0x04)  # terminate every pass
+        self.causal = bool(cbstyle & 0x08)   # stripe-causal contexts
         self.delta = delta  # None -> reversible (no dequantization)
         self.ncbx = _ceildiv(w, cbw) if w else 0
         self.ncby = _ceildiv(h, cbh) if h else 0
@@ -966,19 +1020,20 @@ def _read_packet(buf: bytes, pos: int, bands: List[_Band], layer: int,
                 np_new = _read_npasses(br)
                 while br.bit():
                     blk.lblock += 1
-                if not band.bypass:
+                if not (band.bypass or band.termall):
                     nbits = blk.lblock + (np_new.bit_length() - 1)
                     nbytes = br.bits(nbits)
                     segs.append((blk, [(None, np_new, nbytes)]))
                 else:
-                    # bypass: the contribution may span several codeword
-                    # segments — one length per segment (B.10.7.2), the
-                    # D.6 schedule fixing the split
+                    # bypass/termall: the contribution may span several
+                    # codeword segments — one length per segment
+                    # (B.10.7.2), the style schedule fixing the split
                     parts = []
                     start = blk.npasses
                     remaining = np_new
                     while remaining > 0:
-                        seg_i, seg_start, cap = _bypass_segment_of(start)
+                        seg_i, seg_start, cap = _segment_of(
+                            start, band.bypass, band.termall)
                         take = min(remaining, seg_start + cap - start)
                         nbits = blk.lblock + (take.bit_length() - 1)
                         nbytes = br.bits(nbits)
@@ -1135,7 +1190,7 @@ def _parse_cod(body: bytes, marker: str) -> _COD_:
     if c.xcb > 10 or c.ycb > 10 or c.xcb + c.ycb > 12:
         raise JPXError("bad code-block size")
     c.cbstyle = body[8]
-    if c.cbstyle & 0x0E:  # reset / termall / causal (bypass supported)
+    if c.cbstyle & 0xC0:  # reserved bits
         raise JPXError("unsupported code-block style")
     c.transform = body[9]
     if c.transform not in (0, 1):
@@ -1156,7 +1211,7 @@ def _parse_coc_sp(body: bytes, base: _COD_) -> _COD_:
     c.xcb = (body[2] & 0x0F) + 2
     c.ycb = (body[3] & 0x0F) + 2
     c.cbstyle = body[4]
-    if c.cbstyle & 0x0E:  # reset / termall / causal (bypass supported)
+    if c.cbstyle & 0xC0:  # reserved bits
         raise JPXError("unsupported code-block style")
     c.transform = body[5]
     return c
@@ -1350,7 +1405,7 @@ def _decode_tile(siz, cod, qcd, coc, qcc, tinfo, tw: int, th: int
             raise JPXError(
                 "tile size not a multiple of 2**levels unsupported")
         cbw, cbh = 1 << ccod.xcb, 1 << ccod.ycb
-        bypass = bool(ccod.cbstyle & 0x01)
+        cbstyle = ccod.cbstyle
         res_bands: List[List[_Band]] = []
         for r in range(levels + 1):
             bands = []
@@ -1361,7 +1416,7 @@ def _decode_tile(siz, cod, qcd, coc, qcc, tinfo, tw: int, th: int
                 mb, delta = _band_quant(
                     cqcd, levels, lev, "LL", siz["depths"][c], reversible)
                 bands.append(_Band("LL", lev, bw, bh, mb, delta, cbw, cbh,
-                                   bypass))
+                                   cbstyle))
             else:
                 lev = levels - r + 1
                 for btype, xob, yob in (("HL", 1, 0), ("LH", 0, 1),
@@ -1372,7 +1427,7 @@ def _decode_tile(siz, cod, qcd, coc, qcc, tinfo, tw: int, th: int
                         reversible)
                     bands.append(
                         _Band(btype, lev, bw, bh, mb, delta, cbw, cbh,
-                              bypass))
+                              cbstyle))
             res_bands.append(bands)
         comps_bands.append(res_bands)
         res_counts.append(levels + 1)
@@ -1398,7 +1453,7 @@ def _decode_tile(siz, cod, qcd, coc, qcc, tinfo, tw: int, th: int
                     if not blk.npasses:
                         continue
                     mb_eff = band.mb - (blk.zbp or 0)
-                    if band.bypass:
+                    if band.bypass or band.termall:
                         seg_list = [
                             (bytes(blk.seg_chunks.get(k, b"")),
                              blk.seg_passes[k])
@@ -1406,11 +1461,13 @@ def _decode_tile(siz, cod, qcd, coc, qcc, tinfo, tw: int, th: int
                         ]
                         mag, sgn = t1_decode_segments(
                             seg_list, blk.w, blk.h, band.type,
-                            mb_eff, segsym, True)
+                            mb_eff, segsym, band.bypass, band.termall,
+                            band.reset, band.causal)
                     else:
-                        mag, sgn = t1_decode(
-                            b"".join(blk.chunks), blk.w, blk.h, band.type,
-                            mb_eff, blk.npasses, segsym)
+                        mag, sgn = t1_decode_segments(
+                            [(b"".join(blk.chunks), blk.npasses)],
+                            blk.w, blk.h, band.type, mb_eff, segsym,
+                            False, False, band.reset, band.causal)
                     m = np.array(mag, dtype=np.float64).reshape(
                         blk.h, blk.w)
                     s = np.array(sgn, dtype=np.float64).reshape(
@@ -1522,7 +1579,8 @@ def jpx_encode(arr: np.ndarray, levels: int = 2, reversible: bool = True,
                segsym: bool = False, delta: float = 1.0 / 64.0,
                prog: int = 0, jp2: bool = False,
                tile_size: Optional[Tuple[int, int]] = None,
-               bypass: bool = False) -> bytes:
+               bypass: bool = False, termall: bool = False,
+               reset: bool = False, causal: bool = False) -> bytes:
     """Encode uint8 samples (h, w) or (h, w, c) -> J2K codestream
     (or a minimal JP2 container when ``jp2``). Lossless when
     ``reversible``; 9/7 + scalar quantization otherwise, with
@@ -1594,7 +1652,11 @@ def jpx_encode(arr: np.ndarray, levels: int = 2, reversible: bool = True,
         x0, y0 = tx * xt, ty * yt
         tcomps = [cc[y0:y0 + yt, x0:x0 + xt] for cc in comps]
         body = _encode_tile_body(tcomps, levels, reversible, cbw, cbh,
-                                 qparams, segsym, prog, bypass)
+                                 qparams, segsym, prog,
+                                 (0x01 if bypass else 0)
+                                 | (0x02 if reset else 0)
+                                 | (0x04 if termall else 0)
+                                 | (0x08 if causal else 0))
         psot = 12 + 2 + len(body)
         tile_parts.append(
             struct.pack(">HHHIBB", _SOT, 10, ti, psot, 0, 1)
@@ -1612,7 +1674,9 @@ def jpx_encode(arr: np.ndarray, levels: int = 2, reversible: bool = True,
     ]) + struct.pack(">H", 1) + bytes([
         1 if mct else 0,
         levels, xcb - 2, ycb - 2,
-        (0x20 if segsym else 0x00) | (0x01 if bypass else 0x00),
+        (0x20 if segsym else 0x00) | (0x01 if bypass else 0x00)
+        | (0x02 if reset else 0x00) | (0x04 if termall else 0x00)
+        | (0x08 if causal else 0x00),
         1 if reversible else 0,
     ])
     if reversible:
@@ -1633,7 +1697,7 @@ def jpx_encode(arr: np.ndarray, levels: int = 2, reversible: bool = True,
 def _encode_tile_body(comps: List[np.ndarray], levels: int,
                       reversible: bool, cbw: int, cbh: int,
                       qparams: list, segsym: bool, prog: int,
-                      bypass: bool = False) -> bytes:
+                      cbstyle: int = 0) -> bytes:
     """DWT -> quantize -> T1 -> packets for one tile's components."""
     ncomps = len(comps)
     guard = 2
@@ -1660,16 +1724,24 @@ def _encode_tile_body(comps: List[np.ndarray], levels: int,
                     qv = (np.sign(src)
                           * np.floor(np.abs(src) / actual)).astype(np.int64)
                 band = _Band(bt, lev, src.shape[1], src.shape[0], mb,
-                             actual, cbw, cbh, bypass)
+                             actual, cbw, cbh, cbstyle)
                 inc_vals, zbp_vals = [], []
                 for _bx, _by, blk in band.iter_blocks():
                     vals = qv[blk.y0:blk.y0 + blk.h,
                               blk.x0:blk.x0 + blk.w].ravel().tolist()
-                    if bypass:
-                        segments, npasses, planes = t1_encode_bypass(
-                            vals, blk.w, blk.h, bt, segsym)
+                    if band.bypass or band.termall:
+                        segments, npasses, planes = t1_encode_styled(
+                            vals, blk.w, blk.h, bt, segsym,
+                            band.bypass, band.termall, band.reset,
+                            band.causal)
                         blk.enc_segments = segments
                         data = b"".join(d for d, _ in segments)
+                    elif band.reset or band.causal:
+                        segments, npasses, planes = t1_encode_styled(
+                            vals, blk.w, blk.h, bt, segsym,
+                            False, False, band.reset, band.causal)
+                        data = b"".join(d for d, _ in segments)
+                        blk.data = data
                     else:
                         data, npasses, planes = t1_encode(
                             vals, blk.w, blk.h, bt, segsym)

@@ -410,3 +410,49 @@ def test_bypass_garbage_never_hangs():
             jpx_decode(bytes(bad))
         except JPXError:
             pass
+
+
+def test_all_codeblock_styles_matrix():
+    """Round-7 closes the style matrix: every combination of bypass /
+    termall / reset / causal roundtrips, reversible bit-exact and
+    irreversible within quantizer tolerance."""
+    import itertools
+
+    rng = np.random.RandomState(63)
+    img = rng.randint(0, 256, (33, 29)).astype(np.uint8)
+    rgb = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+    for bypass, termall, reset, causal in itertools.product(
+        (False, True), repeat=4
+    ):
+        enc = jpx_encode(img, levels=2, reversible=True, bypass=bypass,
+                         termall=termall, reset=reset, causal=causal)
+        got = jpx_decode(enc)["samples"][:, :, 0]
+        assert (got == img).all(), (bypass, termall, reset, causal)
+        enc = jpx_encode(rgb, levels=1, reversible=False, delta=0.5,
+                         bypass=bypass, termall=termall, reset=reset,
+                         causal=causal)
+        got = jpx_decode(enc)["samples"]
+        err = np.abs(got.astype(int) - rgb.astype(int)).max()
+        assert err <= 3, (bypass, termall, reset, causal, err)
+
+
+@pytest.mark.parametrize("bit,name", [(2, "reset"), (4, "termall"),
+                                      (8, "causal")])
+def test_style_bits_change_the_coding(bit, name):
+    """Each newly supported style bit must actually round the decoder's
+    behaviour: clearing it on a styled stream must not decode to the
+    original (or must fail structurally)."""
+    img = (np.arange(28 * 28) * 11 % 256).astype(np.uint8).reshape(28, 28)
+    enc = bytearray(jpx_encode(
+        img, levels=1, reversible=True,
+        termall=bit == 4, reset=bit == 2, causal=bit == 8,
+    ))
+    cod = enc.index(b"\xff\x52")
+    cb_off = cod + 2 + 2 + 1 + 4 + 3
+    assert enc[cb_off] & bit, name
+    enc[cb_off] &= ~bit & 0xFF
+    try:
+        got = jpx_decode(bytes(enc))["samples"][:, :, 0]
+        assert not (got == img).all(), name
+    except JPXError:
+        pass
