@@ -13,9 +13,12 @@ decoding, and §7.2/§7.4 segment headers + segment data formats for the
 embedded (PDF) stream format.
 
 Scope: arithmetic coding plus MMR generic regions (§6.2.6 — the T.6
-coding reused from ``kernel/ccitt.py``). Huffman-coded
-dictionaries/text (SDHUFF/SBHUFF), refinement/aggregation
-(SDREFAGG/SBREFINE), halftone regions, and cross-segment arithmetic
+coding reused from ``kernel/ccitt.py``) and REFINEMENT (§6.3 generic
+refinement decoding, both templates + TPGRON; §6.4.11 SBREFINE text-
+region instances; §6.5.8.2 SDREFAGG REFAGGNINST=1 symbols; refinement
+region segments 40/42/43 replacing page content). Huffman-coded
+dictionaries/text (SDHUFF/SBHUFF), true aggregate symbol coding
+(REFAGGNINST > 1), halftone regions, and cross-segment arithmetic
 context reuse raise ``JBIG2Error`` (classified 'unsupported'
 upstream). The reference corpus contains NO JBIG2 fixtures (surveyed
 round 6), so external interop cannot be exercised offline; correctness
@@ -453,6 +456,111 @@ def encode_generic_region(rows: List[List[int]], w: int, h: int,
     return enc.flush()
 
 
+# -- generic refinement region decoding (T.88 §6.3) ----------------------
+
+# refinement templates (figures 12-13): causal current-bitmap pixels +
+# reference-bitmap pixels; template 0 adds one adaptive pixel per side
+_REF_TPL_CODING = (
+    ((0, -1), (1, -1), (-1, 0)),
+    ((-1, -1), (0, -1), (1, -1), (-1, 0)),
+)
+_REF_TPL_REFERENCE = (
+    ((0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1), (0, 1), (1, 1)),
+    ((0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1)),
+)
+# nominal refinement adaptive pixels: A1 on current, A2 on reference
+_REF_AT_NOMINAL = ((-1, -1), (-1, -1))
+# SLTP pseudo-contexts for TPGRON (§6.3.5.6)
+_TPGRON_CTXS = (0x0020, 0x0008)
+
+
+def _ref_templates(template: int, at: tuple) -> Tuple[tuple, tuple]:
+    coding = _REF_TPL_CODING[template]
+    refer = _REF_TPL_REFERENCE[template]
+    if template == 0:
+        a1, a2 = at
+        if a1[1] > 0 or (a1[1] == 0 and a1[0] >= 0):
+            raise JBIG2Error("refinement A1 not causal")
+        coding = coding + (a1,)
+        refer = refer + (a2,)
+    return (tuple(sorted(coding, key=lambda p: (p[1], p[0]))),
+            tuple(sorted(refer, key=lambda p: (p[1], p[0]))))
+
+
+def _refine_bitmap(dec_or_enc, w: int, h: int, ref: List[list],
+                   dx: int, dy: int, template: int, at: Optional[tuple],
+                   tpgron: bool, target: Optional[List[list]] = None,
+                   ctx: Optional[ArithCtx] = None) -> List[List[int]]:
+    """§6.3.5 generic refinement decode — or, with ``target`` given,
+    the exact encoder inverse (refinement coding is lossless: the
+    decoder reproduces the target bit-for-bit given the reference).
+    ``(dx, dy)`` translate current coords into the reference."""
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+        raise JBIG2Error("bad refinement dims")
+    if not (0 <= template <= 1):
+        raise JBIG2Error(f"refinement template {template} unsupported")
+    at = tuple(at) if at else _REF_AT_NOMINAL
+    coding, refer = _ref_templates(template, at)
+    sltp_cx = _TPGRON_CTXS[template]
+    rh = len(ref)
+    rw = len(ref[0]) if rh else 0
+    encode = target is not None
+
+    def refpix(x: int, y: int) -> int:
+        xx, yy = x - dx, y - dy
+        return ref[yy][xx] if 0 <= yy < rh and 0 <= xx < rw else 0
+
+    rows: List[List[int]] = []
+    ltp = 0
+    for y in range(h):
+        if tpgron:
+            if encode:
+                # flip into typical mode only when every uniformly-
+                # referenced pixel of the row matches its prediction
+                ok = True
+                for x in range(w):
+                    s = sum(refpix(x + a, y + b)
+                            for b in (-1, 0, 1) for a in (-1, 0, 1))
+                    if s in (0, 9) and target[y][x] != (1 if s == 9
+                                                        else 0):
+                        ok = False
+                        break
+                want = 1 if ok else 0
+                flip = want ^ ltp
+                dec_or_enc.encode(sltp_cx, flip, ctx)
+                ltp = want
+            else:
+                if dec_or_enc.decode(sltp_cx, ctx):
+                    ltp ^= 1
+        row = [0] * w
+        rows.append(row)
+        for x in range(w):
+            if ltp:
+                s = sum(refpix(x + a, y + b)
+                        for b in (-1, 0, 1) for a in (-1, 0, 1))
+                if s == 0:
+                    row[x] = 0
+                    continue
+                if s == 9:
+                    row[x] = 1
+                    continue
+            cx = 0
+            for (ax, ay) in coding:
+                xx, yy = x + ax, y + ay
+                bit = (rows[yy][xx]
+                       if 0 <= yy < len(rows) and 0 <= xx < w else 0)
+                cx = (cx << 1) | bit
+            for (ax, ay) in refer:
+                cx = (cx << 1) | refpix(x + ax, y + ay)
+            if encode:
+                bit = target[y][x]
+                dec_or_enc.encode(cx, bit, ctx)
+            else:
+                bit = dec_or_enc.decode(cx, ctx)
+            row[x] = bit
+    return rows
+
+
 # -- symbol dictionary (T.88 §6.5, arithmetic, no refinement) -----------
 
 def _parse_at(data: bytes, pos: int, count: int) -> Tuple[tuple, int]:
@@ -478,19 +586,25 @@ def _decode_symbol_dict(seg: bytes, in_syms: List[list]) -> List[list]:
     refagg = (flags >> 1) & 1
     ctx_used = (flags >> 8) & 1
     template = (flags >> 10) & 3
+    rtemplate = (flags >> 12) & 1
     if sdhuff:
         raise JBIG2Error("huffman symbol dictionary unsupported")
-    if refagg:
-        raise JBIG2Error("refinement/aggregate symbols unsupported")
     if ctx_used:
         raise JBIG2Error("imported arithmetic contexts unsupported")
     at, pos = _parse_at(seg, pos, 4 if template == 0 else 1)
+    rat: Optional[tuple] = None
+    if refagg and rtemplate == 0:
+        rat, pos = _parse_at(seg, pos, 2)
     numex, numnew = struct.unpack(">II", seg[pos:pos + 8])
     pos += 8
     if numnew > 100_000 or numex > 100_000:
         raise JBIG2Error("implausible symbol counts")
     dec = MQDecoder(seg[pos:])
     iadh, iadw, iaex = ArithCtx(), ArithCtx(), ArithCtx()
+    iaai, iardx, iardy = ArithCtx(), ArithCtx(), ArithCtx()
+    codelen = _sym_codelen(len(in_syms) + numnew)
+    iaid = ArithCtx(1 << (codelen + 1))
+    grctx = ArithCtx(1 << 16) if refagg else None
     new_syms: List[list] = []
     hcheight = 0
     classes = 0
@@ -517,6 +631,25 @@ def _decode_symbol_dict(seg: bytes, in_syms: List[list]) -> List[list]:
                 raise JBIG2Error("bad symbol width")
             if len(new_syms) >= numnew:
                 raise JBIG2Error("too many symbols in dictionary")
+            if refagg:
+                # §6.5.8.2: refinement/aggregate coding of the symbol
+                ninst = _decode_int(dec, iaai)
+                if ninst != 1:
+                    raise JBIG2Error(
+                        "aggregate symbol coding (REFAGGNINST != 1) "
+                        "unsupported")
+                sid = _decode_iaid(dec, iaid, codelen)
+                allsyms = list(in_syms) + new_syms
+                if not 0 <= sid < len(allsyms):
+                    raise JBIG2Error("refinement reference id out of range")
+                rdx = _decode_int(dec, iardx)
+                rdy = _decode_int(dec, iardy)
+                if rdx is None or rdy is None:
+                    raise JBIG2Error("OOB refinement offset")
+                new_syms.append(_refine_bitmap(
+                    dec, symwidth, hcheight, allsyms[sid], rdx, rdy,
+                    rtemplate, rat, False, ctx=grctx))
+                continue
             # bitmap rides the SAME MQ stream; GB contexts shared across
             # symbols (decoder-default context space)
             new_syms.append(
@@ -568,6 +701,54 @@ def _encode_symbol_dict(symbols: List[list]) -> bytes:
                   for (ax, ay) in _AT_NOMINAL[0])
     return (struct.pack(">H", 0) + at
             + struct.pack(">II", numnew, numnew) + data)
+
+
+def _encode_symbol_dict_refagg(in_syms: List[list], symbols: List[list],
+                               refs: List[Tuple[int, int, int]]) -> bytes:
+    """Encoder inverse of the SDREFAGG=1 dictionary path: every new
+    symbol is a REFAGGNINST=1 refinement of an already-known symbol
+    (imported or earlier-new). ``refs[i] = (sid, rdx, rdy)`` indexes
+    in_syms + new-so-far. Exports ALL (imported + new) symbols; symbols
+    must be sorted by (height, width)."""
+    numnew = len(symbols)
+    codelen = _sym_codelen(len(in_syms) + numnew)
+    enc = MQEncoder()
+    iadh, iadw, iaex = ArithCtx(), ArithCtx(), ArithCtx()
+    iaai, iardx, iardy = ArithCtx(), ArithCtx(), ArithCtx()
+    iaid = ArithCtx(1 << (codelen + 1))
+    grctx = ArithCtx(1 << 16)
+    hcheight = 0
+    i = 0
+    while i < numnew:
+        h = len(symbols[i])
+        _encode_int(enc, iadh, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        while i < numnew and len(symbols[i]) == hcheight:
+            w = len(symbols[i][0])
+            _encode_int(enc, iadw, w - symwidth)
+            symwidth = w
+            sid, rdx, rdy = refs[i]
+            allsyms = list(in_syms) + symbols[:i]
+            _encode_int(enc, iaai, 1)
+            _encode_iaid(enc, iaid, sid, codelen)
+            _encode_int(enc, iardx, rdx)
+            _encode_int(enc, iardy, rdy)
+            _refine_bitmap(enc, w, hcheight, allsyms[sid], rdx, rdy,
+                           0, None, False, target=symbols[i], ctx=grctx)
+            i += 1
+        _encode_int(enc, iadw, None)
+    total = len(in_syms) + numnew
+    _encode_int(enc, iaex, 0)
+    _encode_int(enc, iaex, total)
+    data = enc.flush()
+    rat = b"".join(bytes([ax & 0xFF, ay & 0xFF])
+                   for ax, ay in _REF_AT_NOMINAL)
+    at = b"".join(bytes([(ax) & 0xFF, (ay) & 0xFF])
+                  for (ax, ay) in _AT_NOMINAL[0])
+    flags = 1 << 1  # SDREFAGG, template 0, rtemplate 0
+    return (struct.pack(">H", flags) + at + rat
+            + struct.pack(">II", total, numnew) + data)
 
 
 # -- text region (T.88 §6.4, arithmetic, no refinement) ------------------
@@ -628,10 +809,9 @@ def _decode_text_region(seg: bytes, syms: List[list]) -> Tuple[
     rtemplate = (flags >> 15) & 1
     if sbhuff:
         raise JBIG2Error("huffman text region unsupported")
-    if sbrefine:
-        if rtemplate == 0:
-            pos += 4  # SBRAT pixels present even though we reject
-        raise JBIG2Error("refinement text region unsupported")
+    rat: Optional[tuple] = None
+    if sbrefine and rtemplate == 0:
+        rat, pos = _parse_at(seg, pos, 2)
     (numinstances,) = struct.unpack(">I", seg[pos:pos + 4])
     pos += 4
     if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
@@ -644,6 +824,9 @@ def _decode_text_region(seg: bytes, syms: List[list]) -> Tuple[
     dec = MQDecoder(seg[pos:])
     iadt, iafs, iads, iait = (ArithCtx(), ArithCtx(), ArithCtx(),
                               ArithCtx())
+    iari, iardw, iardh = ArithCtx(), ArithCtx(), ArithCtx()
+    iardx, iardy = ArithCtx(), ArithCtx()
+    grctx = ArithCtx(1 << 16) if sbrefine else None
     iaid = ArithCtx(1 << (codelen + 1))
     bitmap = [[defpixel] * w for _ in range(h)]
     dt0 = _decode_int(dec, iadt)
@@ -683,6 +866,27 @@ def _decode_text_region(seg: bytes, syms: List[list]) -> Tuple[
             sym = syms[sid]
             hi = len(sym)
             wi = len(sym[0]) if hi else 0
+            if sbrefine:
+                # §6.4.11: optionally refine the symbol into this
+                # instance's own bitmap
+                ri = _decode_int(dec, iari)
+                if ri is None:
+                    raise JBIG2Error("OOB RI")
+                if ri:
+                    rdw = _decode_int(dec, iardw)
+                    rdh = _decode_int(dec, iardh)
+                    rdx = _decode_int(dec, iardx)
+                    rdy = _decode_int(dec, iardy)
+                    if None in (rdw, rdh, rdx, rdy):
+                        raise JBIG2Error("OOB refinement delta")
+                    wi2, hi2 = wi + rdw, hi + rdh
+                    if wi2 <= 0 or hi2 <= 0 or wi2 * hi2 > _MAX_PIXELS:
+                        raise JBIG2Error("bad refined instance dims")
+                    sym = _refine_bitmap(
+                        dec, wi2, hi2, sym,
+                        (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+                        rtemplate, rat, False, ctx=grctx)
+                    wi, hi = wi2, hi2
             # placement (6.4.5 step 3c viii-xii)
             if not transposed:
                 if refcorner in (2, 3):  # BOTTOMRIGHT / TOPRIGHT
@@ -708,7 +912,8 @@ def _encode_text_region(symbols: List[list], placements, w: int, h: int,
                         x: int = 0, y: int = 0, refcorner: int = 1,
                         transposed: int = 0, logstrips: int = 0,
                         dsoffset: int = 0, combop: int = 0,
-                        defpixel: int = 0) -> bytes:
+                        defpixel: int = 0,
+                        refinements: Optional[dict] = None) -> bytes:
     """Encoder inverse of ``_decode_text_region`` — parameterized over
     every arithmetic decode path (all four REFCORNERs, TRANSPOSED,
     SBSTRIPS>1 via IAIT, SBDSOFFSET, combine ops, SBDEFPIXEL).
@@ -717,15 +922,23 @@ def _encode_text_region(symbols: List[list], placements, w: int, h: int,
     spec's (S, T) coordinates); ``symbols`` indexed by sym_id."""
     codelen = _sym_codelen(len(symbols))
     strips = 1 << logstrips
+    sbrefine = bool(refinements)
+    refinements = refinements or {}
     enc = MQEncoder()
     iadt, iafs, iads, iait = (ArithCtx(), ArithCtx(), ArithCtx(),
                               ArithCtx())
+    iari, iardw, iardh = ArithCtx(), ArithCtx(), ArithCtx()
+    iardx, iardy = ArithCtx(), ArithCtx()
+    grctx = ArithCtx(1 << 16) if sbrefine else None
     iaid = ArithCtx(1 << (codelen + 1))
-    # spec (S, T) of each instance's REFCORNER from the top-left input
+    # spec (S, T) of each instance's REFCORNER from the top-left input;
+    # refined instances use the TARGET's dims for placement
     insts = []
-    for sid, sx, sy in placements:
-        hi = len(symbols[sid])
-        wi = len(symbols[sid][0]) if hi else 0
+    for inst_i, (sid, sx, sy) in enumerate(placements):
+        target = refinements.get(inst_i)
+        bm = target if target is not None else symbols[sid]
+        hi = len(bm)
+        wi = len(bm[0]) if hi else 0
         if not transposed:
             t = sy if refcorner in (1, 3) else sy + hi - 1
             s = sx
@@ -734,10 +947,10 @@ def _encode_text_region(symbols: List[list], placements, w: int, h: int,
             t = sx if refcorner in (0, 1) else sx + wi - 1
             s = sy
             adv = hi - 1
-        insts.append((t // strips * strips, s, t, sid, adv))
+        insts.append((t // strips * strips, s, t, sid, adv, inst_i))
     by_strip: Dict[int, list] = {}
-    for st, s, t, sid, adv in insts:
-        by_strip.setdefault(st, []).append((s, t, sid, adv))
+    for st, s, t, sid, adv, inst_i in insts:
+        by_strip.setdefault(st, []).append((s, t, sid, adv, inst_i))
     _encode_int(enc, iadt, 0)  # STRIPT starts at 0
     stript = 0
     firsts = 0
@@ -749,21 +962,44 @@ def _encode_text_region(symbols: List[list], placements, w: int, h: int,
         _encode_int(enc, iafs, s0 - firsts)
         firsts = s0
         curs = s0
-        for k, (s, t, sid, adv) in enumerate(row):
+        for k, (s, t, sid, adv, inst_i) in enumerate(row):
             if k > 0:
                 _encode_int(enc, iads, s - curs - dsoffset)
                 curs = s
             if strips > 1:
                 _encode_int(enc, iait, t - st)
             _encode_iaid(enc, iaid, sid, codelen)
+            if sbrefine:
+                target = refinements.get(inst_i)
+                if target is None:
+                    _encode_int(enc, iari, 0)
+                else:
+                    _encode_int(enc, iari, 1)
+                    ref = symbols[sid]
+                    rdw = len(target[0]) - len(ref[0])
+                    rdh = len(target) - len(ref)
+                    # encode with GRREFERENCEDX/DY = 0
+                    _encode_int(enc, iardw, rdw)
+                    _encode_int(enc, iardh, rdh)
+                    _encode_int(enc, iardx, -(rdw >> 1))
+                    _encode_int(enc, iardy, -(rdh >> 1))
+                    _refine_bitmap(enc, len(target[0]), len(target),
+                                   ref, 0, 0, 0, None, False,
+                                   target=target, ctx=grctx)
             curs += adv
         _encode_int(enc, iads, None)  # OOB: strip done
     data = enc.flush()
-    flags = ((logstrips & 3) << 2) | ((refcorner & 3) << 4) \
+    at = b""
+    if sbrefine:  # SBRTEMPLATE=0 -> explicit nominal refinement ATs
+        at = b"".join(bytes([ax & 0xFF, ay & 0xFF])
+                      for ax, ay in _REF_AT_NOMINAL)
+    flags = ((1 << 1) if sbrefine else 0) \
+        | ((logstrips & 3) << 2) | ((refcorner & 3) << 4) \
         | ((transposed & 1) << 6) | ((combop & 3) << 7) \
         | ((defpixel & 1) << 9) | ((dsoffset & 0x1F) << 10)
     return (struct.pack(">IIIIB", w, h, x, y, 0)
             + struct.pack(">H", flags)
+            + at
             + struct.pack(">I", len(placements))
             + data)
 
@@ -991,8 +1227,31 @@ def decode_embedded(data: bytes,
                 return rows, w, h
             page = _grow_page(page, pw, ry + h)
             _compose(page, rows, rx, ry, op)
-        elif seg_type in (40, 41, 42, 43):
-            raise JBIG2Error("refinement region unsupported")
+        elif seg_type in (40, 42, 43):  # generic refinement region
+            if page is None:
+                raise JBIG2Error("refinement region before page info")
+            if len(seg) < 18:
+                raise JBIG2Error("short refinement region")
+            w, h, rx, ry, rinfo = struct.unpack(">IIIIB", seg[:17])
+            gflags = seg[17]
+            template = gflags & 1
+            tpgron = bool(gflags & 2)
+            body = seg[18:]
+            grat: Optional[tuple] = None
+            if template == 0:
+                grat, off = _parse_at(body, 0, 2)
+                body = body[off:]
+            if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+                raise JBIG2Error("bad refinement region dims")
+            page = _grow_page(page, pw, ry + h)
+            refslice = [row[rx:rx + w] + [0] * max(0, rx + w - len(row))
+                        for row in page[ry:ry + h]]
+            while len(refslice) < h:
+                refslice.append([0] * w)
+            rows = _refine_bitmap(MQDecoder(body), w, h, refslice,
+                                  0, 0, template, grat, tpgron)
+            saw_region = True
+            _compose(page, rows, rx, ry, 4)  # refinement REPLACES
         elif seg_type in (16, 20, 22, 23):
             raise JBIG2Error("halftone/pattern segments unsupported")
         elif seg_type == 53:

@@ -142,9 +142,8 @@ def test_symbol_dict_rejections():
     with pytest.raises(JBIG2Error):
         _decode_symbol_dict(b"\x00", [])
     base = _encode_symbol_dict([[[1]]])
-    for bit in (0, 1, 0x100):  # SDHUFF, SDREFAGG, ctx-used
-        bad = S.pack(">H", (S.unpack(">H", base[:2])[0] | (bit or 1))
-                     if bit == 0 else bit) + base[2:]
+    for bit in (1, 0x100):  # SDHUFF, ctx-used (SDREFAGG supported r7)
+        bad = S.pack(">H", bit) + base[2:]
         with pytest.raises(JBIG2Error):
             _decode_symbol_dict(bad, [])
 
@@ -202,10 +201,10 @@ def test_text_region_rejections():
     import struct as S
 
     flags = S.unpack(">H", good[17:19])[0]
-    for bit in (1, 2):  # SBHUFF, SBREFINE
-        bad = good[:17] + S.pack(">H", flags | bit) + good[19:]
-        with pytest.raises(JBIG2Error):
-            _decode_text_region(bad, syms)
+    # SBHUFF (SBREFINE is supported since round 7)
+    bad = good[:17] + S.pack(">H", flags | 1) + good[19:]
+    with pytest.raises(JBIG2Error):
+        _decode_text_region(bad, syms)
     with pytest.raises(JBIG2Error):
         _decode_text_region(good, [])  # no symbols
 
@@ -371,5 +370,154 @@ def test_mmr_garbage_never_crashes():
             bad[rng.randrange(len(bad))] = rng.randrange(256)
         try:
             decode_embedded(bytes(bad))
+        except JBIG2Error:
+            pass
+
+
+# ---------------------------------------------------------------------------
+# Refinement (round-7; T.88 §6.3 + SBREFINE §6.4.11 + SDREFAGG §6.5.8.2)
+
+
+def test_refinement_bitmap_roundtrip_matrix():
+    """§6.3.5 generic refinement decode vs its encoder inverse: both
+    templates, TPGRON on/off, dim changes, and nonzero dx/dy (the
+    coding is lossless — the target reproduces bit-for-bit)."""
+    from pdfplumber_spark.kernel.jbig2 import MQDecoder, MQEncoder, _refine_bitmap
+
+    rng = random.Random(3)
+    for trial in range(24):
+        rw, rh = rng.randint(1, 20), rng.randint(1, 16)
+        ref = _mksym(rng, rw, rh)
+        w = max(1, rw + rng.choice([0, 0, 2, -1]))
+        h = rh + rng.choice([0, 0, 1])
+        dx, dy = rng.randint(-2, 2), rng.randint(-2, 2)
+        target = [[int((ref[y - dy][x - dx]
+                        if 0 <= y - dy < rh and 0 <= x - dx < rw else 0)
+                       ^ (rng.random() < 0.1))
+                   for x in range(w)] for y in range(h)]
+        template = rng.choice([0, 1])
+        tpgron = rng.random() < 0.5
+        enc = MQEncoder()
+        _refine_bitmap(enc, w, h, ref, dx, dy, template, None, tpgron,
+                       target=target)
+        got = _refine_bitmap(MQDecoder(enc.flush()), w, h, ref, dx, dy,
+                             template, None, tpgron)
+        assert got == target, (trial, w, h, dx, dy, template, tpgron)
+
+
+def test_symbol_dict_refagg_roundtrip():
+    """SDREFAGG=1 dictionary: new symbols coded as REFAGGNINST=1
+    refinements of imported/earlier symbols."""
+    from pdfplumber_spark.kernel.jbig2 import _encode_symbol_dict_refagg
+
+    rng = random.Random(5)
+    base = sorted([_mksym(rng, 4, 5), _mksym(rng, 6, 5)],
+                  key=lambda s: (len(s), len(s[0])))
+    out_a = _decode_symbol_dict(_encode_symbol_dict(base), [])
+    new1 = [row[:] for row in base[0]]
+    new1[1][1] ^= 1
+    new2 = [[int(base[1][min(y, 4)][min(x, 5)]
+                 ^ (rng.random() < 0.15)) for x in range(7)]
+            for y in range(6)]
+    newsyms = sorted([new1, new2], key=lambda s: (len(s), len(s[0])))
+    seg_b = _encode_symbol_dict_refagg(out_a, newsyms,
+                                       [(0, 0, 0), (1, 0, 0)])
+    out_b = _decode_symbol_dict(seg_b, out_a)
+    assert out_b == out_a + newsyms
+
+
+def test_symbol_dict_refagg_aggregate_rejected():
+    """REFAGGNINST != 1 (true aggregate text-region coding) classifies
+    unsupported: hand-encode IAAI=2."""
+    import struct as S
+
+    from pdfplumber_spark.kernel.jbig2 import (
+        _AT_NOMINAL,
+        _REF_AT_NOMINAL,
+        _encode_int,
+        _sym_codelen,
+    )
+
+    enc = MQEncoder()
+    iadh, iadw, iaai = ArithCtx(), ArithCtx(), ArithCtx()
+    _encode_int(enc, iadh, 3)   # height class 3
+    _encode_int(enc, iadw, 3)   # width 3
+    _encode_int(enc, iaai, 2)   # REFAGGNINST = 2 -> must raise
+    at = b"".join(bytes([a & 0xFF, b & 0xFF]) for a, b in _AT_NOMINAL[0])
+    rat = b"".join(bytes([a & 0xFF, b & 0xFF]) for a, b in _REF_AT_NOMINAL)
+    seg = S.pack(">H", 1 << 1) + at + rat + S.pack(">II", 1, 1) + enc.flush()
+    with pytest.raises(JBIG2Error, match="aggregate"):
+        _decode_symbol_dict(seg, [])
+
+
+def test_text_region_sbrefine_roundtrip():
+    """SBREFINE text region: refined instances replace the dictionary
+    symbol with their own bitmap (incl. a dims change); unrefined
+    instances still code RI=0."""
+    rng = random.Random(7)
+    syms = sorted([_mksym(rng, 5, 6), _mksym(rng, 3, 6)],
+                  key=lambda s: (len(s), len(s[0])))
+    target0 = [row[:] for row in syms[0]]
+    target0[2][1] ^= 1
+    target1 = [[int(syms[1][min(y, 5)][min(x, 2)] ^ (y == 0 and x == 3))
+                for x in range(4)] for y in range(7)]
+    placements = [(0, 1, 1), (1, 9, 2), (0, 15, 1)]
+    seg = _encode_text_region(syms, placements, 24, 12,
+                              refinements={0: target0, 1: target1})
+    rows, w, h, _, _, _ = _decode_text_region(seg, syms)
+    page = [[0] * 24 for _ in range(12)]
+    for bm, (sid, x, y) in zip([target0, target1, syms[0]], placements):
+        for sy, srow in enumerate(bm):
+            for sx, bit in enumerate(srow):
+                if 0 <= y + sy < 12 and 0 <= x + sx < 24:
+                    page[y + sy][x + sx] |= bit
+    assert rows == page
+
+
+def test_refinement_region_segment_on_page():
+    """Immediate generic refinement region (type 42): refines the page
+    content in place (REPLACE), TPGRON exercised."""
+    import struct as S
+
+    from pdfplumber_spark.kernel.jbig2 import (
+        _REF_AT_NOMINAL,
+        _refine_bitmap,
+        encode_embedded,
+    )
+
+    rng = random.Random(11)
+    base_pg = _mksym(rng, 20, 14)
+    target_pg = [row[:] for row in base_pg]
+    for _ in range(8):
+        target_pg[rng.randrange(14)][rng.randrange(20)] ^= 1
+    gen = encode_embedded(base_pg, 20, 14)
+    enc = MQEncoder()
+    _refine_bitmap(enc, 20, 14, base_pg, 0, 0, 0, None, True,
+                   target=target_pg)
+    grat = b"".join(bytes([a & 0xFF, b & 0xFF]) for a, b in _REF_AT_NOMINAL)
+    ref_seg = (S.pack(">IIIIB", 20, 14, 0, 0, 4) + bytes([2]) + grat
+               + enc.flush())
+    out = gen[:-11]  # drop end-of-page, append refinement + EOP
+    out += _seg_header(3, 42, 1, len(ref_seg)) + ref_seg
+    out += _seg_header(4, 49, 1, 0)
+    rows, w, h = decode_embedded(bytes(out))
+    assert (w, h) == (20, 14)
+    assert rows == target_pg
+
+
+def test_refinement_garbage_never_crashes():
+    from pdfplumber_spark.kernel.jbig2 import _encode_symbol_dict_refagg
+
+    rng = random.Random(13)
+    base = [_mksym(rng, 4, 4)]
+    new = [[row[:] for row in base[0]]]
+    new[0][0][0] ^= 1
+    good = bytearray(_encode_symbol_dict_refagg(base, new, [(0, 0, 0)]))
+    for _t in range(120):
+        bad = bytearray(good)
+        for _ in range(rng.randint(1, 4)):
+            bad[rng.randrange(len(bad))] = rng.randrange(256)
+        try:
+            _decode_symbol_dict(bytes(bad), base)
         except JBIG2Error:
             pass
