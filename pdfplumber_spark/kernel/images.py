@@ -12,7 +12,7 @@ RL), plus CCITT Group 3/4 fax (``kernel/ccitt.py``: K < 0, K = 0 and
 mixed K > 0; ImageMask stencils included), baseline+progressive JPEG
 (``kernel/jpeg.py``, SOF0/SOF2), arithmetic JBIG2 generic regions
 (``kernel/jbig2.py`` — generic incl. T.6 MMR, symbol-dictionary +
-text regions + refinement since round 7), JPEG 2000 (``kernel/jpx.py``, T.800 Part 1:
+text regions + refinement + halftone since round 7), JPEG 2000 (``kernel/jpx.py``, T.800 Part 1:
 5/3 + 9/7 wavelets, all progression orders, tiles), and since round 7
 CMYK / YCCK JPEG (Adobe APP14 transforms, libjpeg-pinned sign
 convention) and the JPX bypass code-block style. Remaining

@@ -16,11 +16,13 @@ Scope: arithmetic coding plus MMR generic regions (§6.2.6 — the T.6
 coding reused from ``kernel/ccitt.py``) and REFINEMENT (§6.3 generic
 refinement decoding, both templates + TPGRON; §6.4.11 SBREFINE text-
 region instances; §6.5.8.2 SDREFAGG REFAGGNINST=1 symbols; refinement
-region segments 40/42/43 replacing page content). Huffman-coded
-dictionaries/text (SDHUFF/SBHUFF), true aggregate symbol coding
-(REFAGGNINST > 1), halftone regions, and cross-segment arithmetic
-context reuse raise ``JBIG2Error`` (classified 'unsupported'
-upstream). The reference corpus contains NO JBIG2 fixtures (surveyed
+region segments 40/42/43 replacing page content), plus HALFTONE
+regions (§6.6 gray-coded bitplanes over one shared coder, Annex C.5)
+with pattern dictionaries (§6.7, spec-fixed A1 = (-HDPW, 0)).
+Huffman-coded dictionaries/text (SDHUFF/SBHUFF), true aggregate symbol
+coding (REFAGGNINST > 1), HENABLESKIP, MMR-coded
+dictionaries/halftones, and cross-segment arithmetic context reuse
+raise ``JBIG2Error`` (classified 'unsupported' upstream). The reference corpus contains NO JBIG2 fixtures (surveyed
 round 6), so external interop cannot be exercised offline; correctness
 is pinned by encoder/decoder roundtrips (the two sides come from the
 spec's separate flowcharts) plus structural tests. Context bit order
@@ -1004,6 +1006,146 @@ def _encode_text_region(symbols: List[list], placements, w: int, h: int,
             + data)
 
 
+# -- pattern dictionary (§6.7) + halftone region (§6.6) ------------------
+
+def _decode_pattern_dict(seg: bytes) -> List[list]:
+    """§6.7: patterns decode as ONE wide generic bitmap — (GRAYMAX+1)
+    patterns of HDPW x HDPH side by side — with the spec-FIXED adaptive
+    pixel A1 = (-HDPW, 0); returns the list of pattern bitmaps."""
+    if len(seg) < 7:
+        raise JBIG2Error("short pattern dictionary")
+    flags = seg[0]
+    if flags & 1:
+        raise JBIG2Error("MMR pattern dictionary unsupported")
+    template = (flags >> 1) & 3
+    hdpw, hdph = seg[1], seg[2]
+    (graymax,) = struct.unpack(">I", seg[3:7])
+    if not (1 <= hdpw <= 255 and 1 <= hdph <= 255):
+        raise JBIG2Error("bad pattern dims")
+    if graymax > 10_000:
+        raise JBIG2Error("implausible GRAYMAX")
+    wide_w = (graymax + 1) * hdpw
+    if wide_w * hdph > _MAX_PIXELS:
+        raise JBIG2Error("pattern dictionary past the pixel guard")
+    at = ((-hdpw, 0),) + (_AT_NOMINAL[0][1:] if template == 0 else ())
+    rows = _decode_bitmap(MQDecoder(seg[7:]), wide_w, hdph, template, at)
+    return [
+        [r[k * hdpw:(k + 1) * hdpw] for r in rows]
+        for k in range(graymax + 1)
+    ]
+
+
+def _encode_pattern_dict(patterns: List[list]) -> bytes:
+    """Encoder inverse of ``_decode_pattern_dict`` (template 0)."""
+    hdph = len(patterns[0])
+    hdpw = len(patterns[0][0])
+    wide = [sum((p[r] for p in patterns), []) for r in range(hdph)]
+    at = ((-hdpw, 0),) + _AT_NOMINAL[0][1:]
+    enc = MQEncoder()
+    _encode_bitmap(enc, wide, len(wide[0]), hdph, 0, at)
+    return (bytes([0, hdpw, hdph])
+            + struct.pack(">I", len(patterns) - 1) + enc.flush())
+
+
+def _gray_planes(dec_or_enc, w: int, h: int, nbits: int, template: int,
+                 values=None, ctx: Optional[ArithCtx] = None):
+    """Annex C.5 gray-scale image decode (or its encoder inverse when
+    ``values`` is given): bitplanes MSB->LSB, each a generic region over
+    ONE shared coder + context set, gray-coded (bit_j = plane_j ^
+    bit_{j+1})."""
+    encode = values is not None
+    if encode:
+        bits = [[[0] * w for _ in range(h)] for _ in range(nbits)]
+        for y in range(h):
+            for x in range(w):
+                v = values[y][x]
+                prev = 0
+                for j in range(nbits - 1, -1, -1):
+                    b = (v >> j) & 1
+                    bits[j][y][x] = b ^ prev
+                    prev = b
+        for j in range(nbits - 1, -1, -1):
+            _encode_bitmap(dec_or_enc, bits[j], w, h, template, None,
+                           ctx=ctx)
+        return None
+    out = [[0] * w for _ in range(h)]
+    prev = None
+    for j in range(nbits - 1, -1, -1):
+        plane = _decode_bitmap(dec_or_enc, w, h, template, None, ctx=ctx)
+        if prev is not None:
+            for y in range(h):
+                pr, pl = prev[y], plane[y]
+                for x in range(w):
+                    pl[x] ^= pr[x]
+        for y in range(h):
+            row = out[y]
+            pl = plane[y]
+            for x in range(w):
+                row[x] = (row[x] << 1) | pl[x]
+        prev = plane
+    return out
+
+
+def _decode_halftone_region(seg: bytes, patterns: List[list]) -> Tuple[
+        List[List[int]], int, int, int, int, int]:
+    """§6.6 halftone region decode -> (rows, w, h, x, y, ext_combop)."""
+    if len(seg) < 38:
+        raise JBIG2Error("short halftone region segment")
+    w, h, rx, ry, rinfo = struct.unpack(">IIIIB", seg[:17])
+    flags = seg[17]
+    if flags & 1:
+        raise JBIG2Error("MMR halftone unsupported")
+    template = (flags >> 1) & 3
+    if (flags >> 3) & 1:
+        raise JBIG2Error("HENABLESKIP unsupported")
+    combop = (flags >> 4) & 7
+    defpixel = (flags >> 7) & 1
+    hgw, hgh = struct.unpack(">II", seg[18:26])
+    hgx, hgy = struct.unpack(">ii", seg[26:34])
+    hrx, hry = struct.unpack(">HH", seg[34:38])
+    if not patterns:
+        raise JBIG2Error("halftone region with no patterns")
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+        raise JBIG2Error("bad region dims")
+    if hgw * hgh > _MAX_PIXELS or hgw <= 0 or hgh <= 0:
+        raise JBIG2Error("bad halftone grid")
+    nbits = _sym_codelen(len(patterns))
+    nbits = max(1, nbits)
+    dec = MQDecoder(seg[38:])
+    gctx = ArithCtx(1 << 16)
+    values = _gray_planes(dec, hgw, hgh, nbits, template, ctx=gctx)
+    bitmap = [[defpixel] * w for _ in range(h)]
+    top = len(patterns) - 1
+    for mg in range(hgh):
+        for ng in range(hgw):
+            x = (hgx + mg * hry + ng * hrx) >> 8
+            y = (hgy + mg * hrx - ng * hry) >> 8
+            v = min(values[mg][ng], top)
+            _draw_symbol(bitmap, patterns[v], x, y, combop & 3)
+    return bitmap, w, h, rx, ry, rinfo & 7
+
+
+def _encode_halftone_region(patterns: List[list], values: List[list],
+                            w: int, h: int, x: int = 0, y: int = 0,
+                            defpixel: int = 0) -> bytes:
+    """Encoder inverse for fixtures: axis-aligned square grid pitched
+    at the pattern size (HRX = HDPW<<8, HRY = 0), OR combine."""
+    hdpw = len(patterns[0][0])
+    hgh = len(values)
+    hgw = len(values[0])
+    nbits = max(1, _sym_codelen(len(patterns)))
+    enc = MQEncoder()
+    gctx = ArithCtx(1 << 16)
+    _gray_planes(enc, hgw, hgh, nbits, 0, values=values, ctx=gctx)
+    flags = (defpixel & 1) << 7  # template 0, OR combine
+    return (struct.pack(">IIIIB", w, h, x, y, 0)
+            + bytes([flags])
+            + struct.pack(">II", hgw, hgh)
+            + struct.pack(">ii", 0, 0)
+            + struct.pack(">HH", hdpw << 8, 0)
+            + enc.flush())
+
+
 # -- embedded (PDF) segment stream (T.88 §7.2, Annex H) -----------------
 
 def _seg_header(num: int, seg_type: int, page: int, data_len: int,
@@ -1192,6 +1334,7 @@ def decode_embedded(data: bytes,
     page: Optional[List[List[int]]] = None
     pw = ph = 0
     sym_exports: Dict[int, List[list]] = {}
+    pat_exports: Dict[int, List[list]] = {}
     saw_region = False
     for num, seg_type, refs, seg in segments:
         if seg_type == 48:  # page info
@@ -1252,8 +1395,18 @@ def decode_embedded(data: bytes,
                                   0, 0, template, grat, tpgron)
             saw_region = True
             _compose(page, rows, rx, ry, 4)  # refinement REPLACES
-        elif seg_type in (16, 20, 22, 23):
-            raise JBIG2Error("halftone/pattern segments unsupported")
+        elif seg_type == 16:  # pattern dictionary
+            pat_exports[num] = _decode_pattern_dict(seg)
+        elif seg_type in (20, 22, 23):  # halftone region
+            pats: List[list] = []
+            for r in refs:
+                pats.extend(pat_exports.get(r, []))
+            rows, w, h, rx, ry, op = _decode_halftone_region(seg, pats)
+            saw_region = True
+            if page is None:
+                return rows, w, h
+            page = _grow_page(page, pw, ry + h)
+            _compose(page, rows, rx, ry, op)
         elif seg_type == 53:
             raise JBIG2Error("huffman table segment unsupported")
         # 49 end-of-page / 50 end-of-stripe / 51 end-of-file /

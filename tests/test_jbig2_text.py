@@ -521,3 +521,89 @@ def test_refinement_garbage_never_crashes():
             _decode_symbol_dict(bytes(bad), base)
         except JBIG2Error:
             pass
+
+
+# ---------------------------------------------------------------------------
+# Halftone regions (round-7; T.88 §6.6 + §6.7 pattern dictionaries)
+
+
+def test_halftone_page_roundtrip():
+    """Pattern dictionary (wide-bitmap decode with the spec-fixed
+    A1=(-HDPW,0)) + halftone region (Annex C.5 gray-coded bitplanes over
+    one shared coder) compose onto the page exactly like the manual
+    pattern placement."""
+    import struct as S
+
+    from pdfplumber_spark.kernel.jbig2 import (
+        _decode_halftone_region,
+        _decode_pattern_dict,
+        _encode_halftone_region,
+        _encode_pattern_dict,
+    )
+
+    rng = random.Random(9)
+    p = 3
+
+    def pat(level):
+        cells = [(r, c) for r in range(p) for c in range(p)]
+        rng2 = random.Random(level)
+        on = set(rng2.sample(cells, level * 3))
+        return [[1 if (r, c) in on else 0 for c in range(p)]
+                for r in range(p)]
+
+    patterns = [pat(k) for k in range(4)]
+    seg = _encode_pattern_dict(patterns)
+    assert _decode_pattern_dict(seg) == patterns
+    values = [[rng.randint(0, 3) for _ in range(6)] for _ in range(4)]
+    w, h = 6 * p, 4 * p
+    ht = _encode_halftone_region(patterns, values, w, h)
+    rows, _, _, _, _, _ = _decode_halftone_region(ht, patterns)
+    expect = [[0] * w for _ in range(h)]
+    for mg in range(4):
+        for ng in range(6):
+            pt = patterns[values[mg][ng]]
+            for r in range(p):
+                for c in range(p):
+                    expect[mg * p + r][ng * p + c] |= pt[r][c]
+    assert rows == expect
+    # full embedded page through the segment graph
+    page_info = S.pack(">IIIIB", w, h, 0, 0, 0) + b"\x00\x00\x00"
+    out = _seg_header(0, 48, 1, len(page_info)) + page_info
+    out += _seg_header(1, 16, 1, len(seg)) + seg
+    out += _seg_header(2, 22, 1, len(ht), refs=(1,)) + ht
+    out += _seg_header(3, 49, 1, 0)
+    prows, pw_, ph_ = decode_embedded(bytes(out))
+    assert (pw_, ph_) == (w, h) and prows == expect
+
+
+def test_halftone_rejections_and_fuzz():
+    import struct as S
+
+    from pdfplumber_spark.kernel.jbig2 import (
+        _decode_halftone_region,
+        _decode_pattern_dict,
+        _encode_halftone_region,
+        _encode_pattern_dict,
+    )
+
+    with pytest.raises(JBIG2Error):
+        _decode_pattern_dict(b"\x01\x03\x03" + b"\x00" * 4)  # MMR
+    patterns = [[[0]], [[1]]]
+    ht = _encode_halftone_region(patterns, [[0, 1]], 2, 1)
+    flags = ht[17]
+    for bit in (1, 8):  # HMMR, HENABLESKIP
+        bad = ht[:17] + bytes([flags | bit]) + ht[18:]
+        with pytest.raises(JBIG2Error):
+            _decode_halftone_region(bad, patterns)
+    with pytest.raises(JBIG2Error):
+        _decode_halftone_region(ht, [])  # no patterns
+    rng = random.Random(31)
+    good = bytearray(ht)
+    for _t in range(100):
+        bad = bytearray(good)
+        for _ in range(rng.randint(1, 4)):
+            bad[rng.randrange(len(bad))] = rng.randrange(256)
+        try:
+            _decode_halftone_region(bytes(bad), patterns)
+        except JBIG2Error:
+            pass
