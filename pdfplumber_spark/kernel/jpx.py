@@ -19,8 +19,11 @@ Reference analogue: pdfplumber delegates JPX pixel access to
 PIL/pypdfium2 (``display.py``); this engine decodes in-process.
 
 Scope: single quality layer or multiple layers, all five progression
-orders at maximal precincts (one precinct per resolution; Scod
-precinct partitions raise), tile grids whose tile size is a multiple
+orders at maximal precincts, USER-DEFINED PRECINCT PARTITIONS since
+round 7 (per-precinct packets + tag trees, B.6 resolution-grid counts,
+effective code-block clamping; with real partitions the
+position-dependent progression orders 2-4 raise — their spatial
+interleave is not implemented), tile grids whose tile size is a multiple
 of ``2**levels`` (so subband parity stays even — typical 256/512/1024
 tiles), zero image/tile offsets, no subsampling (XRsiz=YRsiz=1),
 unsigned components up to 16 bits. Code-block styles: ALL SIX bits
@@ -932,7 +935,7 @@ class _Block:
 class _Band:
     def __init__(self, btype: str, lev: int, w: int, h: int, mb: int,
                  delta: Optional[float], cbw: int, cbh: int,
-                 cbstyle: int = 0):
+                 cbstyle: int = 0, ppx: int = 15, ppy: int = 15):
         self.type, self.lev, self.w, self.h = btype, lev, w, h
         self.mb = mb
         self.cbstyle = cbstyle
@@ -941,8 +944,16 @@ class _Band:
         self.termall = bool(cbstyle & 0x04)  # terminate every pass
         self.causal = bool(cbstyle & 0x08)   # stripe-causal contexts
         self.delta = delta  # None -> reversible (no dequantization)
+        # precinct partition on THIS band's grid (subband-side
+        # exponents; 15/15 = one precinct = the whole band). Effective
+        # code-block size clamps to the precinct (B.7) so blocks never
+        # straddle precinct boundaries (both power-of-2 anchored at 0).
+        self.ppx, self.ppy = ppx, ppy
+        cbw = min(cbw, 1 << ppx)
+        cbh = min(cbh, 1 << ppy)
         self.ncbx = _ceildiv(w, cbw) if w else 0
         self.ncby = _ceildiv(h, cbh) if h else 0
+        self.cbw, self.cbh = cbw, cbh
         self.blocks: List[List[_Block]] = [
             [
                 _Block(bx * cbw, by * cbh,
@@ -951,14 +962,72 @@ class _Band:
             ]
             for by in range(self.ncby)
         ]
+        # per-precinct tag trees over the blocks inside each precinct
+        # window; block-grid window of precinct (pi, pj):
+        self._prec_trees: Dict[Tuple[int, int], tuple] = {}
         if self.ncbx and self.ncby:
             self.inc_tree = _TagTree(self.ncbx, self.ncby)
             self.zbp_tree = _TagTree(self.ncbx, self.ncby)
+
+    def _prec_window(self, pi: int, pj: int):
+        """block-index window [bx0, bx1) x [by0, by1) of precinct
+        (pi, pj) on this band."""
+        x0, x1 = pi << self.ppx, (pi + 1) << self.ppx
+        y0, y1 = pj << self.ppy, (pj + 1) << self.ppy
+        bx0 = _ceildiv(x0, self.cbw) if self.cbw else 0
+        bx1 = min(self.ncbx, _ceildiv(min(x1, self.w), self.cbw))
+        by0 = _ceildiv(y0, self.cbh) if self.cbh else 0
+        by1 = min(self.ncby, _ceildiv(min(y1, self.h), self.cbh))
+        return bx0, bx1, by0, by1
+
+    def prec_trees(self, pi: int, pj: int):
+        """(inc_tree, zbp_tree, bx0, by0) of a precinct, lazily built
+        over its block-count dims."""
+        key = (pi, pj)
+        got = self._prec_trees.get(key)
+        if got is None:
+            bx0, bx1, by0, by1 = self._prec_window(pi, pj)
+            nw, nh = max(0, bx1 - bx0), max(0, by1 - by0)
+            got = (
+                _TagTree(nw, nh) if nw and nh else None,
+                _TagTree(nw, nh) if nw and nh else None,
+                bx0, by0,
+            )
+            self._prec_trees[key] = got
+        return got
+
+    def iter_prec_blocks(self, pi: int, pj: int):
+        bx0, bx1, by0, by1 = self._prec_window(pi, pj)
+        for by in range(by0, by1):
+            for bx in range(bx0, bx1):
+                yield bx, by, self.blocks[by][bx]
 
     def iter_blocks(self):
         for by in range(self.ncby):
             for bx in range(self.ncbx):
                 yield bx, by, self.blocks[by][bx]
+
+    def band_prec_counts(self) -> Tuple[int, int]:
+        return (_ceildiv(self.w, 1 << self.ppx) if self.w else 0,
+                _ceildiv(self.h, 1 << self.ppy) if self.h else 0)
+
+    def load_precinct_trees(self):
+        """Encoder side: fill each precinct's inclusion/zero-bitplane
+        tag trees from the blocks inside it (single layer)."""
+        npx, npy = self.band_prec_counts()
+        for pj in range(npy):
+            for pi in range(npx):
+                inc_tree, zbp_tree, _bx0, _by0 = self.prec_trees(pi, pj)
+                if inc_tree is None:
+                    continue
+                inc_vals, zbp_vals = [], []
+                for _bx, _by, blk in self.iter_prec_blocks(pi, pj):
+                    has = bool(blk.data) or bool(blk.enc_segments)
+                    inc_vals.append(0 if has else 1)
+                    zbp_vals.append(self.mb - blk.enc_planes if has
+                                    else 0)
+                inc_tree.set_values(inc_vals)
+                zbp_tree.set_values(zbp_vals)
 
 
 def _read_npasses(br: _BitReader) -> int:
@@ -994,26 +1063,34 @@ def _write_npasses(bw: _BitWriter, n: int):
 
 
 def _read_packet(buf: bytes, pos: int, bands: List[_Band], layer: int,
-                 use_sop: bool, use_eph: bool) -> int:
-    """Parse one packet starting at ``pos``; returns the new position."""
+                 use_sop: bool, use_eph: bool,
+                 prec: Tuple[int, int] = (0, 0)) -> int:
+    """Parse one packet (one precinct of one layer/comp/resolution)
+    starting at ``pos``; returns the new position."""
     if use_sop and buf[pos:pos + 2] == b"\xff\x91":
         pos += 6  # SOP marker segment: FF91 + Lsop(=4) + Nsop
+    pi, pj = prec
     br = _BitReader(buf, pos)
     segs: List[Tuple[_Block, int, int]] = []
     if br.bit():  # non-empty packet
         for band in bands:
             if not (band.ncbx and band.ncby):
                 continue
-            for bx, by, blk in band.iter_blocks():
+            inc_tree, zbp_tree, bx0, by0 = band.prec_trees(pi, pj)
+            if inc_tree is None:
+                continue  # precinct holds no blocks of this band
+            for bx, by, blk in band.iter_prec_blocks(pi, pj):
                 if blk.included:
                     inc = br.bit()
                 else:
-                    inc = band.inc_tree.decode(br, bx, by, layer + 1)
+                    inc = inc_tree.decode(br, bx - bx0, by - by0,
+                                          layer + 1)
                 if not inc:
                     continue
                 if not blk.included:
                     zb = 0
-                    while not band.zbp_tree.decode(br, bx, by, zb + 1):
+                    while not zbp_tree.decode(br, bx - bx0, by - by0,
+                                              zb + 1):
                         zb += 1
                     blk.zbp = zb
                     blk.included = True
@@ -1064,13 +1141,16 @@ def _read_packet(buf: bytes, pos: int, bands: List[_Band], layer: int,
     return pos
 
 
-def _write_packet(bands: List[_Band], layer: int) -> bytes:
+def _write_packet(bands: List[_Band], layer: int,
+                  prec: Tuple[int, int] = (0, 0)) -> bytes:
     """Single-layer encoder: every block with data joins layer 0."""
+    pi, pj = prec
     bw = _BitWriter()
     body = bytearray()
     any_data = any(
         blk.data or blk.enc_segments
-        for band in bands for _, _, blk in band.iter_blocks()
+        for band in bands
+        for _, _, blk in band.iter_prec_blocks(pi, pj)
     )
     if not any_data:
         bw.bit(0)
@@ -1079,18 +1159,22 @@ def _write_packet(bands: List[_Band], layer: int) -> bytes:
     for band in bands:
         if not (band.ncbx and band.ncby):
             continue
-        for bx, by, blk in band.iter_blocks():
+        trees = band.prec_trees(pi, pj)
+        inc_tree, zbp_tree, bx0, by0 = trees
+        if inc_tree is None:
+            continue
+        for bx, by, blk in band.iter_prec_blocks(pi, pj):
             has = bool(blk.data) or bool(blk.enc_segments)
             if blk.included:
                 bw.bit(1 if has else 0)
             else:
-                band.inc_tree.encode(bw, bx, by, layer + 1)
+                inc_tree.encode(bw, bx - bx0, by - by0, layer + 1)
             if not has:
                 continue
             if not blk.included:
                 zb = band.mb - blk.enc_planes
                 for t in range(1, zb + 2):
-                    band.zbp_tree.encode(bw, bx, by, t)
+                    zbp_tree.encode(bw, bx - bx0, by - by0, t)
                 blk.included = True
             _write_npasses(bw, blk.enc_npasses)
             if blk.enc_segments:
@@ -1122,35 +1206,67 @@ def _write_packet(bands: List[_Band], layer: int) -> bytes:
 
 
 def _packet_sequence(prog: int, nlayers: int, ncomps: int,
-                     res_counts: List[int]):
-    """Yield (comp, res, layer) in progression order; one precinct per
-    resolution collapses the position loops (T.800 B.12)."""
+                     res_counts: List[int],
+                     prec_counts: Optional[List[List[Tuple[int, int]]]]
+                     = None):
+    """Yield (comp, res, layer, precinct) in progression order
+    (T.800 B.12). ``prec_counts[c][r] = (npx, npy)`` — resolution-level
+    precinct grid; None means maximal precincts (one per resolution).
+    With real precinct partitions only LRCP/RLCP are supported (the
+    position-major orders need spatial interleaving)."""
     maxres = max(res_counts)
+
+    def precs(c, r):
+        if prec_counts is None:
+            return ((0, 0),)
+        npx, npy = prec_counts[c][r]
+        return tuple((pi, pj) for pj in range(npy) for pi in range(npx))
+
+    multi = prec_counts is not None and any(
+        npx * npy > 1 for row in prec_counts for (npx, npy) in row
+    )
+    if multi and prog not in (0, 1):
+        raise JPXError(
+            "precinct partitions with position-dependent progression "
+            "orders unsupported")
     if prog == 0:  # LRCP
         for l in range(nlayers):
             for r in range(maxres):
                 for c in range(ncomps):
                     if r < res_counts[c]:
-                        yield c, r, l
+                        for p in precs(c, r):
+                            yield c, r, l, p
     elif prog == 1:  # RLCP
         for r in range(maxres):
             for l in range(nlayers):
                 for c in range(ncomps):
                     if r < res_counts[c]:
-                        yield c, r, l
+                        for p in precs(c, r):
+                            yield c, r, l, p
     elif prog == 2:  # RPCL
         for r in range(maxres):
             for c in range(ncomps):
                 if r < res_counts[c]:
                     for l in range(nlayers):
-                        yield c, r, l
+                        for p in precs(c, r):
+                            yield c, r, l, p
     elif prog in (3, 4):  # PCRL / CPRL (position loop is trivial)
         for c in range(ncomps):
             for r in range(res_counts[c]):
                 for l in range(nlayers):
-                    yield c, r, l
+                    for p in precs(c, r):
+                        yield c, r, l, p
     else:
         raise JPXError(f"unknown progression order {prog}")
+
+
+def _res_prec_counts(tw: int, th: int, levels: int, r: int,
+                     ppx: int, ppy: int) -> Tuple[int, int]:
+    """Resolution-level precinct grid counts (B.6, zero offsets)."""
+    rw = _ceildiv(tw, 1 << (levels - r)) if levels - r else tw
+    rh = _ceildiv(th, 1 << (levels - r)) if levels - r else th
+    return (_ceildiv(rw, 1 << ppx) if rw else 0,
+            _ceildiv(rh, 1 << ppy) if rh else 0)
 
 
 # ---------------------------------------------------------------------------
@@ -1165,18 +1281,32 @@ _UNSUPPORTED_MARKERS = {0xFF5E: "RGN", 0xFF5F: "POC", 0xFF60: "PPM",
 
 class _COD_:
     __slots__ = ("prog", "nlayers", "mct", "levels", "xcb", "ycb",
-                 "cbstyle", "transform", "use_sop", "use_eph")
+                 "cbstyle", "transform", "use_sop", "use_eph",
+                 "precincts")
 
 
 class _QCD_:
     __slots__ = ("style", "guard", "exps", "mants")
 
 
+def _parse_precinct_bytes(body: bytes, off: int, levels: int):
+    """Scod/Scoc bit 0: one PPx|PPy<<4 byte per resolution, increasing
+    resolution order (B.10.5); r>0 needs PP >= 1 (subband side halves)."""
+    pp = []
+    for r in range(levels + 1):
+        if off + r >= len(body):
+            raise JPXError("truncated precinct sizes")
+        b = body[off + r]
+        ppx, ppy = b & 0x0F, b >> 4
+        if r > 0 and (ppx < 1 or ppy < 1):
+            raise JPXError("precinct size below code-block grid")
+        pp.append((ppx, ppy))
+    return pp
+
+
 def _parse_cod(body: bytes, marker: str) -> _COD_:
     c = _COD_()
     scod = body[0]
-    if scod & 0x01:
-        raise JPXError("user-defined precincts unsupported")
     c.use_sop = bool(scod & 0x02)
     c.use_eph = bool(scod & 0x04)
     c.prog = body[1]
@@ -1197,6 +1327,8 @@ def _parse_cod(body: bytes, marker: str) -> _COD_:
         raise JPXError("unknown wavelet transform")
     if c.nlayers < 1:
         raise JPXError("no quality layers")
+    c.precincts = (_parse_precinct_bytes(body, 10, c.levels)
+                   if scod & 0x01 else None)
     return c
 
 
@@ -1205,8 +1337,6 @@ def _parse_coc_sp(body: bytes, base: _COD_) -> _COD_:
     c = _COD_()
     c.prog, c.nlayers, c.mct = base.prog, base.nlayers, base.mct
     c.use_sop, c.use_eph = base.use_sop, base.use_eph
-    if body[0] & 0x01:
-        raise JPXError("user-defined precincts unsupported")
     c.levels = body[1]
     c.xcb = (body[2] & 0x0F) + 2
     c.ycb = (body[3] & 0x0F) + 2
@@ -1214,6 +1344,8 @@ def _parse_coc_sp(body: bytes, base: _COD_) -> _COD_:
     if c.cbstyle & 0xC0:  # reserved bits
         raise JPXError("unsupported code-block style")
     c.transform = body[5]
+    c.precincts = (_parse_precinct_bytes(body, 6, c.levels)
+                   if body[0] & 0x01 else None)
     return c
 
 
@@ -1394,6 +1526,7 @@ def _decode_tile(siz, cod, qcd, coc, qcc, tinfo, tw: int, th: int
     tqcd = tinfo["qcd"] or qcd
     comps_bands: List[List[List[_Band]]] = []  # [comp][res] -> bands
     res_counts = []
+    prec_counts: List[List[Tuple[int, int]]] = []  # [comp][res]
     for c in range(ncomps):
         ccod = tinfo["coc"].get(c) or coc.get(c) or tcod
         cqcd = tinfo["qcc"].get(c) or qcc.get(c) or tqcd
@@ -1406,8 +1539,15 @@ def _decode_tile(siz, cod, qcd, coc, qcc, tinfo, tw: int, th: int
                 "tile size not a multiple of 2**levels unsupported")
         cbw, cbh = 1 << ccod.xcb, 1 << ccod.ycb
         cbstyle = ccod.cbstyle
+        pp = getattr(ccod, "precincts", None)
         res_bands: List[List[_Band]] = []
+        comp_precs = []
         for r in range(levels + 1):
+            ppx, ppy = pp[r] if pp is not None else (15, 15)
+            comp_precs.append(_res_prec_counts(tw, th, levels, r,
+                                               ppx, ppy))
+            # subband-side precinct exponents (resolution grid halves)
+            bpx, bpy = (ppx, ppy) if r == 0 else (ppx - 1, ppy - 1)
             bands = []
             if r == 0:
                 lev = levels if levels else 0
@@ -1416,7 +1556,7 @@ def _decode_tile(siz, cod, qcd, coc, qcc, tinfo, tw: int, th: int
                 mb, delta = _band_quant(
                     cqcd, levels, lev, "LL", siz["depths"][c], reversible)
                 bands.append(_Band("LL", lev, bw, bh, mb, delta, cbw, cbh,
-                                   cbstyle))
+                                   cbstyle, bpx, bpy))
             else:
                 lev = levels - r + 1
                 for btype, xob, yob in (("HL", 1, 0), ("LH", 0, 1),
@@ -1427,17 +1567,18 @@ def _decode_tile(siz, cod, qcd, coc, qcc, tinfo, tw: int, th: int
                         reversible)
                     bands.append(
                         _Band(btype, lev, bw, bh, mb, delta, cbw, cbh,
-                              cbstyle))
+                              cbstyle, bpx, bpy))
             res_bands.append(bands)
         comps_bands.append(res_bands)
+        prec_counts.append(comp_precs)
         res_counts.append(levels + 1)
     buf = b"".join(tinfo["chunks"])
     pos = 0
-    for c, r, l in _packet_sequence(
-        tcod.prog, tcod.nlayers, ncomps, res_counts
+    for c, r, l, p in _packet_sequence(
+        tcod.prog, tcod.nlayers, ncomps, res_counts, prec_counts
     ):
         pos = _read_packet(buf, pos, comps_bands[c][r], l,
-                           tcod.use_sop, tcod.use_eph)
+                           tcod.use_sop, tcod.use_eph, p)
     out = []
     for c in range(ncomps):
         ccod = tinfo["coc"].get(c) or coc.get(c) or tcod
@@ -1580,7 +1721,8 @@ def jpx_encode(arr: np.ndarray, levels: int = 2, reversible: bool = True,
                prog: int = 0, jp2: bool = False,
                tile_size: Optional[Tuple[int, int]] = None,
                bypass: bool = False, termall: bool = False,
-               reset: bool = False, causal: bool = False) -> bytes:
+               reset: bool = False, causal: bool = False,
+               precincts: Optional[Tuple[int, int]] = None) -> bytes:
     """Encode uint8 samples (h, w) or (h, w, c) -> J2K codestream
     (or a minimal JP2 container when ``jp2``). Lossless when
     ``reversible``; 9/7 + scalar quantization otherwise, with
@@ -1593,6 +1735,14 @@ def jpx_encode(arr: np.ndarray, levels: int = 2, reversible: bool = True,
         a = a[:, :, None]
     if a.ndim != 3 or a.dtype != np.uint8:
         raise JPXError("encoder expects uint8 (h, w[, c])")
+    if precincts is not None:
+        epx, epy = precincts
+        if not (1 <= epx <= 15 and 1 <= epy <= 15):
+            raise JPXError("precinct exponents out of range")
+        if prog not in (0, 1):
+            raise JPXError(
+                "precinct partitions with position-dependent "
+                "progression orders unsupported")
     h, w, ncomps = a.shape
     if mct is None:
         mct = ncomps == 3
@@ -1656,7 +1806,8 @@ def jpx_encode(arr: np.ndarray, levels: int = 2, reversible: bool = True,
                                  (0x01 if bypass else 0)
                                  | (0x02 if reset else 0)
                                  | (0x04 if termall else 0)
-                                 | (0x08 if causal else 0))
+                                 | (0x08 if causal else 0),
+                                 precincts)
         psot = 12 + 2 + len(body)
         tile_parts.append(
             struct.pack(">HHHIBB", _SOT, 10, ti, psot, 0, 1)
@@ -1669,7 +1820,7 @@ def jpx_encode(arr: np.ndarray, levels: int = 2, reversible: bool = True,
     ) + b"".join(struct.pack(">BBB", depth - 1, 1, 1)
                  for _ in range(ncomps))
     cod_body = bytes([
-        0x00,                       # Scod: no precincts/SOP/EPH
+        0x01 if precincts is not None else 0x00,  # Scod
         prog & 0xFF,
     ]) + struct.pack(">H", 1) + bytes([
         1 if mct else 0,
@@ -1678,7 +1829,8 @@ def jpx_encode(arr: np.ndarray, levels: int = 2, reversible: bool = True,
         | (0x02 if reset else 0x00) | (0x04 if termall else 0x00)
         | (0x08 if causal else 0x00),
         1 if reversible else 0,
-    ])
+    ]) + (bytes([(precincts[1] << 4) | precincts[0]] * (levels + 1))
+          if precincts is not None else b"")
     if reversible:
         qcd_body = bytes([(guard << 5) | 0]) + bytes(
             (eps << 3) for eps, _m, _d in qparams
@@ -1697,16 +1849,25 @@ def jpx_encode(arr: np.ndarray, levels: int = 2, reversible: bool = True,
 def _encode_tile_body(comps: List[np.ndarray], levels: int,
                       reversible: bool, cbw: int, cbh: int,
                       qparams: list, segsym: bool, prog: int,
-                      cbstyle: int = 0) -> bytes:
+                      cbstyle: int = 0,
+                      precincts: Optional[Tuple[int, int]] = None
+                      ) -> bytes:
     """DWT -> quantize -> T1 -> packets for one tile's components."""
     ncomps = len(comps)
     guard = 2
+    th_, tw_ = comps[0].shape
     comp_res_bands: List[List[List[_Band]]] = []
+    prec_counts: List[List[Tuple[int, int]]] = []
     for c in range(ncomps):
         bands_arr = _fdwt(comps[c], levels, reversible)
         res_bands: List[List[_Band]] = []
+        comp_precs = []
         bidx = 0
         for r in range(levels + 1):
+            epp = precincts if precincts is not None else (15, 15)
+            comp_precs.append(_res_prec_counts(tw_, th_, levels, r,
+                                               epp[0], epp[1]))
+            bpx, bpy = epp if r == 0 else (epp[0] - 1, epp[1] - 1)
             group = []
             if r == 0:
                 keys = [("LL", levels if levels else 0)]
@@ -1724,7 +1885,7 @@ def _encode_tile_body(comps: List[np.ndarray], levels: int,
                     qv = (np.sign(src)
                           * np.floor(np.abs(src) / actual)).astype(np.int64)
                 band = _Band(bt, lev, src.shape[1], src.shape[0], mb,
-                             actual, cbw, cbh, cbstyle)
+                             actual, cbw, cbh, cbstyle, bpx, bpy)
                 inc_vals, zbp_vals = [], []
                 for _bx, _by, blk in band.iter_blocks():
                     vals = qv[blk.y0:blk.y0 + blk.h,
@@ -1753,17 +1914,18 @@ def _encode_tile_body(comps: List[np.ndarray], levels: int,
                     inc_vals.append(0 if data else 1)
                     zbp_vals.append(mb - planes if data else 0)
                 if band.ncbx and band.ncby:
-                    band.inc_tree.set_values(inc_vals)
-                    band.zbp_tree.set_values(zbp_vals)
+                    band.load_precinct_trees()
                 group.append(band)
             res_bands.append(group)
         comp_res_bands.append(res_bands)
+        prec_counts.append(comp_precs)
 
     # packets (single layer) in the declared progression order
     body = bytearray()
-    for c, r, l in _packet_sequence(prog, 1, ncomps,
-                                    [levels + 1] * ncomps):
-        body += _write_packet(comp_res_bands[c][r], l)
+    for c, r, l, p in _packet_sequence(prog, 1, ncomps,
+                                       [levels + 1] * ncomps,
+                                       prec_counts):
+        body += _write_packet(comp_res_bands[c][r], l, p)
     return bytes(body)
 
 

@@ -456,3 +456,64 @@ def test_style_bits_change_the_coding(bit, name):
         assert not (got == img).all(), name
     except JPXError:
         pass
+
+
+def test_precinct_partitions_roundtrip_matrix():
+    """Round-7: user-defined precinct partitions (Scod bit 0) — per-
+    precinct packets and tag trees over the B.6 resolution-grid counts.
+    Non-square precincts, multiple levels, RGB, bypass combination,
+    tiled, lossless + lossy."""
+    rng = np.random.RandomState(77)
+    cases = [
+        dict(shape=(70, 90), levels=2, precincts=(6, 6)),
+        dict(shape=(64, 64, 3), levels=1, precincts=(5, 6), prog=1),
+        dict(shape=(128, 100), levels=3, precincts=(7, 7), cblk=(64, 64)),
+        dict(shape=(40, 200), levels=2, precincts=(6, 5), segsym=True),
+        dict(shape=(90, 90), levels=2, precincts=(5, 5), bypass=True),
+        dict(shape=(96, 64), levels=2, precincts=(5, 5),
+             tile_size=(32, 32)),
+    ]
+    for case in cases:
+        shape = case.pop("shape")
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        enc = jpx_encode(img, reversible=True, **case)
+        got = jpx_decode(enc)["samples"]
+        if img.ndim == 2:
+            got = got[:, :, 0]
+        assert (got == img).all(), case
+        enc = jpx_encode(img, reversible=False, delta=0.5, **case)
+        got = jpx_decode(enc)["samples"]
+        if img.ndim == 2:
+            got = got[:, :, 0]
+        assert np.abs(got.astype(int) - img.astype(int)).max() <= 3, case
+
+
+def test_precinct_flag_and_rejections():
+    img = (np.arange(48 * 48) * 5 % 256).astype(np.uint8).reshape(48, 48)
+    # the Scod precinct bit must matter: stripping the per-res bytes
+    # desynchronizes the codestream
+    enc = bytearray(jpx_encode(img, levels=1, precincts=(5, 5)))
+    cod = enc.index(b"\xff\x52")
+    assert enc[cod + 4] & 1  # Scod precinct bit
+    with pytest.raises(JPXError):
+        jpx_encode(img, levels=1, precincts=(5, 5), prog=2)  # RPCL
+    with pytest.raises(JPXError):
+        jpx_encode(img, levels=1, precincts=(0, 5))  # out of range
+    # sub-code-block precincts clamp the effective block size and still
+    # roundtrip (B.7)
+    enc2 = jpx_encode(img, levels=2, precincts=(4, 4), cblk=(64, 64))
+    assert (jpx_decode(enc2)["samples"][:, :, 0] == img).all()
+
+
+def test_precinct_garbage_never_hangs():
+    rng = np.random.RandomState(13)
+    enc = bytearray(jpx_encode(_noise(32, 32, seed=2), levels=2,
+                               precincts=(5, 5)))
+    for _ in range(50):
+        bad = bytearray(enc)
+        for _m in range(rng.randint(1, 5)):
+            bad[rng.randint(4, len(bad))] = rng.randint(0, 256)
+        try:
+            jpx_decode(bytes(bad))
+        except JPXError:
+            pass
