@@ -23,7 +23,8 @@ multimodal stub). Reference analogue: PIL-backed decode in the reference's
   shared MQ coder); unsupported styles (precinct partitions, bypass
   code-block modes, subsampling) classify ``unsupported``.
 
-WEBP classifies ``unsupported`` (UnsupportedImageError);
+WEBP decodes since round 7 (kernel/webp.py, VP8L lossless; lossy VP8
+classifies ``unsupported``);
 structurally broken payloads of a recognized format raise
 ``ImageFileError`` (-> 'error').
 """
@@ -655,6 +656,24 @@ def jp2_file_decode(data: bytes) -> dict:
     }
 
 
+def webp_file_decode(data: bytes) -> dict:
+    """Decode a WEBP file via kernel/webp.py (VP8L lossless); lossy
+    VP8/VP8X -> UnsupportedImageError, broken VP8L -> ImageFileError."""
+    from .webp import WebPError, webp_decode
+
+    try:
+        d = webp_decode(data)
+    except WebPError as e:
+        if "unsupported" in str(e).lower():
+            raise UnsupportedImageError(str(e)) from e
+        raise ImageFileError(str(e)) from e
+    return {
+        "format": "webp", "width": int(d["width"]),
+        "height": int(d["height"]), "channels": int(d["n_components"]),
+        "samples": d["samples"],
+    }
+
+
 def decode_image(data: bytes) -> dict:
     """Sniff + decode a standalone image file. Raises
     ``UnsupportedImageError`` for formats/features without a decoder and
@@ -668,4 +687,6 @@ def decode_image(data: bytes) -> dict:
         return gif_file_decode(data)
     if fmt == "jp2":
         return jp2_file_decode(data)
+    if fmt == "webp":
+        return webp_file_decode(data)
     raise UnsupportedImageError(f"no decoder for format={fmt}")

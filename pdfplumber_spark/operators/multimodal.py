@@ -8,7 +8,8 @@ the former ``_decode_image_stub`` is gone): PNG via chunk walk + zlib +
 the engine's PNG-predictor reconstruction (all spec depths 1/2/4/8/16,
 Adam7 interlace), JPEG (baseline + progressive) via kernel/jpeg.py, GIF
 via a from-scratch LSB-first LZW + 4-pass deinterlace + GCE
-transparency, JPEG 2000 (JP2 + raw J2K) via kernel/jpx.py. WEBP
+transparency, JPEG 2000 (JP2 + raw J2K) via kernel/jpx.py, WEBP
+VP8L lossless via kernel/webp.py (round 7). Lossy-VP8 WEBP
 classifies 'unsupported' (documented — no from-scratch decoder).
 Reference analogue: PIL decode in display.py:36-90.
 """

@@ -26,7 +26,7 @@ from typing import Iterator, List, Tuple
 from ..kernel.pdfgen import glyph_width, make_pdf
 
 # bump when generated content changes — cache paths embed this
-CORPUS_VERSION = 25
+CORPUS_VERSION = 26
 
 LOREM = (
     "the quick brown fox jumps over a lazy dog while bright vixens watch "
@@ -177,6 +177,14 @@ def _pdf_ligatures(rng: random.Random) -> bytes:
     return make_pdf([{"width": 612, "height": 792, "texts": texts}])
 
 
+def _np_palette(rng: random.Random, n: int):
+    import numpy as np
+
+    return np.array(
+        [(rng.randrange(256), rng.randrange(256), rng.randrange(256),
+          255) for _ in range(n)], dtype=np.uint8)
+
+
 def _image_file(rng: random.Random) -> bytes:
     """Standalone image FILE payloads (round 6 — kernel/imagefile.py):
     PNGs across color types 0/2/3/4/6, bit depths 1/2/4/8/16, all five
@@ -260,9 +268,28 @@ def _image_file(rng: random.Random) -> bytes:
         return gif_file_encode(idx, pal, interlace=bool(interlace),
                                transparent=transparent)
     if kind < 0.94:
-        # unsupported-format row (no WEBP decoder)
-        return (b"RIFF" + bytes([rng.randrange(256) for _ in range(4)])
-                + b"WEBP" + bytes(rng.randrange(256) for _ in range(48)))
+        # WEBP rows (v26): half REAL VP8L lossless (kernel/webp.py —
+        # plain / subtract-green / predictor / palette variants), half
+        # the lossy-header 'unsupported' classification row
+        if rng.random() < 0.5:
+            return (b"RIFF\x10\x00\x00\x00WEBPVP8 "
+                    + bytes(rng.randrange(256) for _ in range(40)))
+        from ..kernel.webp import webp_encode_lossless
+
+        style = rng.random()
+        if style < 0.3:
+            return webp_encode_lossless(px[:, :, None].repeat(3, axis=2))
+        if style < 0.55:
+            return webp_encode_lossless(
+                px[:, :, None].repeat(3, axis=2), subtract_green=True)
+        if style < 0.8:
+            return webp_encode_lossless(
+                px[:, :, None].repeat(3, axis=2),
+                predictor_mode=rng.randrange(14))
+        n_pal = rng.randint(2, 12)
+        pal_np = _np_palette(rng, n_pal)
+        return webp_encode_lossless((px % n_pal).astype("uint8"),
+                                    palette=pal_np)
     # broken-payload rows: a valid PNG or GIF cut mid-stream
     if rng.random() < 0.5:
         good = png_file_encode(px)

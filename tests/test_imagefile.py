@@ -141,6 +141,7 @@ def test_corpus_image_file_family_mix():
     assert c[("jpeg", "ok")] > 10
     assert c[("gif", "ok")] > 5
     assert c[("webp", "unsupported")] > 0
+    assert c[("webp", "ok")] > 0  # round-7: real VP8L rows decode
     assert c[("png", "error")] > 0
     assert c[("gif", "error")] > 0
 
