@@ -15,10 +15,11 @@ mixed K > 0; ImageMask stencils included), baseline+progressive JPEG
 text regions + refinement + halftone since round 7), JPEG 2000 (``kernel/jpx.py``, T.800 Part 1:
 5/3 + 9/7 wavelets, all progression orders, tiles), and since round 7
 CMYK / YCCK JPEG (Adobe APP14 transforms, libjpeg-pinned sign
-convention) and the JPX bypass code-block style. Remaining
-``unsupported``: the exotic JPX styles (precinct partitions,
-reset/termall/causal code-block modes, subsampling) — each raises in
-its kernel and classifies here.
+convention), the full JPX code-block style matrix + precinct
+partitions + component subsampling, and WEBP VP8L. Remaining
+``unsupported``: JBIG2 huffman mode, lossy-VP8 WEBP, and the JPX
+precinct x position-order combination — each raises in its kernel and
+classifies here.
 """
 
 from __future__ import annotations

@@ -25,8 +25,11 @@ effective code-block clamping; with real partitions the
 position-dependent progression orders 2-4 raise — their spatial
 interleave is not implemented), tile grids whose tile size is a multiple
 of ``2**levels`` (so subband parity stays even — typical 256/512/1024
-tiles), zero image/tile offsets, no subsampling (XRsiz=YRsiz=1),
-unsigned components up to 16 bits. Code-block styles: ALL SIX bits
+tiles), zero image/tile offsets, per-component SUBSAMPLING since
+round 7 (XRsiz/YRsiz 1-4: each component codes on its own
+ceil(tile/factor) grid, nearest-neighbour upsampled before the inverse
+MCT; tile sizes must align to the factors), unsigned components up to
+16 bits. Code-block styles: ALL SIX bits
 supported since round 7 — segmentation symbols, selective arithmetic
 coding bypass (D.6 — raw SPP/MRP segments under the 10/2/1 termination
 schedule, multi-length packet headers), per-pass context reset,
@@ -1473,12 +1476,18 @@ def _collect_markers(data: bytes):
             )
             if xo or yo or xto or yto:
                 raise JPXError("nonzero image/tile offsets unsupported")
-            depths, signed = [], []
+            depths, signed, subs = [], [], []
             for k in range(ncomps):
                 ssiz, xr, yr = struct.unpack(
                     ">BBB", body[36 + 3 * k:39 + 3 * k])
-                if xr != 1 or yr != 1:
-                    raise JPXError("component subsampling unsupported")
+                if not (1 <= xr <= 4 and 1 <= yr <= 4):
+                    raise JPXError("bad subsampling factors")
+                if (xr != 1 or yr != 1) and (
+                    (xt and xt % xr) or (yt and yt % yr)
+                ):
+                    raise JPXError(
+                        "subsampling with misaligned tile size "
+                        "unsupported")
                 if ssiz & 0x80:
                     raise JPXError("signed components unsupported")
                 d = (ssiz & 0x7F) + 1
@@ -1486,12 +1495,13 @@ def _collect_markers(data: bytes):
                     raise JPXError("component depth > 16")
                 depths.append(d)
                 signed.append(False)
+                subs.append((xr, yr))
             if x <= 0 or y <= 0 or x * y > 50_000_000:
                 raise JPXError("bad image dimensions")
             if ncomps < 1 or ncomps > 16:
                 raise JPXError("bad component count")
             siz = {"x": x, "y": y, "xt": xt, "yt": yt,
-                   "ncomps": ncomps, "depths": depths}
+                   "ncomps": ncomps, "depths": depths, "subs": subs}
         elif marker == _COD:
             cod = _parse_cod(body, "COD")
         elif marker == _QCD:
@@ -1532,6 +1542,8 @@ def _decode_tile(siz, cod, qcd, coc, qcc, tinfo, tw: int, th: int
         cqcd = tinfo["qcc"].get(c) or qcc.get(c) or tqcd
         reversible = ccod.transform == 1
         levels = ccod.levels
+        xr, yr = siz["subs"][c]
+        cw, ch = _ceildiv(tw, xr), _ceildiv(th, yr)
         if (tw < siz["x"] or th < siz["y"]) and (
             siz["xt"] % (1 << levels) or siz["yt"] % (1 << levels)
         ):
@@ -1544,15 +1556,15 @@ def _decode_tile(siz, cod, qcd, coc, qcc, tinfo, tw: int, th: int
         comp_precs = []
         for r in range(levels + 1):
             ppx, ppy = pp[r] if pp is not None else (15, 15)
-            comp_precs.append(_res_prec_counts(tw, th, levels, r,
+            comp_precs.append(_res_prec_counts(cw, ch, levels, r,
                                                ppx, ppy))
             # subband-side precinct exponents (resolution grid halves)
             bpx, bpy = (ppx, ppy) if r == 0 else (ppx - 1, ppy - 1)
             bands = []
             if r == 0:
                 lev = levels if levels else 0
-                bw, bh = _band_dims(tw, th, levels, 0, 0) if levels else (
-                    tw, th)
+                bw, bh = _band_dims(cw, ch, levels, 0, 0) if levels else (
+                    cw, ch)
                 mb, delta = _band_quant(
                     cqcd, levels, lev, "LL", siz["depths"][c], reversible)
                 bands.append(_Band("LL", lev, bw, bh, mb, delta, cbw, cbh,
@@ -1561,7 +1573,7 @@ def _decode_tile(siz, cod, qcd, coc, qcc, tinfo, tw: int, th: int
                 lev = levels - r + 1
                 for btype, xob, yob in (("HL", 1, 0), ("LH", 0, 1),
                                         ("HH", 1, 1)):
-                    bw, bh = _band_dims(tw, th, lev, xob, yob)
+                    bw, bh = _band_dims(cw, ch, lev, xob, yob)
                     mb, delta = _band_quant(
                         cqcd, levels, lev, btype, siz["depths"][c],
                         reversible)
@@ -1621,7 +1633,9 @@ def _decode_tile(siz, cod, qcd, coc, qcc, tinfo, tw: int, th: int
                     arr[blk.y0:blk.y0 + blk.h,
                         blk.x0:blk.x0 + blk.w] = vals
                 bands_arr[(band.lev, band.type)] = arr
-        out.append(_idwt(bands_arr, tw, th, levels, reversible))
+        xr, yr = siz["subs"][c]
+        out.append(_idwt(bands_arr, _ceildiv(tw, xr), _ceildiv(th, yr),
+                         levels, reversible))
     return out
 
 
@@ -1670,6 +1684,16 @@ def jpx_decode(data: bytes) -> dict:
             th = min(siz["yt"], h - y0)
             comps = _decode_tile(siz, cod, qcd, coc, qcc, tiles[ti],
                                  tw, th)
+            # nearest-neighbour upsample subsampled components to the
+            # tile grid BEFORE the inverse MCT (the JPEG convention)
+            for c in range(ncomps):
+                xr, yr = siz["subs"][c]
+                if xr != 1 or yr != 1:
+                    a = comps[c]
+                    comps[c] = a[
+                        (np.arange(th) // yr)[:, None],
+                        (np.arange(tw) // xr)[None, :],
+                    ]
             tcod = tiles[ti]["cod"] or cod
             if tcod.mct:
                 if ncomps < 3:
@@ -1722,7 +1746,9 @@ def jpx_encode(arr: np.ndarray, levels: int = 2, reversible: bool = True,
                tile_size: Optional[Tuple[int, int]] = None,
                bypass: bool = False, termall: bool = False,
                reset: bool = False, causal: bool = False,
-               precincts: Optional[Tuple[int, int]] = None) -> bytes:
+               precincts: Optional[Tuple[int, int]] = None,
+               subsampling: Optional[List[Tuple[int, int]]] = None
+               ) -> bytes:
     """Encode uint8 samples (h, w) or (h, w, c) -> J2K codestream
     (or a minimal JP2 container when ``jp2``). Lossless when
     ``reversible``; 9/7 + scalar quantization otherwise, with
@@ -1743,6 +1769,11 @@ def jpx_encode(arr: np.ndarray, levels: int = 2, reversible: bool = True,
             raise JPXError(
                 "precinct partitions with position-dependent "
                 "progression orders unsupported")
+    subs = subsampling or [(1, 1)] * a.shape[2]
+    if len(subs) != a.shape[2] or any(
+        not (1 <= xr <= 4 and 1 <= yr <= 4) for xr, yr in subs
+    ):
+        raise JPXError("bad subsampling spec")
     h, w, ncomps = a.shape
     if mct is None:
         mct = ncomps == 3
@@ -1800,7 +1831,10 @@ def jpx_encode(arr: np.ndarray, levels: int = 2, reversible: bool = True,
     for ti in range(ntx * nty):
         tx, ty = ti % ntx, ti // ntx
         x0, y0 = tx * xt, ty * yt
-        tcomps = [cc[y0:y0 + yt, x0:x0 + xt] for cc in comps]
+        tcomps = [
+            cc[y0:y0 + yt, x0:x0 + xt][::subs[ci][1], ::subs[ci][0]]
+            for ci, cc in enumerate(comps)
+        ]
         body = _encode_tile_body(tcomps, levels, reversible, cbw, cbh,
                                  qparams, segsym, prog,
                                  (0x01 if bypass else 0)
@@ -1817,8 +1851,8 @@ def jpx_encode(arr: np.ndarray, levels: int = 2, reversible: bool = True,
     # markers
     siz_body = struct.pack(
         ">HIIIIIIIIH", 0, w, h, 0, 0, xt, yt, 0, 0, ncomps
-    ) + b"".join(struct.pack(">BBB", depth - 1, 1, 1)
-                 for _ in range(ncomps))
+    ) + b"".join(struct.pack(">BBB", depth - 1, subs[c][0], subs[c][1])
+                 for c in range(ncomps))
     cod_body = bytes([
         0x01 if precincts is not None else 0x00,  # Scod
         prog & 0xFF,
@@ -1855,10 +1889,10 @@ def _encode_tile_body(comps: List[np.ndarray], levels: int,
     """DWT -> quantize -> T1 -> packets for one tile's components."""
     ncomps = len(comps)
     guard = 2
-    th_, tw_ = comps[0].shape
     comp_res_bands: List[List[List[_Band]]] = []
     prec_counts: List[List[Tuple[int, int]]] = []
     for c in range(ncomps):
+        th_, tw_ = comps[c].shape
         bands_arr = _fdwt(comps[c], levels, reversible)
         res_bands: List[List[_Band]] = []
         comp_precs = []

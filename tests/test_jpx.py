@@ -215,9 +215,9 @@ def test_random_bytes_never_hang():
             pass  # any structured failure is fine; hangs/crashes are not
 
 
-def test_subsampled_components_classified_unsupported():
-    # patch XRsiz of component 0 in the SIZ segment to 2: the decoder
-    # must refuse (no chroma-subsampling path) rather than mis-decode
+def test_subsampling_factor_bounds():
+    # round-7: subsampling is SUPPORTED (1..4); out-of-range factors
+    # still classify. Patch XRsiz of component 0 to 5.
     enc = bytearray(jpx_encode(_noise(12, 12, seed=1)))
     siz = enc.index(b"\xff\x51")
     # SIZ body: Lsiz(2) Rsiz(2) Xsiz(4) Ysiz(4) XOsiz(4) YOsiz(4)
@@ -225,7 +225,7 @@ def test_subsampled_components_classified_unsupported():
     # Ssiz(1) XRsiz(1) YRsiz(1)
     xrsiz_off = siz + 2 + 2 + 2 + 8 * 4 + 2 + 1
     assert enc[xrsiz_off] == 1
-    enc[xrsiz_off] = 2
+    enc[xrsiz_off] = 5
     with pytest.raises(JPXError, match="subsampling"):
         jpx_decode(bytes(enc))
 
@@ -517,3 +517,47 @@ def test_precinct_garbage_never_hangs():
             jpx_decode(bytes(bad))
         except JPXError:
             pass
+
+
+def test_component_subsampling():
+    """Round-7: per-component subsampling (SIZ XRsiz/YRsiz) — each
+    component codes on its own ceil(tile/factor) grid and is
+    nearest-neighbour upsampled before the inverse MCT. Decimation is
+    the encoder's down-filter, so 2x2-constant images roundtrip
+    exactly; arbitrary images reproduce decimate-then-upsample."""
+    rng = np.random.RandomState(31)
+    rgb = rng.randint(0, 256, (24, 32, 3)).astype(np.uint8)
+    subs = [(1, 1), (2, 2), (2, 2)]
+    enc = jpx_encode(rgb, levels=1, reversible=True, mct=False,
+                     subsampling=subs)
+    got = jpx_decode(enc)["samples"]
+    exp = np.zeros_like(rgb)
+    for c, (xr, yr) in enumerate(subs):
+        d = rgb[::yr, ::xr, c]
+        exp[:, :, c] = d[(np.arange(24) // yr)[:, None],
+                         (np.arange(32) // xr)[None, :]]
+    assert (got == exp).all()
+    # 2x2-constant blocks: decimation lossless -> exact through MCT too
+    blocky = np.repeat(np.repeat(
+        rng.randint(0, 256, (12, 16, 3)).astype(np.uint8), 2, 0), 2, 1)
+    enc = jpx_encode(blocky, levels=1, reversible=True, mct=True,
+                     subsampling=subs)
+    assert (jpx_decode(enc)["samples"] == blocky).all()
+    # tiled + subsampled (tile size multiple of the factors)
+    enc = jpx_encode(rgb[:16, :32], levels=1, reversible=True, mct=False,
+                     subsampling=subs, tile_size=(16, 16))
+    got = jpx_decode(enc)["samples"]
+    exp2 = np.zeros_like(rgb[:16, :32])
+    for c, (xr, yr) in enumerate(subs):
+        for tx in range(2):
+            tile = rgb[:16, tx * 16:(tx + 1) * 16, c]
+            d = tile[::yr, ::xr]
+            exp2[:16, tx * 16:(tx + 1) * 16, c] = d[
+                (np.arange(16) // yr)[:, None],
+                (np.arange(16) // xr)[None, :]]
+    assert (got == exp2).all()
+    # tile size misaligned with the factor classifies unsupported
+    with pytest.raises(JPXError):
+        jpx_decode(jpx_encode(rgb, levels=1,
+                              subsampling=[(1, 1), (4, 4), (4, 4)],
+                              tile_size=(18, 18)))
