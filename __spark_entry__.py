@@ -58,7 +58,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from pdfplumber_spark.plans.extract import document_text, extract_text
 
     pages = _pages(spark, "/root/testdata/sf0.001")
-    return document_text(extract_text(pages, num_partitions=8))
+    return document_text(extract_text(pages))
 
 
 # ---------------------------------------------------------------------------
@@ -371,7 +371,8 @@ def q_winnow_overlap(spark, sf_dir):
 
     docs = _tbl(spark, sf_dir, "documents")
     return winnow_overlap(
-        winnow_table(docs, "doc_id", "text"), threshold=0.2
+        winnow_table(docs, "doc_id", "text"), threshold=0.2,
+        assume_distinct=True,  # winnow_table emits distinct per doc
     ).select("doc_a", "doc_b", "overlap")
 
 
@@ -567,7 +568,7 @@ def q_lsh_topk(spark, sf_dir):
 def q_extract_text(spark, sf_dir):
     from pdfplumber_spark.plans.extract import extract_text
 
-    return extract_text(_pages(spark, sf_dir), num_partitions=8).select(
+    return extract_text(_pages(spark, sf_dir)).select(
         "url", "page_number", "text", "status"
     )
 
@@ -575,7 +576,7 @@ def q_extract_text(spark, sf_dir):
 def q_extract_text_layout(spark, sf_dir):
     from pdfplumber_spark.plans.extract import extract_text
 
-    return extract_text(_pages(spark, sf_dir), layout=True, num_partitions=8).select(
+    return extract_text(_pages(spark, sf_dir), layout=True).select(
         "url", "page_number", "text", "status"
     )
 
@@ -583,13 +584,13 @@ def q_extract_text_layout(spark, sf_dir):
 def q_document_text(spark, sf_dir):
     from pdfplumber_spark.plans.extract import document_text, extract_text
 
-    return document_text(extract_text(_pages(spark, sf_dir), num_partitions=8))
+    return document_text(extract_text(_pages(spark, sf_dir)))
 
 
 def q_extract_words(spark, sf_dir):
     from pdfplumber_spark.plans.extract import extract_words
 
-    return extract_words(_pages(spark, sf_dir), num_partitions=8).select(
+    return extract_words(_pages(spark, sf_dir)).select(
         "url", "page_number", "word_index", "text", "x0", "top", "direction"
     )
 
@@ -597,7 +598,7 @@ def q_extract_words(spark, sf_dir):
 def q_extract_tables(spark, sf_dir):
     from pdfplumber_spark.plans.extract import extract_tables
 
-    return extract_tables(_pages(spark, sf_dir), num_partitions=8).select(
+    return extract_tables(_pages(spark, sf_dir)).select(
         "url", "page_number", "table_index", "row_index", "col_index", "text"
     )
 
@@ -605,7 +606,7 @@ def q_extract_tables(spark, sf_dir):
 def q_extract_objects(spark, sf_dir):
     from pdfplumber_spark.plans.extract import extract_objects
 
-    return extract_objects(_pages(spark, sf_dir), num_partitions=8).select(
+    return extract_objects(_pages(spark, sf_dir)).select(
         "url", "page_number", "object_type", "obj_index", "text", "x0", "top",
         "x1", "bottom",
     )
@@ -616,14 +617,14 @@ def q_search(spark, sf_dir):
     (text.py:145-210). Rows-only."""
     from pdfplumber_spark.plans.search import search_pages
 
-    return search_pages(_pages(spark, sf_dir), r"[a-z]{6,}", num_partitions=8)
+    return search_pages(_pages(spark, sf_dir), r"[a-z]{6,}")
 
 
 def q_text_lines(spark, sf_dir):
     """TextMap.extract_text_lines (text.py:212-230). Rows-only."""
     from pdfplumber_spark.plans.search import extract_text_lines
 
-    return extract_text_lines(_pages(spark, sf_dir), num_partitions=8)
+    return extract_text_lines(_pages(spark, sf_dir))
 
 
 def q_extract_text_dedupe(spark, sf_dir):
@@ -632,7 +633,7 @@ def q_extract_text_dedupe(spark, sf_dir):
     from pdfplumber_spark.plans.extract import extract_text
 
     return extract_text(
-        _pages(spark, sf_dir), dedupe=True, num_partitions=8
+        _pages(spark, sf_dir), dedupe=True
     ).select("url", "page_number", "text", "status")
 
 
@@ -643,7 +644,6 @@ def q_extract_tables_stream(spark, sf_dir):
 
     return extract_tables(
         _pages(spark, sf_dir),
-        num_partitions=8,
         vertical_strategy="text",
         horizontal_strategy="text",
     ).select("url", "page_number", "table_index", "row_index", "col_index", "text")
@@ -656,7 +656,7 @@ def q_extract_text_salted(spark, sf_dir):
     from pdfplumber_spark.plans.extract import extract_text_salted
 
     return extract_text_salted(
-        _pages(spark, sf_dir), page_threshold=10, num_partitions=8
+        _pages(spark, sf_dir), page_threshold=10
     ).select("url", "page_number", "text", "status")
 
 
@@ -665,7 +665,7 @@ def q_hyperlinks(spark, sf_dir):
     from pdfplumber_spark.plans.extract import extract_annots
 
     return extract_annots(
-        _pages(spark, sf_dir), num_partitions=8, hyperlinks_only=True
+        _pages(spark, sf_dir), hyperlinks_only=True
     )
 
 
@@ -674,7 +674,7 @@ def q_metadata(spark, sf_dir):
     .metadata; SURVEY §2.1)."""
     from pdfplumber_spark.plans.extract import extract_metadata
 
-    return extract_metadata(_pages(spark, sf_dir), num_partitions=8)
+    return extract_metadata(_pages(spark, sf_dir))
 
 
 def q_structure(spark, sf_dir):
@@ -684,7 +684,7 @@ def q_structure(spark, sf_dir):
     non-empty trees; real-fixture parity in tests/test_structure_tree.py."""
     from pdfplumber_spark.plans.extract import extract_structure
 
-    return extract_structure(_pages(spark, sf_dir), num_partitions=8)
+    return extract_structure(_pages(spark, sf_dir))
 
 
 def q_image_metadata(spark, sf_dir):

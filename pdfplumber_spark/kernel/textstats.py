@@ -207,33 +207,113 @@ def kgram_hash(s: str) -> int:
     return h
 
 
+def _mod61(x: np.ndarray) -> np.ndarray:
+    """Reduce uint64 values < 2^62 modulo the Mersenne prime 2^61-1."""
+    m = np.uint64(WINNOW_MOD)
+    x = (x >> np.uint64(61)) + (x & m)
+    return np.where(x >= m, x - m, x)
+
+
+def _mulmod61_small(c: np.ndarray, p: int) -> np.ndarray:
+    """(c * p) mod 2^61-1 for c < 2^21 (codepoints) and p < 2^61, exactly,
+    in uint64: split p into 40 low + 21 high bits; the high product is
+    rotated left by 40 within 61 bits (2^61 == 1 mod M, so *2^40 is a
+    61-bit rotation) — no intermediate exceeds 2^62."""
+    p_lo = np.uint64(p & ((1 << 40) - 1))
+    p_hi = np.uint64(p >> 40)
+    lo = _mod61(c * p_lo)                     # < 2^21 * 2^40 = 2^61
+    hi = _mod61(c * p_hi)                     # < 2^42, already < M
+    # rotate hi left by 40 within 61 bits: hi < 2^61
+    keep = np.uint64((1 << 21) - 1)
+    rot = ((hi & keep) << np.uint64(40)) | (hi >> np.uint64(21))
+    return _mod61(lo + _mod61(rot))
+
+
 def winnow_fingerprints(text: str, k: int = 8, w: int = 4) -> List[int]:
     """Winnowed k-gram fingerprint set (sorted, distinct).
 
-    Rolling polynomial hash over lowercase text, then robust winnowing:
+    Polynomial k-gram hashes over lowercase text, then robust winnowing:
     every window of ``w`` consecutive k-gram hashes contributes its
     minimum (ties -> rightmost), guaranteeing any match of length
     >= w + k - 1 shares a fingerprint while sampling only ~2/(w+1) of all
-    k-grams. Texts shorter than k hash as a single whole-text gram."""
+    k-grams. Texts shorter than k hash as a single whole-text gram.
+
+    Round-8: the per-character Python rolling loop became k vectorized
+    numpy passes (hash_i = sum_j c_{i+j} * BASE^{k-1-j} mod 2^61-1, all
+    positions at once; exact Mersenne-prime arithmetic via _mulmod61_small)
+    plus a sliding-window min for the winnow step — identical integers to
+    the rolling recurrence (mod arithmetic is exact), ~25x fewer Python
+    ops per char. Tie rule note: tied window minima are EQUAL values, so
+    the selected fingerprint set is independent of which index wins;
+    rightmost selection is documentation of the spec, not a computation."""
     s = text.lower()
     if len(s) < k:
         return [kgram_hash(s)] if s else []
     n = len(s) - k + 1
-    hs = [0] * n
-    h = kgram_hash(s[:k])
-    hs[0] = h
-    top = pow(WINNOW_BASE, k - 1, WINNOW_MOD)
-    for i in range(1, n):
-        h = ((h - ord(s[i - 1]) * top) * WINNOW_BASE + ord(s[i + k - 1])) \
-            % WINNOW_MOD
-        hs[i] = h
-    sel = set()
-    for start in range(max(n - w + 1, 1)):
-        window = hs[start:start + w]
-        m = min(window)
-        # rightmost minimum (robust winnowing tie rule)
-        for j in range(len(window) - 1, -1, -1):
-            if window[j] == m:
-                sel.add(window[j])
-                break
-    return sorted(sel)
+    codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.uint64
+    )
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        pw = pow(WINNOW_BASE, k - 1 - j, WINNOW_MOD)
+        acc = _mod61(acc + _mulmod61_small(codes[j:j + n], pw))
+    if n <= w:
+        return [int(acc.min())]
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    mins = sliding_window_view(acc, w).min(axis=1)
+    return sorted(int(v) for v in set(mins.tolist()))
+
+
+def winnow_fingerprints_batch(
+    texts, k: int = 8, w: int = 4
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Batch form of ``winnow_fingerprints`` for the Arrow operator path:
+    ONE vectorized hash pass over the concatenation of all texts in the
+    batch (k numpy passes total, instead of k passes PER document — the
+    per-call numpy overhead dominates for short documents), then per-doc
+    sliding-window minima + ``np.unique`` (= sorted distinct). K-gram
+    windows that straddle a document boundary are computed but never
+    selected (per-doc index ranges exclude them). Returns
+    (row_index, fingerprint) int64 arrays; identical integers to the
+    scalar function on every row (same exact mod-2^61-1 arithmetic)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    out_idx: list = []
+    out_fp: list = []
+    segs = []  # (row_ix, char_offset, char_len) for docs long enough
+    parts = []
+    off = 0
+    for ix, t in enumerate(texts):
+        s = (t or "").lower()
+        if len(s) < k:
+            if s:  # short doc: single whole-text gram (scalar path, rare)
+                out_idx.append(ix)
+                out_fp.append(kgram_hash(s))
+            continue
+        parts.append(s)
+        segs.append((ix, off, len(s)))
+        off += len(s)
+    idx_arrs = [np.asarray(out_idx, dtype=np.int64)]
+    fp_arrs = [np.asarray(out_fp, dtype=np.int64)]
+    if segs:
+        codes = np.frombuffer(
+            "".join(parts).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.uint64)
+        m = len(codes) - k + 1
+        acc = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            pw = pow(WINNOW_BASE, k - 1 - j, WINNOW_MOD)
+            acc = _mod61(acc + _mulmod61_small(codes[j:j + m], pw))
+        swv = sliding_window_view(acc, w) if m >= w else None
+        for ix, o, slen in segs:
+            n = slen - k + 1
+            if n <= w:
+                fp = acc[o:o + n].min(keepdims=True).astype(np.int64)
+            else:
+                fp = np.unique(swv[o:o + n - w + 1].min(axis=1)).astype(
+                    np.int64
+                )
+            idx_arrs.append(np.full(len(fp), ix, dtype=np.int64))
+            fp_arrs.append(fp)
+    return np.concatenate(idx_arrs), np.concatenate(fp_arrs)

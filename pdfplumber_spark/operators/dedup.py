@@ -701,15 +701,23 @@ def jaccard_pairs(
     Inverted-index join; ``max_doc_freq`` drops stop-tokens whose posting
     lists would explode the join (at corpus scale this cap is essential).
     """
-    from ._cache import persist_tracked
-
-    # feeds sizes + dfreq + both join branches; evict via unpersist_all()
-    toks = persist_tracked(token_sets(df, id_col, text_col, n=n))
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("set_size"))
-    dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
-    filtered = toks.join(
-        dfreq.where(F.col("df") <= max_doc_freq).select("token"), "token"
-    ).join(sizes, "doc_id")
+    # Round-8 shape: both per-key statistics are WINDOW counts — set_size
+    # over the doc key, then doc-frequency over the token key — so the
+    # token-window exchange leaves the table hash-partitioned by token and
+    # the self-join below reuses that partitioning (no per-side re-shuffle,
+    # no groupBy+join-back per statistic). set_size rides the posting rows
+    # into the pair aggregation (min() of a per-doc-constant), which
+    # removes the two post-aggregation size joins entirely; the division is
+    # the same int/int arithmetic as before (identical doubles).
+    toks = token_sets(df, id_col, text_col, n=n)
+    wd = Window.partitionBy("doc_id")
+    wt = Window.partitionBy("token")
+    filtered = (
+        toks.withColumn("set_size", F.count("*").over(wd))
+        .withColumn("_df", F.count("*").over(wt))
+        .where(F.col("_df") <= max_doc_freq)
+        .drop("_df")
+    )
     a, b = filtered.alias("a"), filtered.alias("b")
     # size-ratio prefilter (lossless): jaccard(A,B) <= min|.|/max|.|, so a
     # pair whose size ratio is already below threshold can never pass — this
@@ -728,20 +736,14 @@ def jaccard_pairs(
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count("*").alias("inter"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.min(F.col("a.set_size")).alias("size_a"),
+            F.min(F.col("b.set_size")).alias("size_b"),
+        )
     )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")
-    )
-    # sizes has one row per doc — NOT broadcastable at corpus scale; let AQE
-    # pick the strategy (it will broadcast at small SF automatically)
     out = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
+        inter.select(
             "doc_a",
             "doc_b",
             (

@@ -76,7 +76,26 @@ def _payload_to_image_row(url, payload) -> tuple:
         return (url, len(data), fmt, None, None, None, sha, "error")
 
 
-def image_metadata(df: DataFrame, url_col: str = "url", bin_col: str = "html") -> DataFrame:
+def _spread_payloads(
+    df: DataFrame, url_col: str, bin_col: str, num_partitions: int | None
+) -> DataFrame:
+    """Url-hash repartition before a per-payload decode kernel. Decode cost
+    scales with payload complexity, not byte count — a single-row-group
+    parquet scan of a KB-sized corpus is ONE input split, so without this
+    exchange every decode below would run in one task (measured: the whole
+    render_png board row serialized on one core). Count defaults to the
+    scale-adaptive cluster-derived value (plans.extract.default_doc_partitions)."""
+    from ..plans.extract import default_doc_partitions
+
+    src = df.select(url_col, bin_col)
+    n = num_partitions or default_doc_partitions(src)
+    return src.repartition(n, F.xxhash64(url_col))
+
+
+def image_metadata(
+    df: DataFrame, url_col: str = "url", bin_col: str = "html",
+    num_partitions: int | None = None,
+) -> DataFrame:
     """binary column -> typed metadata rows (mapInPandas, Arrow-batched)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -87,7 +106,9 @@ def image_metadata(df: DataFrame, url_col: str = "url", bin_col: str = "html") -
             ]
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_META_SCHEMA.fields])
 
-    return df.select(url_col, bin_col).mapInPandas(run, schema=IMAGE_META_SCHEMA)
+    return _spread_payloads(df, url_col, bin_col, num_partitions).mapInPandas(
+        run, schema=IMAGE_META_SCHEMA
+    )
 
 
 IMAGE_STATS_SCHEMA = T.StructType(
@@ -153,7 +174,8 @@ def _image_stat_rows(url, payload) -> list:
 
 
 def pdf_image_stats(
-    df: DataFrame, url_col: str = "url", bin_col: str = "html"
+    df: DataFrame, url_col: str = "url", bin_col: str = "html",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """PDF payloads -> one row per PAINTED image (content-stream Do
     order, reference page.images parity) with decoded per-channel pixel
@@ -170,13 +192,14 @@ def pdf_image_stats(
                 rows.extend(_image_stat_rows(url, payload))
             yield pd.DataFrame(rows, columns=_STATS_COLS)
 
-    return df.select(url_col, bin_col).mapInPandas(
+    return _spread_payloads(df, url_col, bin_col, num_partitions).mapInPandas(
         run, schema=IMAGE_STATS_SCHEMA
     )
 
 
 def binary_features(
-    df: DataFrame, url_col: str = "url", bin_col: str = "html", dim: int = 16
+    df: DataFrame, url_col: str = "url", bin_col: str = "html", dim: int = 16,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Deterministic byte-histogram feature vector per payload — the fake
     stand-in for an image-embedding model, with the real batch shape."""
@@ -197,7 +220,9 @@ def binary_features(
                 rows.append((url, feat.tolist(), "ok"))
             yield pd.DataFrame(rows, columns=["url", "feature", "status"])
 
-    return df.select(url_col, bin_col).mapInPandas(run, schema=FEATURE_SCHEMA)
+    return _spread_payloads(df, url_col, bin_col, num_partitions).mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
 
 
 # --- debug-render sink (round 5) -------------------------------------------
@@ -250,7 +275,7 @@ def _render_rows(url, payload, resolution: float) -> list:
 
 def render_debug_png(
     df: DataFrame, url_col: str = "url", bin_col: str = "html",
-    resolution: float = 36,
+    resolution: float = 36, num_partitions: int | None = None,
 ) -> DataFrame:
     """Corpus-scale structural page rendering (display.PageImage): one
     row per page with PNG dimensions + sha256. mapInPandas over the
@@ -264,4 +289,6 @@ def render_debug_png(
                 rows.extend(_render_rows(url, payload, resolution))
             yield pd.DataFrame(rows, columns=_RENDER_COLS)
 
-    return df.select(url_col, bin_col).mapInPandas(run, schema=RENDER_SCHEMA)
+    return _spread_payloads(df, url_col, bin_col, num_partitions).mapInPandas(
+        run, schema=RENDER_SCHEMA
+    )

@@ -523,61 +523,64 @@ def cosine_near_pairs(
             return pd.Series(list((signs * weights).sum(axis=2)))
 
         bucket_keys = pandas_udf(_bucket_keys, T.ArrayType(T.LongType()))
-        from ._cache import persist_tracked
-
-        # feeds both self-join branches AND the post-dedup vector fetch;
-        # evict via unpersist_all()
-        keyed = persist_tracked(v.withColumn("_k", bucket_keys(F.col("_v"))))
-        # ids ONLY through the bucket join: a candidate row is (long, long)
-        # — carrying the two dim-wide vectors through the self-join +
-        # dropDuplicates shuffled ~2*dim doubles per PRE-dedup candidate
-        # (measured 121 s vs ~8 s at sf0.1; tables x bucket^2 candidates
-        # dwarf the unique-pair count). Vectors rejoin per UNIQUE pair.
-        banded = keyed.select(
-            "_id", F.posexplode("_k").alias("table_id", "key")
+        # Round-8 shape: ONE shuffle of (id, vec, norm) keyed by the bucket,
+        # then the entire candidate generation + exact-cosine prefilter runs
+        # INSIDE each bucket group (applyInPandas kernel). The previous shape
+        # (ids-only self-join -> dropDuplicates -> two vector re-joins -> a
+        # per-pair Arrow einsum) shuffled every PRE-threshold candidate pair
+        # and shipped 2*dim doubles per unique pair through Arrow — at
+        # sf0.1's weak-regime board leg that was ~2M pairs x 128 doubles
+        # (~2 GB across the Python boundary; measured 13.8 s). Per-bucket
+        # compute moves each vector once per table replica (tables x corpus
+        # rows — independent of the candidate count) and emits only the
+        # pairs that already pass the conservative threshold prefilter, so
+        # the dedup shuffle carries true near-pairs, not candidates
+        # (guide §2.3/§8: decide with small rows, prefilter before the
+        # exchange). Bucket occupancy is bounded by corpus/2^planes on
+        # average; planes/tables are the knobs that keep groups executor-
+        # sized at scale (same contract as the minhash per-bucket cap).
+        banded = v.select(
+            "_id", "_v", "_n",
+            F.posexplode(bucket_keys(F.col("_v"))).alias("table_id", "key"),
         )
-        a = banded.alias("a")
-        b = banded.alias("b")
-        cand = (
-            a.join(
-                b,
-                (F.col("a.table_id") == F.col("b.table_id"))
-                & (F.col("a.key") == F.col("b.key"))
-                & (F.col("a._id") < F.col("b._id")),
+        cutoff = threshold - 1e-6  # conservative; authoritative rounded
+        # comparison happens in the shared Spark filter below
+
+        def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf["_id"].to_numpy(np.int64)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            m = np.asarray(pdf["_v"].to_numpy()[order].tolist(),
+                           dtype=np.float64)
+            ns = pdf["_n"].to_numpy(np.float64)[order]
+            ai, bi = np.triu_indices(len(ids), k=1)
+            if len(ai) == 0:
+                return pd.DataFrame({
+                    "doc_a": np.array([], np.int64),
+                    "doc_b": np.array([], np.int64),
+                    "cosine": np.array([], np.float64),
+                })
+            # exact same arithmetic as the pre-round-8 per-pair re-rank:
+            # einsum row-dot over gathered contiguous rows, then / (na*nb)
+            # — bit-identical doubles, verified pairwise vs the old plan
+            dots = np.einsum("ij,ij->i", m[ai], m[bi])
+            cos = dots / (ns[ai] * ns[bi])
+            keep = cos >= cutoff
+            return pd.DataFrame({
+                "doc_a": ids[ai[keep]],
+                "doc_b": ids[bi[keep]],
+                "cosine": cos[keep],
+            })
+
+        pairs = (
+            banded.groupBy("table_id", "key")
+            .applyInPandas(
+                _bucket_pairs, "doc_a long, doc_b long, cosine double"
             )
-            .select(
-                F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b")
-            )
+            # same pair surviving in several tables carries bit-identical
+            # cosines — dedup may keep any copy
             .dropDuplicates(["doc_a", "doc_b"])
         )
-        va = keyed.select(
-            F.col("_id").alias("doc_a"),
-            F.col("_v").alias("va"), F.col("_n").alias("na"),
-        )
-        vb = keyed.select(
-            F.col("_id").alias("doc_b"),
-            F.col("_v").alias("vb"), F.col("_n").alias("nb"),
-        )
-        # id equi-joins: AQE broadcasts at small SF, shuffle-joins at scale
-        pairs = cand.join(va, "doc_a").join(vb, "doc_b")
-
-        # vectorized exact re-rank: one einsum per Arrow batch of candidate
-        # pairs. A JVM aggregate/zip_with fold here would be interpreted
-        # per-element (the same 30x trap the exact method's matmul replaced
-        # in round 3) — candidates ~ tables x bucket^2, so the re-rank is
-        # the hot loop of the lsh path.
-        def _pair_cos(va, vb):
-            if len(va) == 0:  # empty Arrow batch: einsum on (0,) raises
-                return pd.Series([], dtype=np.float64)
-            a = np.asarray(va.tolist(), dtype=np.float64)
-            b_ = np.asarray(vb.tolist(), dtype=np.float64)
-            return pd.Series(np.einsum("ij,ij->i", a, b_))
-
-        pair_dot = pandas_udf(_pair_cos, T.DoubleType())
-        pairs = pairs.withColumn(
-            "cosine",
-            pair_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
-        ).select("doc_a", "doc_b", "cosine")
     else:
         raise ValueError(f"unknown method {method!r}")
     # authoritative comparison on the ROUNDED value, identical to the

@@ -9,10 +9,21 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from ..kernel.textstats import LANG_PROFILES, TOKEN_RE
+
+
+def _spread_by_id(df: DataFrame, id_col: str) -> DataFrame:
+    """Hash-repartition on the id before a per-row Python kernel: the
+    bench corpus tables are single-row-group parquet files (one input
+    split), so without an exchange the kernel below runs in ONE task no
+    matter the cluster size. Count is cluster-derived (2x cores), the
+    same scale rule as plans.extract.default_doc_partitions."""
+    n = df.sparkSession.sparkContext.defaultParallelism * 2
+    return df.repartition(n, F.col(id_col))
 
 # Java + RE2 compatible token pattern (same semantics both engines)
 TOKEN_PATTERN = TOKEN_RE.pattern
@@ -186,7 +197,7 @@ def winnow_table(
     fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2004) via the Arrow
     kernel — ~2/(w+1) of the k-grams sampled, any shared run of
     >= w+k-1 chars guaranteed to share a fingerprint."""
-    from ..kernel.textstats import winnow_fingerprints
+    from ..kernel.textstats import winnow_fingerprints_batch
 
     schema = T.StructType(
         [
@@ -197,20 +208,24 @@ def winnow_table(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            ids, fps = [], []
-            for i, t in zip(b[id_col], b[text_col]):
-                for f in winnow_fingerprints(t or "", k=k, w=w):
-                    ids.append(i)
-                    fps.append(f)
-            yield pd.DataFrame({"doc_id": ids, "fingerprint": fps})
+            ix, fps = winnow_fingerprints_batch(list(b[text_col]), k=k, w=w)
+            yield pd.DataFrame(
+                {"doc_id": b[id_col].to_numpy(np.int64)[ix],
+                 "fingerprint": fps}
+            )
 
-    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+    # single-row-group corpus files scan as ONE split — spread docs by id
+    # before the hash kernel so it parallelizes (guide: repartition right
+    # after an unsplittable read; count derives from the cluster)
+    src = _spread_by_id(df.select(id_col, text_col), id_col)
+    return src.mapInPandas(run, schema=schema)
 
 
 def winnow_overlap(
     fps: DataFrame,
     threshold: float = 0.5,
     max_doc_freq: int = 50,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Containment overlap pairs over a winnowed fingerprint table:
     overlap(A,B) = |A ∩ B| / min(|A|, |B|) >= threshold.
@@ -219,15 +234,27 @@ def winnow_overlap(
     ``max_doc_freq`` drops boilerplate fingerprints whose posting lists
     would explode the join — the same posting-list guard as
     ``jaccard_pairs``. SQL-oracle-checkable over the materialized
-    fingerprint parquet."""
+    fingerprint parquet.
+
+    ``assume_distinct=True`` skips the defensive (doc_id, fingerprint)
+    dedup shuffle — correct whenever the input is ``winnow_table`` output,
+    whose kernel emits sorted-distinct fingerprints per doc by
+    construction (np.unique). Round-8: the doc-frequency cap is a window
+    count over the fingerprint key instead of a groupBy + join-back —
+    one exchange that the self-join below then REUSES (both sides arrive
+    hash-partitioned by fingerprint), two fewer shuffles total."""
     from ._cache import persist_tracked
 
-    fps = persist_tracked(fps.select("doc_id", "fingerprint").distinct())
+    fps = fps.select("doc_id", "fingerprint")
+    if not assume_distinct:
+        fps = fps.distinct()
+    fps = persist_tracked(fps)
     sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
-    dfreq = fps.groupBy("fingerprint").agg(F.count("*").alias("df"))
-    filtered = fps.join(
-        dfreq.where(F.col("df") <= max_doc_freq).select("fingerprint"),
-        "fingerprint",
+    wf = Window.partitionBy("fingerprint")
+    filtered = (
+        fps.withColumn("_df", F.count("*").over(wf))
+        .where(F.col("_df") <= max_doc_freq)
+        .drop("_df")
     )
     a, b = filtered.alias("a"), filtered.alias("b")
     co = (

@@ -43,11 +43,27 @@ def read_pages(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def default_doc_partitions(df: DataFrame) -> int:
+    """Scale-adaptive partition count for per-document kernel stages:
+    2x the running cluster's core count (``defaultParallelism`` tracks the
+    executor fleet, so the same code parallelizes local[2] tests and a
+    1000-executor cluster). An EXPLICIT count matters here: a keyless
+    ``repartition(hash)`` inherits ``spark.sql.shuffle.partitions`` and is
+    then AQE-coalescible by BYTES — a small-bytes corpus of expensive
+    payloads (PDFs are KBs of input but seconds of kernel work) would
+    collapse to one task."""
+    return df.sparkSession.sparkContext.defaultParallelism * 2
+
+
 def partition_by_url(df: DataFrame, num_partitions: Optional[int] = None) -> DataFrame:
-    """THE shuffle of the pipeline: spread documents by url hash."""
-    if num_partitions:
-        return df.repartition(num_partitions, F.xxhash64("url"))
-    return df.repartition(F.xxhash64("url"))
+    """THE shuffle of the pipeline: spread documents by url hash.
+
+    ``num_partitions=None`` sizes the exchange from the cluster
+    (``default_doc_partitions``) rather than from data bytes — per-doc
+    decode cost, not byte count, is the load unit of this pipeline."""
+    if not num_partitions:
+        num_partitions = default_doc_partitions(df)
+    return df.repartition(num_partitions, F.xxhash64("url"))
 
 
 # --- single-pass text extraction -------------------------------------------
@@ -561,8 +577,9 @@ def extract_text_salted(
     the exploded pages across the cluster."""
     exploded = explode_skewed(pages, page_threshold, num_partitions)
     # second spread: exploded pages of one url get distinct partitions
+    # (explicit count for the same AQE-coalescing reason as partition_by_url)
     exploded = exploded.repartition(
-        *([num_partitions] if num_partitions else []),
+        num_partitions or default_doc_partitions(exploded),
         F.xxhash64("url", "page_base"),
     )
 
