@@ -41,6 +41,20 @@ def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Key-hash repartition right after the read: the sf tables are
+    single-row-group parquet files (one input split), so per-row-heavy
+    expressions (regexp counts, explodes, md5) otherwise evaluate in ONE
+    task regardless of cluster size (guide §2.5: repartition immediately
+    after an unsplittable read). The count derives from the running
+    cluster; results are partitioning-invariant. Count = defaultParallelism
+    (x1, not x2): these are light per-row expressions where extra waves of
+    tiny tasks cost more than they balance — the 2x factor is reserved for
+    the heavy skewed per-doc decode paths (plans.extract)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(k) for k in keys])
+
+
 def _corpus_path(sf_dir: str) -> str:
     from pdfplumber_spark.sources.corpus import corpus_path_for_sf
 
@@ -90,10 +104,15 @@ def q_interval_merge(spark, sf_dir):
     segments."""
     from pdfplumber_spark.operators.clustering import interval_merge
 
-    li = _tbl(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        F.col("l_quantity").alias("seg_start"),
-        (F.col("l_quantity") + F.round(F.col("l_discount") * 20, 2)).alias("seg_end"),
+    li = _spread(
+        _tbl(spark, sf_dir, "lineitem").select(
+            "l_returnflag",
+            F.col("l_quantity").alias("seg_start"),
+            (F.col("l_quantity") + F.round(F.col("l_discount") * 20, 2)).alias(
+                "seg_end"
+            ),
+        ),
+        "l_returnflag", "seg_start", "seg_end",
     ).distinct()
     return interval_merge(
         li, "seg_start", "seg_end", tolerance=0.5, partition_cols=["l_returnflag"]
@@ -153,7 +172,12 @@ def q_collate_line(spark, sf_dir):
     """collate_line ordered concat (text.py:761-772): per-order flag string
     in (linenumber, flag) order — full unique sort key, the same stable-sort
     discipline byte-identical text requires (SURVEY §4.3)."""
-    li = _tbl(spark, sf_dir, "lineitem")
+    li = _spread(
+        _tbl(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_returnflag"
+        ),
+        "l_orderkey",
+    )
     return (
         li.groupBy("l_orderkey")
         .agg(
@@ -290,7 +314,7 @@ def q_quality(spark, sf_dir):
         with_quality,
     )
 
-    docs = _tbl(spark, sf_dir, "documents")
+    docs = _spread(_tbl(spark, sf_dir, "documents"), "doc_id")
     q = with_quality(docs, "text").select(
         "doc_id", "n_chars", "n_words", "alpha_ratio", "punct_ratio"
     )
@@ -318,7 +342,7 @@ def q_ngram_counts(spark, sf_dir):
     """Corpus-wide top-100 word bigrams (count DESC, bigram ASC tie-break)
     — the classic corpus statistic; partial-aggregated explode, one
     shuffle on the gram key, top-k via global sort of the tiny aggregate."""
-    docs = _tbl(spark, sf_dir, "documents")
+    docs = _spread(_tbl(spark, sf_dir, "documents"), "doc_id")
     w = docs.select(
         "doc_id",
         F.posexplode(
@@ -344,7 +368,7 @@ def q_quality_filter(spark, sf_dir):
     codes — the curation decision a 100 TB pipeline runs per doc."""
     from pdfplumber_spark.operators.text_analysis import quality_filter
 
-    docs = _tbl(spark, sf_dir, "documents")
+    docs = _spread(_tbl(spark, sf_dir, "documents"), "doc_id")
     return quality_filter(docs).select("doc_id", "keep", "reject_reason")
 
 
@@ -379,7 +403,7 @@ def q_winnow_overlap(spark, sf_dir):
 def q_langid(spark, sf_dir):
     from pdfplumber_spark.operators.text_analysis import with_language
 
-    docs = _tbl(spark, sf_dir, "documents")
+    docs = _spread(_tbl(spark, sf_dir, "documents"), "doc_id")
     return with_language(docs, "text").select("doc_id", "lang_detected")
 
 
@@ -529,7 +553,9 @@ def q_minhash_pairs_scale(spark, sf_dir):
         with_boilerplate_skew,
     )
 
-    docs = _tbl(spark, sf_dir, "documents")
+    # full-corpus legs: spread BEFORE the signature kernel (the sliced
+    # <300-doc rows skip this; see minhash_signatures note)
+    docs = _spread(_tbl(spark, sf_dir, "documents"), "doc_id")
     full = minhash_lsh_candidates(
         minhash_signatures(docs, "doc_id", "text")
     ).select(

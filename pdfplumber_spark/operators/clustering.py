@@ -22,15 +22,23 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _global_cluster_ids(
-    distinct: DataFrame, value_col: str, tolerance: float, out_col: str
+    rows: DataFrame, value_col: str, tolerance: float, out_col: str
 ) -> DataFrame:
-    """Chained-gap cluster ids over globally-ordered distinct values WITHOUT
-    a single-task global window: range-partition the values, cluster locally
+    """Chained-gap cluster ids over globally-ordered values WITHOUT a
+    single-task global window: range-partition the values, cluster locally
     per partition, then fix up partition boundaries with a tiny per-partition
     stats table (N_partitions rows). Scales to corpus-wide clustering —
     every heavy stage is fully parallel; only the stats fix-up (one row per
-    partition) runs on one task."""
-    d = distinct.repartitionByRange(F.col(value_col)).withColumn(
+    partition) runs on one task.
+
+    Round-8: operates on the RAW rows, not a pre-distinct'd table — the
+    chained gap rule is duplicate-invariant (an equal neighbour is never a
+    gap, so each row gets exactly the id its distinct value would get; a
+    tie-run split across a range boundary is healed by the existing
+    ``_minv <= _prevmax + tol`` merge rule). Dropping the distinct removes
+    one full shuffle + aggregation, and the caller no longer needs the
+    value-equality join back to the rows (two more exchanges gone)."""
+    d = rows.repartitionByRange(F.col(value_col)).withColumn(
         "_part", F.spark_partition_id()
     )
     wloc = Window.partitionBy("_part").orderBy(value_col)
@@ -68,7 +76,7 @@ def _global_cluster_ids(
         .select("_part", "_merge", "_base")
     )
     return local.join(F.broadcast(stats), "_part").select(
-        value_col,
+        *rows.columns,
         (F.col("_base") + F.col("_lid") - F.col("_merge")).alias(out_col),
     )
 
@@ -88,22 +96,21 @@ def with_cluster_id(
     With partition_cols the window is hash-partitioned (fully parallel);
     without them the ids come from the range-partitioned two-pass plan
     (``_global_cluster_ids``) — never a single-task global window.
-    """
+
+    Round-8 plan shape: the gap window runs DIRECTLY over the rows — the
+    chained rule is duplicate-invariant (a tied neighbour contributes gap
+    0, so every row receives exactly the id its distinct value gets from
+    the reference's distinct-then-map formulation). The previous
+    distinct -> window -> equality-join-back shape paid three extra
+    exchanges for the same ids."""
     pcols = list(partition_cols)
-    distinct = df.select(*pcols, value_col).distinct()
     if not pcols:
-        ids = _global_cluster_ids(distinct, value_col, tolerance, out_col)
-        return df.join(ids, [value_col], "left")
+        return _global_cluster_ids(df, value_col, tolerance, out_col)
     w = Window.partitionBy(*pcols).orderBy(value_col)
     gap = (
         F.col(value_col) > (F.lag(value_col).over(w) + F.lit(tolerance))
     ).cast("long")
-    ids = (
-        distinct.withColumn("_gap", F.coalesce(gap, F.lit(0)))
-        .withColumn(out_col, F.sum("_gap").over(w))
-        .drop("_gap")
-    )
-    return df.join(ids, pcols + [value_col], "left")
+    return df.withColumn(out_col, F.sum(F.coalesce(gap, F.lit(0))).over(w))
 
 
 def cluster_agg(

@@ -64,6 +64,11 @@ def minhash_signatures(
             ]
             yield pd.DataFrame({"doc_id": b[id_col], "signature": sigs})
 
+    # NOTE on parallelism: no repartition here — the sliced board inputs
+    # (doc_id < 300) are constant-size at any SF and an exchange costs more
+    # than the kernel; full-corpus callers spread BEFORE calling (see
+    # q_minhash_pairs_scale) or read multi-split tables where the scan
+    # parallelizes naturally.
     return df.select(id_col, text_col).mapInPandas(run, schema=schema)
 
 
@@ -278,27 +283,36 @@ def connected_components(
             .select("node", F.col("node").alias("label"))
             .localCheckpoint()
         )
+        ck_handle = labels  # the df whose analyzed plan IS the checkpoint
         converged = False
         for _ in range(max_iters):
             prop = edges.join(
                 labels.select(F.col("node").alias("src"), "label"), "src"
-            ).select(F.col("dst").alias("node"), "label")
+            ).select(
+                F.col("dst").alias("node"), "label",
+                F.lit(None).cast("long").alias("_own"),
+            )
+            # carry each node's PREVIOUS label through the min-aggregation
+            # (round-8): the convergence check becomes a cheap scan of the
+            # freshly checkpointed table instead of a join back to the old
+            # labels — one shuffle-join per round removed, rounds unchanged
             new = (
-                prop.union(labels)
+                prop.union(
+                    labels.select("node", "label", F.col("label").alias("_own"))
+                )
                 .groupBy("node")
-                .agg(F.min("label").alias("label"))
+                .agg(
+                    F.min("label").alias("label"),
+                    F.min("_own").alias("_old"),
+                )
                 .localCheckpoint()
             )
-            changed = (
-                new.select("node", F.col("label").alias("_nl"))
-                .join(labels, "node")
-                .where(F.col("_nl") < F.col("label"))
-                .count()
-            )
+            changed = new.where(F.col("label") < F.col("_old")).count()
             # `new` is materialized (eager checkpoint) and `changed`
             # consumed the old labels — release the superseded round now
-            _release_ckpt(labels)
-            labels = new
+            _release_ckpt(ck_handle)
+            ck_handle = new
+            labels = new.select("node", "label")
             if changed == 0:
                 converged = True
                 break
@@ -306,7 +320,7 @@ def connected_components(
             # Silent wrong components are worse than a loud failure: a
             # diameter > max_iters graph would keep several labels per
             # component. algorithm="star" needs only O(log n) rounds.
-            _release_ckpt(labels)
+            _release_ckpt(ck_handle)
             raise RuntimeError(
                 f"connected_components(label_prop) did not converge in "
                 f"{max_iters} rounds (graph diameter exceeds max_iters); "
@@ -314,7 +328,7 @@ def connected_components(
             )
     finally:
         edges.unpersist()
-    _track_final_ckpt(labels)
+    _track_final_ckpt(ck_handle)
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -332,9 +346,11 @@ def _cc_star(canon: DataFrame, max_iters: int) -> DataFrame:
     edge set unchanged over one large+small cycle (exceptAll both ways);
     per-phase localCheckpoint truncates lineage as in label_prop."""
     cur = canon.localCheckpoint()
+    cur_count = cur.count()
     stable = False
     for _ in range(max_iters):
         prev = cur
+        prev_count = cur_count
         superseded = []
         for phase in ("large", "small"):
             sym = cur.select(
@@ -366,9 +382,14 @@ def _cc_star(canon: DataFrame, max_iters: int) -> DataFrame:
                 .distinct()
                 .localCheckpoint()
             )
+        # convergence = canonical DISTINCT edge sets equal. Equal sizes +
+        # one-sided emptiness imply set equality, so the second exceptAll
+        # join of the pre-round-8 check is redundant (and the count short-
+        # circuits it entirely when sizes differ); prev's count is carried
+        # from the previous cycle, costing one cheap scan per cycle total.
+        cur_count = cur.count()
         stable = (
-            cur.exceptAll(prev).count() == 0
-            and prev.exceptAll(cur).count() == 0
+            cur_count == prev_count and cur.exceptAll(prev).count() == 0
         )
         # both exceptAll counts consumed prev (= superseded[0]) and the
         # intra-cycle intermediate — release their checkpoint blocks

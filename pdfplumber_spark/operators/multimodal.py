@@ -88,7 +88,9 @@ def _spread_payloads(
     from ..plans.extract import default_doc_partitions
 
     src = df.select(url_col, bin_col)
-    n = num_partitions or default_doc_partitions(src)
+    # factor=2: decode cost per doc is strongly skewed (page counts,
+    # raster sizes) — twice the core count rebalances the tail
+    n = num_partitions or default_doc_partitions(src, factor=2)
     return src.repartition(n, F.xxhash64(url_col))
 
 

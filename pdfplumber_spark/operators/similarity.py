@@ -224,6 +224,9 @@ def ivf_train(
     values (integer addition commutes), so the centroids are BIT-identical
     regardless of partition count/order — the index is reproducible and
     matches the single-process oracle exactly."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
     first = (
         embeddings.orderBy(id_col)
         .limit(n_clusters)
@@ -233,37 +236,73 @@ def ivf_train(
     cents = np.round(np.array([r["v"] for r in first], dtype=np.float64), 6)
     from pyspark import StorageLevel
 
-    vecs = embeddings.select(
-        F.col(id_col).alias("_id"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)  # re-read every Lloyd iteration
+    sc = embeddings.sparkSession.sparkContext
+    vecs = (
+        embeddings.select(
+            F.col(id_col).alias("_id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+        )
+        # single-row-group inputs scan as one split; spread by id so every
+        # Lloyd pass parallelizes (count derives from the cluster)
+        .repartition(sc.defaultParallelism, F.col("_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # re-read every iteration
+    )
+
+    stats_schema = T.StructType([
+        T.StructField("cluster", T.LongType(), False),
+        T.StructField("n", T.LongType(), False),
+        T.StructField("qsum", T.ArrayType(T.LongType()), False),
+    ])
+
+    def _iter_stats(c: np.ndarray):
+        """One MAP-ONLY pass per Lloyd iteration: assign each batch with
+        the same ||x||^2-free matmul as _assign_clusters_udf, quantize with
+        the same floor(v*1e6+0.5) IEEE ops, and fold EXACT int64 partial
+        sums per (cluster, position) inside the task. Only the <=
+        partitions x k partial rows are collected — the posexplode +
+        groupBy("cluster","pos") shuffle of the previous shape (corpus x
+        dim rows per iteration) is gone, and integer addition keeps the
+        result bit-identical regardless of partition order (round-3
+        discipline unchanged)."""
+        c = c.astype(np.float64)
+        c_sq = (c * c).sum(axis=1)
+
+        def run(batches):
+            acc = np.zeros((len(c), c.shape[1]), dtype=np.int64)
+            cnt = np.zeros(len(c), dtype=np.int64)
+            for b in batches:
+                if len(b) == 0:
+                    continue
+                m = np.asarray(b["v"].tolist(), dtype=np.float64)
+                d = c_sq[None, :] - 2.0 * (m @ c.T)
+                cl = np.argmin(d, axis=1)
+                q = np.floor(m * 1e6 + 0.5).astype(np.int64)
+                np.add.at(acc, cl, q)
+                cnt += np.bincount(cl, minlength=len(c))
+            nz = np.nonzero(cnt)[0]
+            yield pd.DataFrame({
+                "cluster": nz.astype(np.int64),
+                "n": cnt[nz],
+                "qsum": [acc[i].tolist() for i in nz],
+            })
+
+        return run
+
     try:
         for _ in range(iters):
-            assigned = vecs.withColumn(
-                "cluster", _assign_clusters_udf(cents)(F.col("v"))
-            )
-            # order-independent centroid update (round-3 ADVICE): aggregate
-            # EXACT int64 sums of 1e-6-quantized values + counts, divide on
-            # the driver. Integer addition commutes, so Spark's partition-
-            # order fold and the single-process oracle's sum are
-            # bit-identical — unlike F.avg's double fold, which could land
-            # on the other side of the later rounding boundary.
-            stats = (
-                assigned.select(
-                    "cluster", F.posexplode("v").alias("pos", "val")
-                )
-                .groupBy("cluster", "pos")
-                .agg(
-                    F.sum(
-                        F.floor(F.col("val") * 1e6 + F.lit(0.5)).cast("long")
-                    ).alias("qsum"),
-                    F.count("*").alias("n"),
-                )
-                .collect()
-            )
+            partials = vecs.mapInPandas(
+                _iter_stats(cents), schema=stats_schema
+            ).collect()
+            qsum = np.zeros((n_clusters, dim), dtype=np.int64)
+            cnt = np.zeros(n_clusters, dtype=np.int64)
+            for r in partials:
+                qsum[r["cluster"]] += np.asarray(r["qsum"], dtype=np.int64)
+                cnt[r["cluster"]] += r["n"]
             new = cents.copy()  # empty clusters keep their previous centroid
-            for r in stats:
-                new[r["cluster"], r["pos"]] = (r["qsum"] / r["n"]) / 1e6
+            nz = np.nonzero(cnt)[0]
+            for i in nz:
+                for p in range(dim):
+                    new[i, p] = (int(qsum[i, p]) / int(cnt[i])) / 1e6
             cents = np.round(new, 6)
     finally:
         # training's terminal actions happen in-function; nothing returned

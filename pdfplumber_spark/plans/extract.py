@@ -43,16 +43,19 @@ def read_pages(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def default_doc_partitions(df: DataFrame) -> int:
+def default_doc_partitions(df: DataFrame, factor: int = 1) -> int:
     """Scale-adaptive partition count for per-document kernel stages:
-    2x the running cluster's core count (``defaultParallelism`` tracks the
-    executor fleet, so the same code parallelizes local[2] tests and a
-    1000-executor cluster). An EXPLICIT count matters here: a keyless
-    ``repartition(hash)`` inherits ``spark.sql.shuffle.partitions`` and is
-    then AQE-coalescible by BYTES — a small-bytes corpus of expensive
-    payloads (PDFs are KBs of input but seconds of kernel work) would
-    collapse to one task."""
-    return df.sparkSession.sparkContext.defaultParallelism * 2
+    the running cluster's core count times ``factor``
+    (``defaultParallelism`` tracks the executor fleet, so the same code
+    parallelizes local[2] tests and a 1000-executor cluster). An EXPLICIT
+    count matters here: a keyless ``repartition(hash)`` inherits
+    ``spark.sql.shuffle.partitions`` and is then AQE-coalescible by
+    BYTES — a small-bytes corpus of expensive payloads (PDFs are KBs of
+    input but seconds of kernel work) would collapse to one task.
+    ``factor=1`` for parse-weight kernels (measured best: extra task
+    waves cost more than they balance); callers with strongly skewed
+    per-doc cost (rasterization) pass ``factor=2``."""
+    return df.sparkSession.sparkContext.defaultParallelism * factor
 
 
 def partition_by_url(df: DataFrame, num_partitions: Optional[int] = None) -> DataFrame:
