@@ -32,9 +32,15 @@ def _worker(barrier, out, idx):
     barrier.wait()
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        np.add(b, 3.0 * c, out=a)  # triad: 2 reads + 1 write per elem
+        # triad; NOTE the un-fused 3.0*c materializes a temporary, so
+        # true DRAM traffic is ~5 arrays/elem (read c, write tmp, read b,
+        # read tmp, write a) while the GB/s formula below counts the
+        # conventional 3 — pinned absolute numbers UNDERSTATE traffic by
+        # ~5/3; the 8-vs-32 worker RATIO (what the scaling story uses)
+        # is unaffected since the convention is constant across runs.
+        np.add(b, 3.0 * c, out=a)
     dt = time.perf_counter() - t0
-    out[idx] = (3 * 8 * N * ITERS) / dt / 1e9  # GB/s this worker
+    out[idx] = (3 * 8 * N * ITERS) / dt / 1e9  # GB/s this worker (3-array convention)
 
 
 def run(workers: int) -> float:

@@ -314,7 +314,7 @@ def q_quality(spark, sf_dir):
         with_quality,
     )
 
-    docs = _spread(_tbl(spark, sf_dir, "documents"), "doc_id")
+    docs = _tbl(spark, sf_dir, "documents")
     q = with_quality(docs, "text").select(
         "doc_id", "n_chars", "n_words", "alpha_ratio", "punct_ratio"
     )
@@ -342,7 +342,7 @@ def q_ngram_counts(spark, sf_dir):
     """Corpus-wide top-100 word bigrams (count DESC, bigram ASC tie-break)
     — the classic corpus statistic; partial-aggregated explode, one
     shuffle on the gram key, top-k via global sort of the tiny aggregate."""
-    docs = _spread(_tbl(spark, sf_dir, "documents"), "doc_id")
+    docs = _tbl(spark, sf_dir, "documents")
     w = docs.select(
         "doc_id",
         F.posexplode(
@@ -368,7 +368,7 @@ def q_quality_filter(spark, sf_dir):
     codes — the curation decision a 100 TB pipeline runs per doc."""
     from pdfplumber_spark.operators.text_analysis import quality_filter
 
-    docs = _spread(_tbl(spark, sf_dir, "documents"), "doc_id")
+    docs = _tbl(spark, sf_dir, "documents")
     return quality_filter(docs).select("doc_id", "keep", "reject_reason")
 
 

@@ -35,8 +35,9 @@ coding bypass (D.6 — raw SPP/MRP segments under the 10/2/1 termination
 schedule, multi-length packet headers), per-pass context reset,
 termall (every pass its own codeword segment), vertically stripe-
 causal context formation (D.5), and the decoder-inert predictable
-termination. Precinct partitions and component subsampling remain
-'unsupported'. The reference
+termination. Remaining gaps: position-dependent progression orders
+(RPCL/PCRL/CPRL) over REAL precinct partitions raise (LRCP/RLCP decode
+them), as stated above. The reference
 corpus contains NO JPX fixtures (surveyed round 6), so external
 interop cannot be exercised offline; correctness is pinned by
 encoder/decoder roundtrips (lossless 5/3 bit-exact, 9/7 within

@@ -139,6 +139,50 @@ def shingles(text: str, k: int = 5) -> List[str]:
     return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
 
 
+def _minhash_perms(num_perm: int) -> "tuple[np.ndarray, np.ndarray]":
+    rng = np.random.default_rng(1234567)
+    a = rng.integers(1, 1 << 61, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 61, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def fnv1a_64_batch(items: "list[bytes]") -> np.ndarray:
+    """Vectorized FNV-1a over many byte strings: items are sorted by
+    length (descending) into one padded uint8 matrix, then one
+    xor-multiply vector op per BYTE POSITION over exactly the PREFIX of
+    items still active at that position (no masking waste — total work =
+    sum(len)). Identical uint64 wraparound arithmetic to the scalar
+    ``fnv1a_64``; results returned in input order."""
+    n = len(items)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    lens = np.fromiter((len(b) for b in items), dtype=np.int64, count=n)
+    maxlen = int(lens.max())
+    if maxlen == 0:
+        return np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    order = np.argsort(-lens, kind="stable")
+    buf = np.zeros((n, maxlen), dtype=np.uint8)
+    # single vectorized scatter instead of one frombuffer per item
+    flat = np.frombuffer(b"".join(items[i] for i in order), dtype=np.uint8)
+    lens_sorted = lens[order]
+    starts_sorted = np.concatenate(([0], np.cumsum(lens_sorted)[:-1]))
+    rows = np.repeat(np.arange(n), lens_sorted)
+    cols = np.arange(len(flat)) - np.repeat(starts_sorted, lens_sorted)
+    buf[rows, cols] = flat
+    # m[j] = how many (sorted) items are still active at byte position j
+    hist = np.bincount(lens, minlength=maxlen + 1)
+    m = n - np.cumsum(hist)[:maxlen]  # counts with len > j
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    for j in range(maxlen):
+        mj = int(m[j])
+        if mj == 0:
+            break
+        h[:mj] = (h[:mj] ^ buf[:mj, j].astype(np.uint64)) * _FNV_PRIME
+    out = np.empty(n, dtype=np.uint64)
+    out[order] = h
+    return out
+
+
 def minhash_signature(text: str, num_perm: int = 64, k: int = 5) -> np.ndarray:
     """MinHash signature via the universal-hash trick: h_i(x) = (a_i * x + b_i)
     mod p, with a/b from a fixed seeded generator (deterministic)."""
@@ -146,12 +190,62 @@ def minhash_signature(text: str, num_perm: int = 64, k: int = 5) -> np.ndarray:
     if not sh:
         return np.zeros(num_perm, dtype=np.int64)
     base = np.array([fnv1a_64(s.encode("utf-8")) for s in sh], dtype=np.uint64)
-    rng = np.random.default_rng(1234567)
-    a = rng.integers(1, 1 << 61, size=num_perm, dtype=np.uint64) | np.uint64(1)
-    b = rng.integers(0, 1 << 61, size=num_perm, dtype=np.uint64)
+    a, b = _minhash_perms(num_perm)
     # (a*x + b) with uint64 wraparound is a fine universal-ish family here
     vals = (base[None, :] * a[:, None] + b[:, None]) & _M64
     return vals.min(axis=1).view(np.int64)
+
+
+def minhash_signatures_batch(
+    texts, num_perm: int = 64, k: int = 5
+) -> np.ndarray:
+    """Batch form of ``minhash_signature`` for the Arrow operator path:
+    shingle all texts, hash EVERY shingle of the batch in one vectorized
+    FNV pass (``fnv1a_64_batch``), apply the permutation family as one
+    (num_perm x total_shingles) matmul-style pass, and take per-document
+    segment minima with ``np.minimum.reduceat``. Identical uint64
+    arithmetic end-to-end -> identical signatures row-for-row (pinned in
+    tests/test_r8_optimizations.py). Returns (len(texts), num_perm)
+    int64."""
+    counts = []
+    all_sh: list = []
+    for t in texts:
+        sh = shingles(t or "", k)
+        counts.append(len(sh))
+        all_sh.extend(s.encode("utf-8") for s in sh)
+    out = np.zeros((len(counts), num_perm), dtype=np.int64)
+    if not all_sh:
+        return out
+    base = fnv1a_64_batch(all_sh)
+    a, b = _minhash_perms(num_perm)
+    counts_arr = np.asarray(counts, dtype=np.int64)
+    nz_idx = np.nonzero(counts_arr > 0)[0]
+    starts = np.concatenate(([0], np.cumsum(counts_arr)[:-1]))
+    # chunk the (num_perm x shingles) permutation table along DOC
+    # boundaries (~32k shingles/chunk) so the uint64 temporaries stay
+    # cache-resident instead of streaming a 100+ MB matrix through DRAM
+    target = 32768
+    pos = 0
+    while pos < len(nz_idx):
+        end = pos
+        first = starts[nz_idx[pos]]
+        while end < len(nz_idx) and (
+            starts[nz_idx[end]] + counts_arr[nz_idx[end]] - first <= target
+            or end == pos
+        ):
+            end += 1
+        docs_slice = nz_idx[pos:end]
+        lo = starts[docs_slice[0]]
+        hi = starts[docs_slice[-1]] + counts_arr[docs_slice[-1]]
+        # in-place ops: one allocation per chunk, no mult/add temporaries
+        vals = np.multiply(base[None, lo:hi], a[:, None])
+        vals += b[:, None]
+        vals &= _M64
+        offs = (starts[docs_slice] - lo).astype(np.int64)
+        mins = np.minimum.reduceat(vals, offs, axis=1)
+        out[docs_slice] = mins.T.view(np.int64)
+        pos = end
+    return out
 
 
 def simhash64(text: str) -> int:

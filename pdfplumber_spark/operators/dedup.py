@@ -46,8 +46,10 @@ def duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_perm: int = 64, k: int = 5
 ) -> DataFrame:
-    """(id, signature array<long>) via the Arrow-batched kernel."""
-    from ..kernel.textstats import minhash_signature
+    """(id, signature array<long>) via the Arrow-batched kernel (round-8:
+    whole-batch vectorized shingle hashing, minhash_signatures_batch —
+    signatures identical to the per-doc scalar kernel)."""
+    from ..kernel.textstats import minhash_signatures_batch
 
     schema = T.StructType(
         [
@@ -58,11 +60,12 @@ def minhash_signatures(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            sigs = [
-                minhash_signature(t or "", num_perm=num_perm, k=k).tolist()
-                for t in b[text_col]
-            ]
-            yield pd.DataFrame({"doc_id": b[id_col], "signature": sigs})
+            sigs = minhash_signatures_batch(
+                list(b[text_col]), num_perm=num_perm, k=k
+            )
+            yield pd.DataFrame(
+                {"doc_id": b[id_col], "signature": list(sigs.tolist())}
+            )
 
     # NOTE on parallelism: no repartition here — the sliced board inputs
     # (doc_id < 300) are constant-size at any SF and an exchange costs more
@@ -196,7 +199,15 @@ class _CheckpointHandle:
     """Registry shim: lets ``unpersist_all()`` release the FINAL
     checkpoint backing an operator's returned DataFrame (same contract
     as cached intermediates: evict after the caller's terminal
-    action)."""
+    action).
+
+    SHARPENED CONTRACT (round-7 advice): unlike a cached intermediate,
+    an unpersisted localCheckpoint CANNOT be recomputed — after
+    ``unpersist_all()`` (or a registry overflow eviction) any further
+    action on a retained ``connected_components`` /
+    ``minhash_dedup_cc`` result fails hard instead of recomputing
+    slowly. Callers must treat those results as consumed once they call
+    ``unpersist_all()``."""
 
     __slots__ = ("_jrdd",)
 

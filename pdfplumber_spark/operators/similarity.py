@@ -236,15 +236,14 @@ def ivf_train(
     cents = np.round(np.array([r["v"] for r in first], dtype=np.float64), 6)
     from pyspark import StorageLevel
 
-    sc = embeddings.sparkSession.sparkContext
     vecs = (
         embeddings.select(
             F.col(id_col).alias("_id"),
             F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
         )
-        # single-row-group inputs scan as one split; spread by id so every
-        # Lloyd pass parallelizes (count derives from the cluster)
-        .repartition(sc.defaultParallelism, F.col("_id"))
+        # no repartition: Lloyd parallelism follows the input's scan
+        # splits (a corpus-scale table has many; forcing an exchange on
+        # the board's constant 2k-vector table costs more than the matmul)
         .persist(StorageLevel.MEMORY_AND_DISK)  # re-read every iteration
     )
 
@@ -593,22 +592,34 @@ def cosine_near_pairs(
                            dtype=np.float64)
             ns = pdf["_n"].to_numpy(np.float64)[order]
             ai, bi = np.triu_indices(len(ids), k=1)
-            if len(ai) == 0:
+            outs_a, outs_b, outs_c = [], [], []
+            # chunk the pair enumeration: a hot bucket's full gathered
+            # pair matrix would be O(pairs x dim) bytes at once; 256k
+            # pairs x dim keeps the working set ~128 MB at dim=64 with
+            # per-pair arithmetic (and therefore results) unchanged
+            step = 1 << 18
+            for s in range(0, len(ai), step):
+                aj, bj = ai[s:s + step], bi[s:s + step]
+                # exact same arithmetic as the pre-round-8 per-pair
+                # re-rank: einsum row-dot over gathered contiguous rows,
+                # then / (na*nb) — bit-identical doubles, verified
+                # pairwise vs the old plan
+                dots = np.einsum("ij,ij->i", m[aj], m[bj])
+                cos = dots / (ns[aj] * ns[bj])
+                keep = cos >= cutoff
+                outs_a.append(ids[aj[keep]])
+                outs_b.append(ids[bj[keep]])
+                outs_c.append(cos[keep])
+            if not outs_a:
                 return pd.DataFrame({
                     "doc_a": np.array([], np.int64),
                     "doc_b": np.array([], np.int64),
                     "cosine": np.array([], np.float64),
                 })
-            # exact same arithmetic as the pre-round-8 per-pair re-rank:
-            # einsum row-dot over gathered contiguous rows, then / (na*nb)
-            # — bit-identical doubles, verified pairwise vs the old plan
-            dots = np.einsum("ij,ij->i", m[ai], m[bi])
-            cos = dots / (ns[ai] * ns[bi])
-            keep = cos >= cutoff
             return pd.DataFrame({
-                "doc_a": ids[ai[keep]],
-                "doc_b": ids[bi[keep]],
-                "cosine": cos[keep],
+                "doc_a": np.concatenate(outs_a),
+                "doc_b": np.concatenate(outs_b),
+                "cosine": np.concatenate(outs_c),
             })
 
         pairs = (

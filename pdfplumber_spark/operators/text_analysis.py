@@ -298,11 +298,26 @@ def quality_filter(
     so downstream attrition reports are deterministic. Pure composition of
     the quality + repetition features (one join on the doc key); the
     DuckDB oracle re-derives the same rule chain in SQL."""
-    q = with_quality(df.select(id_col, text_col), text_col).select(
-        id_col, "n_words", "alpha_ratio", "punct_ratio"
+    # Round-8 plan shape: the only repetition signal this filter uses is
+    # dup_word_frac, which is a pure ARRAY expression (1 - distinct/total
+    # words) — the same formula repetition_stats' `base` projection uses.
+    # Joining the full repetition_stats here dragged the explode + lead()
+    # window + two two-level aggregations + two left joins into the plan
+    # for columns Spark cannot prune (no key-based left-join elimination);
+    # computing the identical expression inline makes the whole filter ONE
+    # scan-stage projection with zero shuffles. Values are bit-identical:
+    # same int counts, same ROUND(1 - distinct/total, 6) arithmetic the
+    # DuckDB oracle mirrors.
+    q = with_quality(df.select(id_col, text_col), text_col)
+    words_arr = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(r"\S+"), 0
     )
-    r = repetition_stats(df, id_col, text_col).select(id_col, "dup_word_frac")
-    j = q.join(r, id_col)
+    nw = F.size(words_arr)
+    nd = F.size(F.array_distinct(words_arr))
+    dup_word_frac = F.when(nw == 0, F.lit(0.0)).otherwise(
+        F.round(1 - nd / nw, 6)
+    )
+    j = q.withColumn("dup_word_frac", dup_word_frac)
     reason = (
         F.when(F.col("n_words") < min_words, F.lit("too_short"))
         .when(F.col("alpha_ratio") < min_alpha, F.lit("low_alpha"))
