@@ -248,11 +248,18 @@ def winnow_overlap(
     fps = fps.select("doc_id", "fingerprint")
     if not assume_distinct:
         fps = fps.distinct()
-    fps = persist_tracked(fps)
-    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    # per-doc size and per-fingerprint doc-frequency as CHAINED window
+    # counts (doc key first, then fingerprint key): n_fp rides the posting
+    # rows into the pair aggregation (min() of a per-doc constant), which
+    # removes the sizes branch and its two post-aggregation joins, and the
+    # fingerprint-window exchange is REUSED by the self-join below (both
+    # sides arrive hash-partitioned by fingerprint) — same restructure as
+    # jaccard_pairs; int/int ROUND arithmetic unchanged.
+    wd = Window.partitionBy("doc_id")
     wf = Window.partitionBy("fingerprint")
-    filtered = (
-        fps.withColumn("_df", F.count("*").over(wf))
+    filtered = persist_tracked(
+        fps.withColumn("n_fp", F.count("*").over(wd))
+        .withColumn("_df", F.count("*").over(wf))
         .where(F.col("_df") <= max_doc_freq)
         .drop("_df")
     )
@@ -266,14 +273,14 @@ def winnow_overlap(
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count("*").alias("co"))
+        .agg(
+            F.count("*").alias("co"),
+            F.min(F.col("a.n_fp")).alias("na"),
+            F.min(F.col("b.n_fp")).alias("nb"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("nb"))
     return (
-        co.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
+        co.select(
             "doc_a",
             "doc_b",
             F.round(F.col("co") / F.least("na", "nb"), 6).alias("overlap"),
