@@ -488,14 +488,25 @@ def q_minhash_dedup_cc(spark, sf_dir):
     algorithm-independent, so each leg is independently checked against
     the same recursive CTE (consolidated round 6 for the 50-row driver
     board cap)."""
-    from pdfplumber_spark.operators.dedup import minhash_dedup_cc
+    from pdfplumber_spark.operators._cache import persist_tracked
+    from pdfplumber_spark.operators.dedup import (
+        minhash_dedup_cc,
+        minhash_threshold_pairs,
+    )
 
     docs = _tbl(spark, sf_dir, "documents").where("doc_id < 300")
-    lp = minhash_dedup_cc(docs, "doc_id", "text", threshold=0.8).select(
-        F.lit("labelprop").alias("algorithm"), "doc_id"
+    # one signature+banding pass feeds BOTH component algorithms (the
+    # pair graph is deterministic, so each leg sees the identical graph
+    # it previously recomputed); evict via unpersist_all()
+    pairs = persist_tracked(
+        minhash_threshold_pairs(docs, "doc_id", "text", threshold=0.8)
     )
+    lp = minhash_dedup_cc(
+        docs, "doc_id", "text", threshold=0.8, pairs=pairs
+    ).select(F.lit("labelprop").alias("algorithm"), "doc_id")
     star = minhash_dedup_cc(
-        docs, "doc_id", "text", threshold=0.8, cc_algorithm="star"
+        docs, "doc_id", "text", threshold=0.8, cc_algorithm="star",
+        pairs=pairs,
     ).select(F.lit("star").alias("algorithm"), "doc_id")
     return lp.unionByName(star)
 

@@ -266,6 +266,38 @@ def simhash64(text: str) -> int:
     return out - (1 << 64) if out >= (1 << 63) else out  # int64 reinterpret
 
 
+def simhash64_batch(texts) -> np.ndarray:
+    """Batch form of ``simhash64``: all features (word unigrams+bigrams)
+    of the batch hashed in one ``fnv1a_64_batch`` pass, bit-unpacked as a
+    (features, 64) matrix, and per-document summed via
+    ``np.add.reduceat`` — the +-1 accumulation is a commutative integer
+    sum, so results are identical to the scalar loop. Returns int64
+    (same int64 reinterpretation as the scalar kernel)."""
+    counts = []
+    feats: list = []
+    for t in texts:
+        words = (t or "").lower().split()
+        fs = words + [" ".join(p) for p in zip(words, words[1:])]
+        counts.append(len(fs))
+        feats.extend(f.encode("utf-8") for f in fs)
+    out = np.zeros(len(counts), dtype=np.int64)
+    if not feats:
+        return out
+    hs = fnv1a_64_batch(feats)
+    bits = (
+        (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+        & np.uint64(1)
+    ).astype(np.int64)
+    signs = 2 * bits - 1  # (features, 64) of +-1
+    counts_arr = np.asarray(counts, dtype=np.int64)
+    nz = np.nonzero(counts_arr > 0)[0]
+    offsets = np.concatenate(([0], np.cumsum(counts_arr)[:-1]))[nz]
+    acc = np.add.reduceat(signs, offsets, axis=0)  # (n_nz, 64)
+    vals = (acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+    out[nz] = vals.sum(axis=1, dtype=np.uint64).view(np.int64)
+    return out
+
+
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
 

@@ -471,6 +471,25 @@ def _mis_with_fallback(
     )
 
 
+def minhash_threshold_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """The >=threshold near-dup pair graph (signatures -> banding LSH ->
+    est_jaccard filter) — the shared front half of ``minhash_dedup_cc``,
+    exposed so callers running SEVERAL component algorithms over the SAME
+    graph (e.g. the board's labelprop+star row) compute signatures and
+    banding once and persist the pairs, instead of once per algorithm."""
+    sigs = minhash_signatures(df, id_col, text_col, num_perm=num_perm)
+    return minhash_lsh_candidates(sigs, bands=bands).where(
+        F.col("est_jaccard") >= threshold
+    )
+
+
 def minhash_dedup_cc(
     df: DataFrame,
     id_col: str,
@@ -481,6 +500,7 @@ def minhash_dedup_cc(
     keeper: str = "component_min",
     mis_max_component: int = 100_000,
     cc_algorithm: str = "label_prop",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster-aware near-dup removal over the MinHash pair graph.
 
@@ -507,11 +527,15 @@ def minhash_dedup_cc(
     ``cc_algorithm`` selects the component solver: ``label_prop``
     (default — diameter rounds, right for dense near-dup clusters) or
     ``star`` (Kiveris large/small-star, O(log n) rounds on any shape).
-    Survivor sets are identical; only the round structure differs."""
-    sigs = minhash_signatures(df, id_col, text_col, num_perm=num_perm)
-    pairs = minhash_lsh_candidates(sigs, bands=bands).where(
-        F.col("est_jaccard") >= threshold
-    )
+    Survivor sets are identical; only the round structure differs.
+
+    ``pairs`` may carry a precomputed (ideally persisted)
+    ``minhash_threshold_pairs`` graph so multiple calls share one
+    signature+banding pass (round-8)."""
+    if pairs is None:
+        pairs = minhash_threshold_pairs(
+            df, id_col, text_col, threshold, num_perm, bands
+        )
     cc = connected_components(pairs, algorithm=cc_algorithm)
     if keeper == "component_min":
         losers = cc.where(F.col("node") != F.col("component")).select(
@@ -559,7 +583,7 @@ def with_boilerplate_skew(
 # --- SimHash -----------------------------------------------------------------
 
 def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    from ..kernel.textstats import simhash64
+    from ..kernel.textstats import simhash64_batch
 
     schema = T.StructType(
         [
@@ -573,7 +597,7 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": b[id_col],
-                    "simhash": [simhash64(t or "") for t in b[text_col]],
+                    "simhash": simhash64_batch(list(b[text_col])),
                 }
             )
 

@@ -73,6 +73,23 @@ def test_minhash_batch_equals_scalar():
         assert (got[i] == minhash_signature(t or "")).all(), i
 
 
+def test_simhash_batch_equals_scalar():
+    from pdfplumber_spark.kernel.textstats import simhash64, simhash64_batch
+
+    rng = random.Random(7)
+    texts = ["", None, "one", "word word", "a b"]
+    for _ in range(300):
+        n = rng.randrange(0, 30)
+        texts.append(" ".join(
+            "".join(chr(rng.randrange(97, 123))
+                    for _ in range(rng.randrange(1, 8)))
+            for _ in range(n)
+        ))
+    got = simhash64_batch(texts)
+    for i, t in enumerate(texts):
+        assert got[i] == simhash64(t or ""), i
+
+
 def test_cosine_lsh_bucket_kernel_matches_exact(spark):
     """verify-regime settings give total recall on the board corpus, so
     the per-bucket kernel's output must EQUAL the exact method's — id
