@@ -343,18 +343,20 @@ def q_ngram_counts(spark, sf_dir):
     — the classic corpus statistic; partial-aggregated explode, one
     shuffle on the gram key, top-k via global sort of the tiny aggregate."""
     docs = _tbl(spark, sf_dir, "documents")
-    w = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
-        ).alias("pos", "word"),
-    )
-    lead_w = Window.partitionBy("doc_id").orderBy("pos")
-    grams = (
-        w.withColumn("nxt", F.lead("word").over(lead_w))
-        .where(F.col("nxt").isNotNull())
-        .select(F.concat_ws(" ", "word", "nxt").alias("bigram"))
-    )
+    # round-8: bigrams straight from adjacent elements of the (already
+    # ordered) word array — the pre-round-8 posexplode + lead() window
+    # paid an exchange + sort to recover an order the array had all
+    # along; identical bigram strings by construction
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.zip_with(
+            F.slice(ws, 1, F.size(ws) - 1),
+            F.slice(ws, 2, F.size(ws) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select(F.explode(bigrams).alias("bigram"))
     return (
         grams.groupBy("bigram")
         .agg(F.count("*").alias("n"))

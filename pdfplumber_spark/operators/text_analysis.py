@@ -104,46 +104,54 @@ def repetition_stats(
     (most frequent word 2-gram / total bigrams), ``dup_line_frac``
     (1 - distinct/total newline-split lines).
 
-    Plan shape: the array metrics are pure column exprs; the top-k metrics
-    explode words once, derive bigrams with a lead() window (no second
-    scan), partial-aggregate per (doc, gram) then per doc — two shuffles
-    on the doc key, no corpus-wide state. Ratios are int/int divisions
-    rounded to 6, mirrored exactly by the DuckDB oracle."""
+    Plan shape (round-8): the array metrics are pure column exprs; the
+    word ARRAY (already in document order) is cached once and both top-k
+    branches explode from it — bigrams come straight from adjacent array
+    elements (``element_at`` over a position sequence), which removes the
+    pre-round-8 ``lead()`` window's exchange + sort entirely (the array
+    IS the order; identical bigram strings by construction). Two
+    aggregation shuffles on the doc key remain, no corpus-wide state.
+    Ratios are int/int divisions rounded to 6, mirrored exactly by the
+    DuckDB oracle."""
     t = F.col(text_col)
     # idx=0 = whole match (Spark's default idx=1 wants a capture group)
     words_arr = F.regexp_extract_all(F.lower(t), F.lit(r"\S+"), 0)
     lines_arr = F.split(t, F.lit("\n"))
-    base = df.select(
-        F.col(id_col),
-        F.size(words_arr).alias("n_words"),
-        F.size(F.array_distinct(words_arr)).alias("n_distinct_words"),
-        F.size(lines_arr).alias("n_lines"),
-        F.size(F.array_distinct(lines_arr)).alias("n_distinct_lines"),
-    )
 
     from ._cache import persist_tracked
 
-    # both the word-count and bigram branches consume the exploded words;
-    # un-cached, the regexp scan + explode would execute once per branch
-    # (no ReusedExchange — the branches aggregate on different keys).
-    # Evict via unpersist_all() after the terminal action.
-    w = persist_tracked(
-        df.select(
-            F.col(id_col),
-            F.posexplode(words_arr).alias("pos", "word"),
-        )
+    # ONE regexp pass: the word/line arrays are cached and feed the array
+    # metrics plus both explode branches (no ReusedExchange applies — the
+    # branches aggregate on different keys). Evict via unpersist_all().
+    arrs = persist_tracked(
+        df.select(F.col(id_col), words_arr.alias("_ws"),
+                  lines_arr.alias("_ls"))
     )
-    lead_w = Window.partitionBy(id_col).orderBy("pos")
-    grams = w.withColumn("nxt", F.lead("word").over(lead_w))
+    ws = F.col("_ws")
+    base = arrs.select(
+        F.col(id_col),
+        F.size(ws).alias("n_words"),
+        F.size(F.array_distinct(ws)).alias("n_distinct_words"),
+        F.size("_ls").alias("n_lines"),
+        F.size(F.array_distinct("_ls")).alias("n_distinct_lines"),
+    )
     word_top = (
-        w.groupBy(id_col, "word")
+        arrs.select(F.col(id_col), F.explode(ws).alias("word"))
+        .groupBy(id_col, "word")
         .count()
         .groupBy(id_col)
         .agg(F.max("count").alias("top_word_cnt"))
     )
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.zip_with(
+            F.slice(ws, 1, F.size(ws) - 1),
+            F.slice(ws, 2, F.size(ws) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     bigram_top = (
-        grams.where(F.col("nxt").isNotNull())
-        .select(id_col, F.concat_ws(" ", "word", "nxt").alias("bigram"))
+        arrs.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
         .groupBy(id_col, "bigram")
         .count()
         .groupBy(id_col)
