@@ -490,6 +490,17 @@ class StructTree:
                     if o.get("mcid") == mcid:
                         objs.append(o)
         if not objs:
+            if bbox is not None:
+                # round-7 advice: a kernel-level tree (no API page
+                # attached) cannot invert an explicit /BBox against the
+                # page mediabox — say so instead of a bare IndexError
+                # that implies the element has no marked content
+                raise IndexError(
+                    "No objects found: element carries a /BBox attribute "
+                    "but no page object is attached to resolve the "
+                    "mediabox — use the API facade "
+                    "(api.PDF.structure_tree) or pass page= explicitly"
+                )
             raise IndexError("No objects found")
         return frame_bbox(pd.DataFrame(objs))
 
